@@ -1,0 +1,66 @@
+"""Headline-query benchmark.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints exactly ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from light_etl_windows_container_poc_spark.queries import QUERIES  # noqa: E402
+from light_etl_windows_container_poc_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",   # scan + wide agg
+    "q5_local_supplier",    # 6-table join chain
+    "q18_large_orders",     # agg-filter semi-join
+    "window_running",       # windowed running aggregate
+    "sessionize",           # gap sessionization
+    "asof_join",            # as-of join
+    "time_window_agg",      # tumbling-window agg
+    # LLM-data ops join the list as they land:
+    "dedup_minhash_lsh",
+    "ann_bruteforce",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    results: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        df.count()  # warm: trigger JIT/codegen + file listing once
+        t0 = time.time()
+        df.collect()
+        dt = time.time() - t0
+        results[name] = round(dt, 3)
+        total += dt
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_query_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Table registry for the test warehouse.
+
+The reference routed ingested files into named Postgres tables
+(`dim_customers`, `fact_sales`, ... — pattern_config.yaml); here the
+warehouse is parquet and tables register as Spark temp views so the whole
+§2 query suite runs over them declaratively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimensions small enough (at ANY scale factor — they grow sub-linearly or
+# not at all) that joins against them should always broadcast.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _fix_nanos(df: DataFrame) -> DataFrame:
+    """Re-type nanosecond timestamps read as long (see nanosAsLong below)
+    back to TIMESTAMP, truncating to microseconds (Spark's native precision,
+    and the same truncation DuckDB's epoch_us applies)."""
+    from pyspark.sql import functions as F  # local import keeps module light
+
+    for field in df.schema.fields:
+        meta = field.metadata or {}
+        if meta.get("__is_nanos__") or (field.name == "ts" and field.dataType.simpleString() == "bigint"):
+            df = df.withColumn(field.name,
+                               F.timestamp_micros((F.col(field.name) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load parquet tables lazily; Catalyst prunes columns/filters at scan.
+
+    Spark 4 rejects parquet TIMESTAMP(NANOS) outright; the events table
+    carries one. ``nanosAsLong`` (runtime-settable) reads it as int64 and
+    ``_fix_nanos`` converts back to a proper TIMESTAMP column, so callers
+    always see the logical schema regardless of physical encoding.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # older/newer Spark without the knob: reader may handle nanos
+    return {name: _fix_nanos(spark.read.parquet(table_path(sf_dir, name)))
+            for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load and register each table as a temp view for the SQL API."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

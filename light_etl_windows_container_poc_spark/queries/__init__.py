@@ -1,0 +1,11 @@
+"""The §2 query suite: every operator in SURVEY.md §2 with a `queries()`
+entry registers here; oracle-SQL twins (DuckDB dialect) register alongside.
+
+Import the submodules for their registration side effects.
+"""
+
+from .registry import QUERIES, ORACLES, query  # noqa: F401
+from . import tpch  # noqa: F401,E402
+from . import temporal  # noqa: F401,E402
+from . import etl  # noqa: F401,E402
+from . import llm  # noqa: F401,E402

@@ -1,0 +1,138 @@
+"""Temporal operators over the event stream (SURVEY.md §2.2):
+as-of join, sessionization, tumbling-window aggregation.
+
+The as-of join is the union+window formulation: tag both sides, sort by
+(key, ts), carry the last left-side value forward with
+``last(..., ignorenulls)``. One shuffle on the key, no range cross-product
+— this is the shape that survives 100 TB (vs. a naive theta-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from .registry import query
+
+
+def _fmt(c):
+    """Timestamp → 'yyyy-MM-dd HH:mm:ss' string: engine-portable output."""
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+# --------------------------------------------------------------------------
+# as-of join: for each purchase, the nearest prior-or-equal click (same user)
+# --------------------------------------------------------------------------
+@query("asof_join", oracle="""
+SELECT p.event_id,
+       p.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_since_click
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""")
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sides = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "user_id", "ts", "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts_raw"),
+        # clicks sort before purchases at equal ts so ">= prior" includes them
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("side"),
+    )
+    w = (W.partitionBy("user_id").orderBy("ts", "side", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        sides.withColumn("last_click", F.last("click_ts_raw", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            _fmt("last_click").alias("click_ts"),
+            (F.col("ts").cast("long") - F.col("last_click").cast("long"))
+            .alias("secs_since_click"))
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# sessionization: 30-minute-gap sessions per user
+# --------------------------------------------------------------------------
+@query("sessionize", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""")
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (W.partitionBy("user_id").orderBy("ts")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800000000),
+               F.lit(1)).otherwise(F.lit(0)))
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(w_run).cast("long"))
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             _fmt(F.min("ts")).alias("session_start"),
+             _fmt(F.max("ts")).alias("session_end"),
+             (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100)
+             .alias("session_value"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# tumbling-window aggregation (batch twin of the streaming windowed agg)
+# --------------------------------------------------------------------------
+@query("time_window_agg", oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 1.0
+             / count(*)) / 100.0 AS avg_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""")
+def time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.value is a 2-decimal quantity: aggregate in exact integer cents
+    # so Spark and the oracle can't diverge by a float ulp at the rounding
+    # boundary (avg over tiny groups lands exactly on .005 otherwise).
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy(_fmt(F.date_trunc("hour", "ts")).alias("window_start"), "event_type")
+        # avg rounds at the CENTS level (integer-over-integer ratio): rounding
+        # the off-grid dollars value at 2dp diverges between engines — Spark's
+        # round() goes through the shortest decimal string, DuckDB's doesn't.
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(cents).cast("double") / 100).alias("total_value"),
+             (F.round(F.sum(cents) * 1.0 / F.count(F.lit(1))) / 100.0)
+             .alias("avg_value"))
+        .orderBy("window_start", "event_type")
+    )

@@ -1,0 +1,37 @@
+"""Every registered query runs at sf0.001 and yields a stable, sane result."""
+
+from __future__ import annotations
+
+import pytest
+
+from light_etl_windows_container_poc_spark.queries import ORACLES, QUERIES
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    rows = df.collect()
+    assert rows is not None
+    assert len(df.columns) > 0
+    # rows may legitimately be empty at tiny SF for selective queries,
+    # but the flagship ones must produce data even at sf0.001
+    if name in {"q1_pricing_summary", "time_window_agg", "sessionize"}:
+        assert len(rows) > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as ent
+
+    df = ent.entry(spark)
+    assert df.count() > 0
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 20
+
+
+def test_oracle_sql_is_registered_for_sql_expressible_ops():
+    # every relational query should carry an oracle; rows-only is reserved
+    # for genuinely non-SQL-expressible ops (minhash/simhash/lsh/stream)
+    missing = {n for n in QUERIES if n not in ORACLES
+               and not n.startswith(("dedup_minhash", "dedup_simhash", "ann_lsh", "stream_", "mm_"))}
+    assert not missing, f"queries without oracle: {missing}"
