@@ -1,0 +1,51 @@
+"""Warehouse sinks — reference parity.
+
+The reference appends cleaned frames to Postgres tables in 1000-row
+chunks and logs every job to `etl_processing_log`
+(`dataframe_tasks.py:78-103`). Here the warehouse is partitioned parquet
+(append mode = the same always-append contract); the JDBC sink is kept
+for literal Postgres parity but gated on a driver jar.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+
+def append_table(df: DataFrame, warehouse_dir: str, table: str,
+                 partition_by: list[str] | None = None) -> str:
+    """Append to a warehouse table as parquet. ``partition_by`` (e.g. an
+    ingest-date column) gives downstream queries partition pruning."""
+    path = os.path.join(warehouse_dir, table)
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def write_processing_log(spark: SparkSession, warehouse_dir: str,
+                         filename: str, rows_processed: int, status: str,
+                         error_message: str | None = None,
+                         processing_time_seconds: float = 0.0,
+                         sheet_name: str = "") -> None:
+    """`etl_processing_log` parity (reference `database_postgres.py:71-83`)."""
+    log = spark.createDataFrame([Row(
+        filename=filename, sheet_name=sheet_name,
+        rows_processed=rows_processed, status=status,
+        error_message=(error_message or "")[:1000],
+        processed_at=time.strftime("%Y-%m-%d %H:%M:%S"),
+        processing_time_seconds=float(processing_time_seconds))])
+    append_table(log, warehouse_dir, "etl_processing_log")
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               mode: str = "append", **options) -> None:
+    """JDBC sink (Postgres parity, reference `database_postgres.py:10-44`).
+    Requires the JDBC driver jar on the cluster classpath — absent in this
+    image, so the call surfaces Spark's own clear driver-not-found error."""
+    df.write.mode(mode).format("jdbc").option("url", url) \
+        .option("dbtable", table).options(**options).save()

@@ -1,0 +1,146 @@
+"""File ingestion sources — reference parity, executor-side.
+
+The reference reads CSV with an encoding-fallback chain and Excel with
+pandas, one file at a time on a single worker
+(`pattern_based_cleaner_watcher.py:163-193`, `fileserver.py:201-254`).
+Here each FILE decodes on an executor: `binaryFile` source +
+`mapInPandas`, so ingesting a million mixed-encoding CSVs scales with the
+cluster instead of the driver. The happy path (clean UTF-8 CSV) uses the
+native JVM reader — whole-stage codegen, schema pushdown, zero Python.
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# reference config/pattern_config.yaml:48-52
+ENCODING_FALLBACKS = ("utf-8", "utf-8-sig", "latin1", "cp1252")
+SUPPORTED_EXTENSIONS = (".csv", ".xlsx", ".xls", ".xlsm")
+
+
+def _coerce_to_field(s: "pd.Series", fld) -> "pd.Series":
+    """Align a pandas-inferred column with the declared Spark field type
+    (pandas.read_csv infers its own dtypes; Arrow needs the declared one)."""
+    from pyspark.sql import types as T
+
+    t = fld.dataType
+    if isinstance(t, T.StringType):
+        return s.map(lambda v: None if pd.isna(v) else str(v))
+    if isinstance(t, (T.DoubleType, T.FloatType)):
+        return pd.to_numeric(s, errors="coerce")
+    if isinstance(t, (T.LongType, T.IntegerType, T.ShortType)):
+        return pd.to_numeric(s, errors="coerce").astype("Int64")
+    return s
+
+
+def _decode_bytes(raw: bytes) -> str:
+    for enc in ENCODING_FALLBACKS:
+        try:
+            return raw.decode(enc)
+        except UnicodeDecodeError:
+            continue
+    return raw.decode("utf-8", errors="ignore")
+
+
+def read_csv_auto(spark: SparkSession, path: str,
+                  schema_ddl: str,
+                  assume_utf8: bool = False,
+                  include_source_path: bool = True) -> DataFrame:
+    """CSV reader with the reference's encoding-fallback chain.
+
+    ``assume_utf8=True`` short-circuits to Spark's native reader (the
+    fast, codegen'd path for known-clean data). Otherwise files are
+    decoded per-executor with the fallback chain — the schema is explicit
+    (``schema_ddl``) because schema inference over 100 TB is a full extra
+    scan.
+    """
+    if assume_utf8:
+        df = spark.read.schema(schema_ddl).option("header", True).csv(path)
+        return df.withColumn("source_path", F.input_file_name()) if include_source_path else df
+
+    binary = (spark.read.format("binaryFile")
+              .option("pathGlobFilter", "*.csv")
+              .option("recursiveFileLookup", "true").load(path))
+    out_ddl = schema_ddl + (", source_path string" if include_source_path else "")
+    target = spark.createDataFrame([], out_ddl).schema
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                text = _decode_bytes(bytes(row["content"]))
+                if not text.strip():
+                    continue  # reference: skip empty files
+                parsed = pd.read_csv(io.StringIO(text))
+                out = pd.DataFrame()
+                for fld in target.fields:
+                    if fld.name == "source_path":
+                        out[fld.name] = [row["path"]] * len(parsed)
+                    elif fld.name in parsed:
+                        out[fld.name] = _coerce_to_field(parsed[fld.name], fld)
+                    else:
+                        out[fld.name] = None
+                yield out
+
+    return binary.select("path", "content").mapInPandas(parse, target)
+
+
+def read_excel(spark: SparkSession, path: str, schema_ddl: str,
+               sheet_name: int | str = 0,
+               skiprows: int | None = None,
+               nrows: int | None = None,
+               usecols: str | None = None,
+               include_source_path: bool = True) -> DataFrame:
+    """Excel reader (sheet / skiprows / nrows / usecols — the reference
+    fileserver's read_excel_with_params surface, `fileserver.py:201-254`).
+
+    Plumbing is fully distributed (binaryFile + mapInPandas, one workbook
+    per executor task); the byte-level decode needs openpyxl, which this
+    image doesn't ship — the task raises a clear error at run time. The
+    operator's Spark-side shape (schema contract, partitioning, batch
+    iteration) is real and tested via the gate test.
+    """
+    binary = (spark.read.format("binaryFile")
+              .option("pathGlobFilter", "*.xls*")
+              .option("recursiveFileLookup", "true").load(path))
+    out_ddl = schema_ddl + (", source_path string" if include_source_path else "")
+    target = spark.createDataFrame([], out_ddl).schema
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as e:  # pragma: no cover - image lacks the lib
+            raise NotImplementedError(
+                "Excel decode requires openpyxl, which is not available in "
+                "this image; read_excel's Spark plumbing is complete — add "
+                "openpyxl to the cluster image to enable it.") from e
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                parsed = pd.read_excel(io.BytesIO(bytes(row["content"])),
+                                       sheet_name=sheet_name, skiprows=skiprows,
+                                       nrows=nrows, usecols=usecols)
+                out = pd.DataFrame()
+                for fld in target.fields:
+                    if fld.name == "source_path":
+                        out[fld.name] = [row["path"]] * len(parsed)
+                    elif fld.name in parsed:
+                        out[fld.name] = _coerce_to_field(parsed[fld.name], fld)
+                    else:
+                        out[fld.name] = None
+                yield out
+
+    return binary.select("path", "content").mapInPandas(parse, target)
+
+
+def read_json_records(spark: SparkSession, records: list[dict],
+                      schema_ddl: str | None = None) -> DataFrame:
+    """`process_dataframe` parity (reference `dataframe_tasks.py:26-43`):
+    ingest a list of JSON-ish records. Small payloads only — bulk data
+    belongs in files; this mirrors the reference's Celery-message input."""
+    if schema_ddl:
+        return spark.createDataFrame(records, schema_ddl)
+    return spark.createDataFrame(records)
