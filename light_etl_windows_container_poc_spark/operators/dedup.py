@@ -1,0 +1,142 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four escalating strategies, each with the join/shuffle shape that survives
+100 TB:
+
+- exact:   hash-groupBy on a content digest. One shuffle on the digest.
+- n-gram Jaccard: explode shingles → equi-self-join on shingle → count
+  intersections. Only CO-OCCURRING pairs are ever materialized (never the
+  O(n²) cross product); a document-frequency cap drops degenerate
+  stop-shingles that would otherwise create quadratic hot keys.
+- MinHash+LSH: fixed-size signature per doc (no explosion), banded into
+  (band, band_hash) keys; candidates come from an equi-self-join on the
+  band key. Pair count is tunable via bands×rows; verification uses
+  signature agreement (estimated Jaccard) — optionally re-check exact.
+- SimHash: 64-bit fingerprint per doc; near-dup candidates via 16-bit
+  chunk banding (hamming ≤ 3 within any chunk match), verified by
+  bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texts import (minhash_signature, shingle_hashes,
+                               signature_agreement, word_shingles)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical texts: representative (min id) + count.
+
+    md5 (not xxhash) so any SQL engine can reproduce the digest.
+    """
+    return (df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
+    """Pairs (a_id < b_id) with shingle-set Jaccard ≥ threshold.
+
+    ``max_df`` drops shingles present in more than that many documents
+    before the self-join — the skew guard for web-scale corpora where a
+    boilerplate shingle can appear in millions of docs.
+    """
+    sh = (df.select(F.col(id_col).alias("doc"),
+                    F.explode(word_shingles(F.col(text_col), n)).alias("s")))
+    if max_df is not None:
+        hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+               .filter(F.col("df_") > max_df).select("s"))
+        sh = sh.join(hot, "s", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc").alias("a_id"), "s")
+    b = sh.select(F.col("doc").alias("b_id"), "s")
+    inter = (a.join(b, "s")
+             .filter(F.col("a_id") < F.col("b_id"))
+             .groupBy("a_id", "b_id")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc").alias("a_id"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc").alias("b_id"), F.col("sz").alias("sb"))
+    return (inter.join(sa, "a_id").join(sb, "b_id")
+            .withColumn("jaccard",
+                        F.col("inter") * 1.0
+                        / (F.col("sa") + F.col("sb") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 128, bands: int = 32,
+                      n: int = 3, threshold: float = 0.8,
+                      seed: int = 42) -> DataFrame:
+    """Candidate near-dup pairs via MinHash signatures + LSH banding,
+    scored by signature agreement (Jaccard estimate) ≥ threshold.
+
+    With r = num_hashes/bands rows per band, a pair with true Jaccard j
+    collides with probability 1-(1-j^r)^bands — the standard S-curve; the
+    defaults (r=4, b=32) catch j≥0.8 with >0.999 recall.
+    """
+    rows = num_hashes // bands
+    sigs = df.select(F.col(id_col).alias("doc"),
+                     minhash_signature(F.col(text_col), num_hashes, n, seed)
+                     .alias("sig"))
+    band_arr = F.array(*[
+        F.xxhash64(F.concat_ws("_", *[
+            F.element_at("sig", b * rows + r + 1).cast("string")
+            for r in range(rows)]))
+        for b in range(bands)])
+    banded = (sigs.select("doc", "sig", F.posexplode(band_arr)
+                          .alias("band", "band_hash")))
+    left = banded.select(F.col("doc").alias("a_id"), F.col("sig").alias("sig_a"),
+                         "band", "band_hash")
+    right = banded.select(F.col("doc").alias("b_id"), F.col("sig").alias("sig_b"),
+                          "band", "band_hash")
+    cand = (left.join(right, ["band", "band_hash"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "sig_a", "sig_b")
+            .dropDuplicates(["a_id", "b_id"]))
+    return (cand.withColumn("est_jaccard", signature_agreement("sig_a", "sig_b"))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("a_id", "b_id", "est_jaccard"))
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: majority vote per bit over the xxhash64
+    of each distinct shingle. Explode → 64 literal-shift aggregates →
+    pack; one shuffle on the doc id, everything codegen'd."""
+    tok = df.select(F.col(id_col).alias("doc"),
+                    F.explode(shingle_hashes(F.col(text_col), n=1)).alias("h"))
+    votes = [F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)))
+             .alias(f"v{j}") for j in range(64)]
+    counted = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *votes)
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        bit = (F.col(f"v{j}") * 2 >= F.col("n")).cast("long")
+        fp = fp + F.shiftleft(bit, j)
+    return counted.select("doc", fp.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by 16-bit
+    chunk banding (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks equal)."""
+    fps = simhash64(df, id_col, text_col)
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+        for c in range(4)])
+    banded = fps.select("doc", "simhash",
+                        F.posexplode(chunks).alias("chunk", "chunk_val"))
+    a = banded.select(F.col("doc").alias("a_id"), F.col("simhash").alias("fp_a"),
+                      "chunk", "chunk_val")
+    b = banded.select(F.col("doc").alias("b_id"), F.col("simhash").alias("fp_b"),
+                      "chunk", "chunk_val")
+    return (a.join(b, ["chunk", "chunk_val"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+            .withColumn("hamming",
+                        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a_id", "b_id", "hamming"))

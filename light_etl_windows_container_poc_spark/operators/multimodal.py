@@ -1,0 +1,135 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with typed metadata; transforms
+run as Arrow-batched mapInPandas so each executor decodes its own batch.
+The actual codec step needs libs this image doesn't ship (PIL/av) — decode
+is gated behind a clear error, with a deterministic fake for exercising
+the full Spark-side path (schema contract, batching, partitioning) in
+tests and downstream operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# magic-byte sniffing — pure JVM expression, no decode needed
+_MAGIC = {
+    "ffd8ff": "image/jpeg",
+    "89504e47": "image/png",
+    "47494638": "image/gif",
+    "52494646": "audio/wav",   # RIFF
+    "494433": "audio/mp3",     # ID3
+    "1a45dfa3": "video/webm",  # EBML (webm/mkv)
+}
+
+
+def sniff_media_type(df: DataFrame, content_col: str = "content",
+                     out_col: str = "media_type") -> DataFrame:
+    """Content-type from magic bytes as a CASE expression over hex(prefix)."""
+    prefix = F.lower(F.hex(F.expr(f"substring({content_col}, 1, 8)")))
+    expr = F.lit("application/octet-stream")
+    for magic, mtype in reversed(list(_MAGIC.items())):
+        expr = F.when(prefix.startswith(magic), F.lit(mtype)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Typed metadata columns: byte length, md5, sniffed type."""
+    out = df.withColumn("media_bytes", F.length(F.col(content_col)))
+    out = out.withColumn("media_md5", F.md5(F.col(content_col)))
+    return sniff_media_type(out, content_col)
+
+
+_FEATURE_SCHEMA = ("id long, media_type string, width int, height int, "
+                   "n_frames int, features array<float>")
+
+
+def _fake_features(raw: bytes, dim: int = 16) -> list[float]:
+    """Deterministic pseudo-features from content bytes (test double for
+    the real decoder: same shape, stable values)."""
+    h = hashlib.sha256(raw).digest()
+    return [h[i % len(h)] / 255.0 for i in range(dim)]
+
+
+def decode_and_featurize(df: DataFrame, id_col: str = "id",
+                         content_col: str = "content",
+                         use_fake_decoder: bool = False,
+                         feature_dim: int = 16) -> DataFrame:
+    """Decode media and extract (width, height, n_frames, feature vector).
+
+    Real decode requires PIL/av (NOT in this image) → clear
+    NotImplementedError on executors. ``use_fake_decoder=True`` swaps in a
+    deterministic content-hash featurizer so the distributed plumbing is
+    fully exercisable without codecs.
+    """
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not use_fake_decoder:
+            try:
+                import PIL.Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "media decode requires PIL/av which this image does not "
+                    "ship; pass use_fake_decoder=True to exercise the "
+                    "pipeline, or add the codec libs to the cluster image."
+                ) from e
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r[content_col])
+                rows.append({
+                    "id": r[id_col],
+                    "media_type": r.get("media_type", "application/octet-stream"),
+                    "width": len(raw) % 1920,      # fake-decoder stand-ins
+                    "height": len(raw) % 1080,
+                    "n_frames": 1,
+                    "features": _fake_features(raw, feature_dim),
+                })
+            yield pd.DataFrame(rows, columns=["id", "media_type", "width",
+                                              "height", "n_frames", "features"])
+
+    cols = [id_col, content_col] + (
+        ["media_type"] if "media_type" in df.columns else [])
+    return df.select(*cols).mapInPandas(run, _FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, id_col: str = "id",
+                  content_col: str = "content", every_n: int = 10,
+                  use_fake_decoder: bool = False) -> DataFrame:
+    """Frame sampling for video columns: one output row per sampled frame
+    (id, frame_idx, frame_bytes). Fake decoder emits byte-slice frames so
+    the explode/repartition shape is real."""
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not use_fake_decoder:
+            try:
+                import av  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "video decode requires PyAV; pass use_fake_decoder=True "
+                    "to exercise the pipeline shape.") from e
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r[content_col])
+                n = max(len(raw) // max(every_n, 1), 1)
+                for i in range(min(n, 8)):
+                    rows.append({"id": r[id_col], "frame_idx": i,
+                                 "frame_bytes": raw[i * every_n:(i + 1) * every_n]})
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_bytes"])
+
+    return (df.select(id_col, content_col)
+            .mapInPandas(run, "id long, frame_idx int, frame_bytes binary"))

@@ -1,0 +1,101 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+fingerprinting. Pure column expressions — a 100 TB quality-filter pass is
+one codegen'd scan, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texts import words
+
+# Small high-frequency stopword sets per language (public knowledge).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"),
+    "es": ("el", "la", "los", "las", "y", "de", "un", "una", "es", "para"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "这", "他", "们"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish alphanumeric-run token count."""
+    return F.size(F.regexp_extract_all(text, F.lit("[A-Za-z0-9]+"), F.lit(0)))
+
+
+def _ratio_milli(num: Column, den: Column) -> Column:
+    """Integer-over-integer ratio in exact milli-units (engine-portable)."""
+    return F.round(num * 1000.0 / F.greatest(den, F.lit(1))).cast("long")
+
+
+def quality_metrics(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-document quality signals: char/word counts, alpha/digit/space
+    ratios (milli-units), mean word length (centi-chars), stopword ratio.
+
+    Ratio outputs are integer units so any engine reproduces them exactly.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    w = words(text)
+    n_words = F.size(w)
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    space = F.length(F.regexp_replace(text, "[^ ]", ""))
+    sw = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(sw, F.lower(x))))
+    total_word_chars = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_q"),
+        n_words.alias("n_words"),
+        _ratio_milli(alpha, n_chars).alias("alpha_milli"),
+        _ratio_milli(digit, n_chars).alias("digit_milli"),
+        _ratio_milli(space, n_chars).alias("space_milli"),
+        _ratio_milli(n_stop, n_words).alias("stopword_milli"),
+        F.round(total_word_chars * 100.0 / F.greatest(n_words, F.lit(1)))
+        .cast("long").alias("word_len_centi"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str,
+                out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-overlap language ID: per language, count tokens in its
+    stopword set; argmax with deterministic order, 'und' when no evidence."""
+    w = words(F.col(text_col))
+
+    def in_set(sw):
+        return lambda x: F.array_contains(sw, F.lower(x))
+
+    scores = {}
+    for lang, stops in STOPWORDS.items():
+        sw = F.array([F.lit(s) for s in stops])
+        scores[lang] = F.size(F.filter(w, in_set(sw)))
+    langs = sorted(STOPWORDS)  # deterministic tie-break: alphabetical
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        take = (s > best_score)
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return df.withColumn(out_col, best)
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str,
+                n: int = 3) -> DataFrame:
+    """Document fingerprints: full-content md5 (portable) + the minimum
+    shingle md5 (a 1-hash minhash — stable under reordering of shingles)."""
+    from ..functions.texts import word_shingles
+
+    sh = word_shingles(F.col(text_col), n)
+    min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return df.select(F.col(id_col),
+                     F.md5(F.col(text_col)).alias("content_md5"),
+                     min_sh.alias("min_shingle_md5"))

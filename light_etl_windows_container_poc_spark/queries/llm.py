@@ -1,1 +1,281 @@
-"""LLM-training-data operator queries (SURVEY.md §2.3) — build-plan step 4."""
+"""LLM-training-data operator queries (SURVEY.md §2.3) over the
+documents / embeddings tables.
+
+Oracle notes:
+- cosine oracles CAST embeddings to DOUBLE[] — DuckDB's list kernels
+  compute FLOAT[] inputs in float32, which diverges from Spark's double
+  fold by ~1e-8; with DOUBLE[] both engines are bit-identical.
+- minhash / simhash / hyperplane-LSH depend on engine hash functions →
+  rows-only driver check; their RECALL is tested in tests/test_dedup.py
+  and tests/test_similarity.py against exact ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..operators.dedup import (exact_dedup, minhash_lsh_pairs,
+                               ngram_jaccard_pairs, simhash_pairs)
+from ..operators.similarity import (ann_bruteforce_topk, ann_lsh_topk,
+                                    embedding_neardup_pairs)
+from ..operators.text import fingerprint, language_id, quality_metrics
+from .registry import query
+
+# shared CTE: identical shingle definition on the DuckDB side
+_SHINGLE_CTE = """
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM words
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# exact dedup: content-hash groups
+# --------------------------------------------------------------------------
+@query("dedup_exact", oracle="""
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY content_hash
+ORDER BY keep_id
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return exact_dedup(docs, "text", "doc_id").orderBy("keep_id")
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact set similarity)
+# --------------------------------------------------------------------------
+@query("dedup_ngram_jaccard", oracle=f"""
+WITH {_SHINGLE_CTE},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a_id, b_id
+)
+SELECT a_id, b_id,
+       inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sz sa ON sa.doc_id = a_id
+JOIN sz sb ON sb.doc_id = b_id
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+ORDER BY a_id, b_id
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+            .orderBy("a_id", "b_id"))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding (hash-dependent → rows-only oracle; recall vs the
+# exact jaccard ground truth is asserted in tests/test_dedup.py)
+# --------------------------------------------------------------------------
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (minhash_lsh_pairs(docs, "doc_id", "text",
+                              num_hashes=128, bands=32, threshold=0.7)
+            .orderBy("a_id", "b_id"))
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup (hash-dependent → rows-only oracle)
+# --------------------------------------------------------------------------
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3) \
+        .orderBy("a_id", "b_id")
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (exact)
+# --------------------------------------------------------------------------
+@query("dedup_embedding", oracle="""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  * 1000000) AS BIGINT) AS sim_micro
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+ORDER BY a_id, b_id
+""")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    pairs = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return (pairs.select("a_id", "b_id",
+                         F.round(F.col("sim") * 1_000_000).cast("long")
+                         .alias("sim_micro"))
+            .orderBy("a_id", "b_id"))
+
+
+# --------------------------------------------------------------------------
+# exact cosine top-k (brute force, broadcast queries)
+# --------------------------------------------------------------------------
+@query("ann_bruteforce", oracle="""
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+scored AS (
+  SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
+  FROM q, c WHERE q_id <> n_id
+), r AS (
+  SELECT q_id, n_id,
+         CAST(round(sim * 1000000) AS BIGINT) AS sim_micro,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+  FROM scored
+)
+SELECT q_id, n_id, sim_micro, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 5
+ORDER BY q_id, rank
+""")
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    topk = ann_bruteforce_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    return (topk.select("q_id", "n_id",
+                        F.round(F.col("sim") * 1_000_000).cast("long")
+                        .alias("sim_micro"),
+                        "rank")
+            .orderBy("q_id", "rank"))
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (plane-seed dependent → rows-only; recall vs brute force
+# asserted in tests/test_similarity.py)
+# --------------------------------------------------------------------------
+@query("ann_lsh")
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    topk = ann_lsh_topk(emb, queries_df, "vec_id", "embedding",
+                        k=5, dim=64, num_planes=10, multiprobe=2)
+    return (topk.select("q_id", "n_id",
+                        F.round(F.col("sim") * 1_000_000).cast("long")
+                        .alias("sim_micro"), "rank")
+            .orderBy("q_id", "rank"))
+
+
+# --------------------------------------------------------------------------
+# token counting (whitespace + alphanumeric-run)
+# --------------------------------------------------------------------------
+@query("text_token_count", oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_re_tokens
+FROM documents
+ORDER BY doc_id
+""")
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import regex_token_count, token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        regex_token_count(F.col("text")).cast("long").alias("n_re_tokens"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# quality scoring (integer milli/centi units — engine-portable ratios)
+# --------------------------------------------------------------------------
+@query("text_quality", oracle="""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w,
+         length(text) AS nc
+  FROM documents
+)
+SELECT doc_id,
+       CAST(nc AS INT) AS n_chars_q,
+       CAST(len(w) AS INT) AS n_words,
+       CAST(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000.0
+                  / greatest(nc, 1)) AS BIGINT) AS alpha_milli,
+       CAST(round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000.0
+                  / greatest(nc, 1)) AS BIGINT) AS digit_milli,
+       CAST(round(length(regexp_replace(text, '[^ ]', '', 'g')) * 1000.0
+                  / greatest(nc, 1)) AS BIGINT) AS space_milli,
+       CAST(round(len(list_filter(w, x -> list_contains(
+                ['the','a','and','of','to','in','is','it','that','for'],
+                lower(x)))) * 1000.0 / greatest(len(w), 1)) AS BIGINT)
+         AS stopword_milli,
+       CAST(round(list_sum(list_transform(w, x -> length(x))) * 100.0
+                  / greatest(len(w), 1)) AS BIGINT) AS word_len_centi
+FROM t
+ORDER BY doc_id
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (quality_metrics(docs.select("doc_id", "text"), "text")
+            .select("doc_id", F.col("n_chars_q").cast("int").alias("n_chars_q"),
+                    F.col("n_words").cast("int").alias("n_words"),
+                    "alpha_milli", "digit_milli", "space_milli",
+                    "stopword_milli", "word_len_centi")
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# language ID (stopword-overlap heuristic, deterministic tie-break)
+# --------------------------------------------------------------------------
+@query("text_langid", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','von','zu','mit','den','ein'], lower(x)))) AS s_de,
+    len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], lower(x)))) AS s_en,
+    len(list_filter(w, x -> list_contains(['el','la','los','las','y','de','un','una','es','para'], lower(x)))) AS s_es,
+    len(list_filter(w, x -> list_contains(['le','la','les','et','de','un','une','est','pour','que'], lower(x)))) AS s_fr,
+    len(list_filter(w, x -> list_contains(['的','了','是','我','不','在','有','这','他','们'], lower(x)))) AS s_zh
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+       WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+       WHEN s_zh > 0 THEN 'zh'
+       ELSE 'und' END AS lang_pred
+FROM s
+ORDER BY doc_id
+""")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (language_id(docs.select("doc_id", "text"), "text")
+            .select("doc_id", "lang_pred")
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting (content md5 + min shingle md5)
+# --------------------------------------------------------------------------
+@query("text_fingerprint", oracle=f"""
+WITH {_SHINGLE_CTE},
+msh AS (SELECT doc_id, min(md5(s)) AS min_shingle_md5 FROM sh GROUP BY doc_id)
+SELECT d.doc_id, md5(d.text) AS content_md5, msh.min_shingle_md5
+FROM documents d LEFT JOIN msh ON d.doc_id = msh.doc_id
+ORDER BY d.doc_id
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return fingerprint(docs, "text", "doc_id").orderBy("doc_id")

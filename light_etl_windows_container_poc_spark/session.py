@@ -9,8 +9,39 @@ one number scales from laptop to 1000 executors without retuning.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Exporting PYTHONPATH only helps if the package is imported before the
+    JVM starts; a caller-owned SparkSession created first captures its env
+    at launch. Zipping the package and addPyFile-ing it works in every
+    order, exactly once per session. On a real cluster this is what
+    --py-files does at submit time; there this is a no-op-cost re-add.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_letl_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"{pkg_name}_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(pkg_name,
+                                           os.path.relpath(full, pkg_dir))
+                        z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._letl_pkg_shipped = True
 
 # Session timezone is pinned to UTC so timestamp semantics match the
 # DuckDB oracle (naive-UTC) and are cluster-location-independent.
@@ -53,4 +84,5 @@ def get_spark(app_name: str = "light_etl_windows_container_poc_spark",
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_package_on_executors(spark)
     return spark

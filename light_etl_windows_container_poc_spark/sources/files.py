@@ -59,6 +59,9 @@ def read_csv_auto(spark: SparkSession, path: str,
     (``schema_ddl``) because schema inference over 100 TB is a full extra
     scan.
     """
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
     if assume_utf8:
         df = spark.read.schema(schema_ddl).option("header", True).csv(path)
         return df.withColumn("source_path", F.input_file_name()) if include_source_path else df
@@ -104,6 +107,9 @@ def read_excel(spark: SparkSession, path: str, schema_ddl: str,
     operator's Spark-side shape (schema contract, partitioning, batch
     iteration) is real and tested via the gate test.
     """
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
     binary = (spark.read.format("binaryFile")
               .option("pathGlobFilter", "*.xls*")
               .option("recursiveFileLookup", "true").load(path))

@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from light_etl_windows_container_poc_spark.catalog import load_tables
+from light_etl_windows_container_poc_spark.functions.vectors import cosine
+from light_etl_windows_container_poc_spark.operators.similarity import (
+    ann_bruteforce_topk, ann_lsh_topk, cosine_pairs, cosine_topk_pandas)
+
+
+def test_cosine_expression_matches_python(spark):
+    df = spark.createDataFrame([([1.0, 0.0, 2.0], [0.5, 1.0, 1.0])], "a array<double>, b array<double>")
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    dot = 1 * 0.5 + 0 * 1 + 2 * 1
+    expect = dot / (math.sqrt(5) * math.sqrt(2.25))
+    assert abs(got - expect) < 1e-12
+
+
+def test_cosine_pairs_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "id long, v array<double>")
+    pairs = {(r.a_id, r.b_id) for r in cosine_pairs(df, "id", "v", 0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+def _emb(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+def test_bruteforce_jvm_and_pandas_agree(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    jvm = {(r.q_id, r.rank): r.n_id
+           for r in ann_bruteforce_topk(emb, q, "vec_id", "embedding", k=5).collect()}
+    pnd = {(r.q_id, r.rank): r.n_id
+           for r in cosine_topk_pandas(emb, q, "vec_id", "embedding", k=5).collect()}
+    assert jvm == pnd and jvm
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = {(r.q_id, r.n_id)
+             for r in ann_bruteforce_topk(emb, q, "vec_id", "embedding", k=5).collect()}
+    approx = {(r.q_id, r.n_id)
+              for r in ann_lsh_topk(emb, q, "vec_id", "embedding", k=5,
+                                    num_planes=4, multiprobe=2).collect()}
+    recall = len(truth & approx) / len(truth)
+    # the synthetic vectors are near-uniform random (all cosines ≈ 0), the
+    # pathological case for hyperplane LSH — real clustered embeddings give
+    # high recall with many planes; here we use few planes + multiprobe
+    # (measured: 4 planes/mp2 → 0.88, 8 planes/mp2 → 0.36 on this corpus)
+    assert recall >= 0.6, f"LSH recall {recall}"
