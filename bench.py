@@ -34,6 +34,11 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # warm at the smallest SF: same plan shape → codegen/JIT warmed, but no
+    # data/shuffle/persist reuse flatters the timed run at the real SF
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if warm_dir == sf_dir or not os.path.isdir(warm_dir):
+        warm_dir = None
     spark = get_spark("bench")
     results: dict[str, float] = {}
     total = 0.0
@@ -41,13 +46,16 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        if warm_dir:
+            fn(spark, warm_dir).collect()
+            spark.catalog.clearCache()
         df = fn(spark, sf_dir)
-        df.count()  # warm: trigger JIT/codegen + file listing once
         t0 = time.time()
         df.collect()
         dt = time.time() - t0
         results[name] = round(dt, 3)
         total += dt
+        spark.catalog.clearCache()
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)

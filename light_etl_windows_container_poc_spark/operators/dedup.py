@@ -45,8 +45,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     before the self-join — the skew guard for web-scale corpora where a
     boilerplate shingle can appear in millions of docs.
     """
-    sh = (df.select(F.col(id_col).alias("doc"),
-                    F.explode(word_shingles(F.col(text_col), n)).alias("s")))
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    sh = (df.repartition(nparts, F.col(id_col))
+          .select(F.col(id_col).alias("doc"),
+                  F.explode(word_shingles(F.col(text_col), n)).alias("s")))
     if max_df is not None:
         hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
                .filter(F.col("df_") > max_df).select("s"))
@@ -80,25 +82,34 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     defaults (r=4, b=32) catch j≥0.8 with >0.999 recall.
     """
     rows = num_hashes // bands
-    sigs = df.select(F.col(id_col).alias("doc"),
-                     minhash_signature(F.col(text_col), num_hashes, n, seed)
-                     .alias("sig"))
+    # signature computation is CPU-bound per row: spread it across all
+    # cores even when the source is one small parquet file (at 100 TB the
+    # scan itself provides the parallelism and this is a cheap no-op-ish
+    # extra exchange of the raw text)
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    sigs = (df.repartition(nparts, F.col(id_col))
+            .select(F.col(id_col).alias("doc"),
+                    minhash_signature(F.col(text_col), num_hashes, n, seed)
+                    .alias("sig")))
+    sigs = sigs.persist()  # reused: banding + per-pair verification
     band_arr = F.array(*[
         F.xxhash64(F.concat_ws("_", *[
             F.element_at("sig", b * rows + r + 1).cast("string")
             for r in range(rows)]))
         for b in range(bands)])
-    banded = (sigs.select("doc", "sig", F.posexplode(band_arr)
-                          .alias("band", "band_hash")))
-    left = banded.select(F.col("doc").alias("a_id"), F.col("sig").alias("sig_a"),
-                         "band", "band_hash")
-    right = banded.select(F.col("doc").alias("b_id"), F.col("sig").alias("sig_b"),
-                          "band", "band_hash")
+    # band join carries ONLY (doc, band, band_hash); shuffling the 128-long
+    # signature arrays through the join + dropDuplicates measured ~2× slower
+    banded = sigs.select("doc", F.posexplode(band_arr).alias("band", "band_hash"))
+    left = banded.withColumnRenamed("doc", "a_id")
+    right = banded.withColumnRenamed("doc", "b_id")
     cand = (left.join(right, ["band", "band_hash"])
             .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id", "sig_a", "sig_b")
+            .select("a_id", "b_id")
             .dropDuplicates(["a_id", "b_id"]))
-    return (cand.withColumn("est_jaccard", signature_agreement("sig_a", "sig_b"))
+    sig_a = sigs.select(F.col("doc").alias("a_id"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc").alias("b_id"), F.col("sig").alias("sig_b"))
+    return (cand.join(sig_a, "a_id").join(sig_b, "b_id")
+            .withColumn("est_jaccard", signature_agreement("sig_a", "sig_b"))
             .filter(F.col("est_jaccard") >= threshold)
             .select("a_id", "b_id", "est_jaccard"))
 
@@ -107,8 +118,10 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: majority vote per bit over the xxhash64
     of each distinct shingle. Explode → 64 literal-shift aggregates →
     pack; one shuffle on the doc id, everything codegen'd."""
-    tok = df.select(F.col(id_col).alias("doc"),
-                    F.explode(shingle_hashes(F.col(text_col), n=1)).alias("h"))
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    tok = (df.repartition(nparts, F.col(id_col))
+           .select(F.col(id_col).alias("doc"),
+                   F.explode(shingle_hashes(F.col(text_col), n=1)).alias("h")))
     votes = [F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)))
              .alias(f"v{j}") for j in range(64)]
     counted = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *votes)

@@ -23,6 +23,13 @@ from ..operators.similarity import (ann_bruteforce_topk, ann_lsh_topk,
 from ..operators.text import fingerprint, language_id, quality_metrics
 from .registry import query
 
+
+def _spread(df):
+    """Per-row text ops are CPU-bound: when the source is a single small
+    parquet file the scan gives one partition — repartition to use every
+    core. At 100 TB the scan split count already provides this."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
 # shared CTE: identical shingle definition on the DuckDB side
 _SHINGLE_CTE = """
 words AS (
@@ -186,7 +193,7 @@ ORDER BY doc_id
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import regex_token_count, token_count
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = _spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return docs.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
@@ -223,7 +230,7 @@ FROM t
 ORDER BY doc_id
 """)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = _spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return (quality_metrics(docs.select("doc_id", "text"), "text")
             .select("doc_id", F.col("n_chars_q").cast("int").alias("n_chars_q"),
                     F.col("n_words").cast("int").alias("n_words"),
@@ -260,7 +267,7 @@ FROM s
 ORDER BY doc_id
 """)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = _spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return (language_id(docs.select("doc_id", "text"), "text")
             .select("doc_id", "lang_pred")
             .orderBy("doc_id"))
@@ -277,5 +284,5 @@ FROM documents d LEFT JOIN msh ON d.doc_id = msh.doc_id
 ORDER BY d.doc_id
 """)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = _spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return fingerprint(docs, "text", "doc_id").orderBy("doc_id")

@@ -1,0 +1,75 @@
+"""Scale-hygiene assertions: pushdown, pruning, broadcast, JVM-only paths.
+
+These test the PHYSICAL PLAN, not results — the properties that decide
+whether a query that passes at sf0.01 still runs well at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from light_etl_windows_container_poc_spark.catalog import load_tables
+from light_etl_windows_container_poc_spark.plans import (
+    assert_broadcast_join, assert_has_pushed_filters, assert_no_python_udf,
+    assert_reads_only_columns, assert_single_shuffle)
+from light_etl_windows_container_poc_spark.queries import QUERIES
+
+LINEITEM_COLS = {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"}
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    assert_has_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+
+
+def test_q6_prunes_columns(spark, sf_dir):
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    assert_reads_only_columns(
+        df, LINEITEM_COLS,
+        {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"})
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert_reads_only_columns(
+        df, LINEITEM_COLS,
+        {"l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax", "l_shipdate"})
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    df = QUERIES["q5_local_supplier"](spark, sf_dir)
+    assert_broadcast_join(df, min_count=4)  # customer, supplier, nation, region
+
+
+def test_q3_broadcasts_customer_keys(spark, sf_dir):
+    assert_broadcast_join(QUERIES["q3_shipping_priority"](spark, sf_dir), 1)
+
+
+def test_relational_suite_is_jvm_only(spark, sf_dir):
+    # every §2.1/§2.2 query and the JVM LLM ops must stay in codegen —
+    # a Python eval node appearing here is a 10-100x regression at scale
+    jvm_queries = [n for n in QUERIES
+                   if not n.startswith(("src_", "mm_"))]
+    for name in jvm_queries:
+        assert_no_python_udf(QUERIES[name](spark, sf_dir))
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    # scan → partial agg → single exchange → final agg (+ order)
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert_single_shuffle(df, max_exchanges=2)  # agg + orderBy
+
+
+def test_bruteforce_ann_has_no_shuffle_before_topk(spark, sf_dir):
+    from light_etl_windows_container_poc_spark.operators.similarity import \
+        ann_bruteforce_topk
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    df = ann_bruteforce_topk(emb, q, "vec_id", "embedding", k=5)
+    # corpus side never exchanges on data size — only the window shuffle
+    assert_single_shuffle(df, max_exchanges=2)
+    assert_broadcast_join(df, 1)
