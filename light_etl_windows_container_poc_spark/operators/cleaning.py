@@ -98,3 +98,19 @@ def with_etl_metadata(df: DataFrame, source_name: str,
     return (df.withColumn("source_name", F.lit(source_name))
             .withColumn("processed_at", ts)
             .withColumn("processing_batch", batch_tag))
+
+
+def merge_upsert(dim: DataFrame, updates: DataFrame,
+                 keys: list[str], status_col: str = "row_status") -> DataFrame:
+    """MERGE INTO emulation without a table format: keep dimension rows not
+    matched by the update batch (anti-join), union the updates. Appends a
+    status column ('updated'/'unchanged') for auditability.
+
+    Shape at scale: one shuffle on the merge keys for the anti-join; the
+    (typically small) update batch broadcast-joins. With Delta/Iceberg on
+    the cluster this becomes a real MERGE INTO — semantics identical.
+    """
+    untouched = dim.join(updates.select(*keys), keys, "left_anti") \
+        .withColumn(status_col, F.lit("unchanged"))
+    changed = updates.withColumn(status_col, F.lit("updated"))
+    return untouched.unionByName(changed)

@@ -247,3 +247,50 @@ def etl_validate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                           min_len=50, max_len=10000, len_col="n_chars")
             .select("doc_id", "is_valid")
             .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# JSON property extraction (events.props is a JSON string column)
+# --------------------------------------------------------------------------
+@query("etl_json_extract", oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
+FROM events
+ORDER BY event_id
+""")
+def etl_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.missing").cast("long").alias("missing_val"))
+        .orderBy("event_id"))
+
+
+# --------------------------------------------------------------------------
+# SCD/MERGE emulation: upsert a staging batch into a dimension with
+# anti-join + union (the Delta-less MERGE INTO shape)
+# --------------------------------------------------------------------------
+@query("etl_scd2_merge", oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 10 = 0
+            THEN CAST(round(c_acctbal * 100) AS BIGINT) + 10000
+            ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS acctbal_cents,
+       CASE WHEN c_custkey % 10 = 0 THEN 'updated' ELSE 'unchanged' END
+         AS row_status
+FROM customer
+ORDER BY c_custkey
+""")
+def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import merge_upsert
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    dim = cust.select("c_custkey",
+                      F.round(F.col("c_acctbal") * 100).cast("long")
+                      .alias("acctbal_cents"))
+    # deterministic staging batch: every 10th customer gets +100.00
+    updates = (dim.filter(F.col("c_custkey") % 10 == 0)
+               .withColumn("acctbal_cents", F.col("acctbal_cents") + 10000))
+    return (merge_upsert(dim, updates, keys=["c_custkey"])
+            .orderBy("c_custkey"))

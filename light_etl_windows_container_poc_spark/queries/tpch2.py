@@ -1,0 +1,182 @@
+"""Relational suite, second batch: grouped-subquery and left-join shapes
+(TPC-H Q11/Q13/Q15/Q16/Q17/Q22 adapted to the synthetic schema — no
+partsupp table, so part-supplier relations go through lineitem).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from .registry import query
+from .tpch import _rev_units, _ts, _units
+
+
+# --------------------------------------------------------------------------
+# q11-ish: parts whose revenue exceeds a fraction of the total (HAVING
+# against a global scalar aggregate)
+# --------------------------------------------------------------------------
+@query("q11_important_parts", oracle="""
+WITH v AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val_cents
+  FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT CAST(sum(val_cents) AS BIGINT) AS t FROM v)
+SELECT l_partkey, val_cents
+FROM v, tot
+WHERE val_cents > 0.006 * t
+ORDER BY val_cents DESC, l_partkey
+""")
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = (li.groupBy("l_partkey")
+         .agg(F.sum(_units(F.col("l_extendedprice"), 100)).alias("val_cents")))
+    tot = v.agg(F.sum("val_cents").alias("t"))
+    return (v.crossJoin(F.broadcast(tot))
+            .filter(F.col("val_cents") > 0.006 * F.col("t"))
+            .select("l_partkey", "val_cents")
+            .orderBy(F.desc("val_cents"), "l_partkey"))
+
+
+# --------------------------------------------------------------------------
+# q13: customer order-count distribution (LEFT JOIN preserving zero-order
+# customers + double grouping)
+# --------------------------------------------------------------------------
+@query("q13_cust_distribution", oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (t["customer"]
+                .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+# --------------------------------------------------------------------------
+# q15: supplier(s) with the maximum period revenue (scalar max subquery
+# over a derived aggregate — exact integer equality)
+# --------------------------------------------------------------------------
+@query("q15_top_supplier", oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+           AS total_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_units
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_units = (SELECT max(total_units) FROM rev)
+ORDER BY s_suppkey
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem"))
+    rev = (t["lineitem"]
+           .filter((F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+                   & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00")))
+           .groupBy("l_suppkey")
+           .agg(F.sum(_rev_units()).alias("total_units")))
+    mx = rev.agg(F.max("total_units").alias("mx"))
+    return (t["supplier"]
+            .join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(mx), F.col("total_units") == F.col("mx"))
+            .select("s_suppkey", "s_name", "total_units")
+            .orderBy("s_suppkey"))
+
+
+# --------------------------------------------------------------------------
+# q16-ish: distinct supplier count per part attribute (COUNT DISTINCT
+# through the lineitem bridge)
+# --------------------------------------------------------------------------
+@query("q16_supplier_counts", oracle="""
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size BETWEEN 1 AND 25
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+""")
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    return (t["lineitem"]
+            .join(F.broadcast(t["part"].filter(F.col("p_size").between(1, 25))),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand", "p_type")
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type"))
+
+
+# --------------------------------------------------------------------------
+# q17: revenue from small-quantity orders (correlated scalar subquery —
+# per-part average threshold)
+# --------------------------------------------------------------------------
+@query("q17_small_qty_revenue", oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l1, part
+WHERE p_partkey = l1.l_partkey
+  AND l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                       WHERE l2.l_partkey = l1.l_partkey)
+""")
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"]
+    part_avg = (li.groupBy(F.col("l_partkey").alias("pk"))
+                .agg((0.5 * F.avg("l_quantity")).alias("half_avg")))
+    return (li.join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(part_avg), F.col("l_partkey") == F.col("pk"))
+            .filter(F.col("l_quantity") < F.col("half_avg"))
+            .agg(F.sum(_units(F.col("l_extendedprice"), 100)).alias("revenue_cents")))
+
+
+# --------------------------------------------------------------------------
+# q22: high-balance customers with no orders, grouped by nation (scalar
+# avg subquery + NOT EXISTS anti-join)
+# --------------------------------------------------------------------------
+@query("q22_sales_opportunity", oracle="""
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""")
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cust = t["customer"]
+    avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ap"))
+    return (cust.crossJoin(F.broadcast(avg_pos))
+            .filter(F.col("c_acctbal") > F.col("ap"))
+            .join(t["orders"].filter(F.col("o_orderdate") >= _ts("2000-01-01 00:00:00")),
+                  F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum(_units(F.col("c_acctbal"), 100)).alias("totacctbal_cents"))
+            .orderBy("c_nationkey"))
+
+
+# --------------------------------------------------------------------------
+# approximate distinct sketch (HLL): approximate values are engine-specific
+# → rows-only driver check; the ±5% accuracy bound is asserted in tests
+# --------------------------------------------------------------------------
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+                 F.count_distinct("l_orderkey").alias("exact_orders"))
+            .orderBy("l_returnflag"))

@@ -33,5 +33,6 @@ def test_oracle_sql_is_registered_for_sql_expressible_ops():
     # every relational query should carry an oracle; rows-only is reserved
     # for genuinely non-SQL-expressible ops (minhash/simhash/lsh/stream)
     missing = {n for n in QUERIES if n not in ORACLES
-               and not n.startswith(("dedup_minhash", "dedup_simhash", "ann_lsh", "stream_", "mm_"))}
+               and not n.startswith(("dedup_minhash", "dedup_simhash", "ann_lsh",
+                                     "agg_approx", "stream_", "mm_"))}
     assert not missing, f"queries without oracle: {missing}"
