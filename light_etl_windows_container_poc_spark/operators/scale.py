@@ -1,0 +1,93 @@
+"""Scale-mechanics operators: skew-salted joins, bucketed co-located
+joins, small-file compaction, incremental file discovery.
+
+These are the knobs a 100 TB deployment turns; each has a plan-shape test
+in tests/test_scale.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(big: DataFrame, skewed_small: DataFrame, key: str,
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join resilient to hot keys: the big side gets a random salt in
+    [0, salt); the small side is replicated ``salt`` times with every salt
+    value. A key holding 30% of a 100 TB table then spreads over ``salt``
+    reducers instead of one straggler.
+
+    AQE's skew-join handles moderate skew automatically; explicit salting
+    is for the pathological keys AQE can't split (single-key partitions).
+    """
+    big_salted = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    small_replicated = skewed_small.withColumn("__salt", salts)
+    joined = big_salted.join(small_replicated, [key, "__salt"], how)
+    return joined.drop("__salt")
+
+
+def write_bucketed(df: DataFrame, table_name: str, key: str,
+                   num_buckets: int = 16, sort_by: str | None = None) -> None:
+    """Persist hash-bucketed (optionally sorted) by the join key: later
+    joins/aggs on ``key`` between co-bucketed tables skip the shuffle
+    entirely — the classic pre-shuffle trade for hot join paths."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table_name)
+
+
+def compact_files(spark: SparkSession, path: str, out_path: str,
+                  target_mb: int = 128) -> int:
+    """Small-file compaction: rewrite a directory of tiny parquet files
+    into ~target_mb outputs. Returns the output file count.
+
+    Driver-side math uses only FILE METADATA (sizes), never data; the
+    rewrite itself is one distributed pass.
+    """
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f))
+                     for f in files if f.endswith(".parquet"))
+    n_out = max(1, round(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    return n_out
+
+
+def discover_new_files(spark: SparkSession, input_dir: str, state_path: str,
+                       glob: str = "*.csv") -> DataFrame:
+    """Reference watcher parity (`pattern_based_cleaner_watcher.py:239-314`)
+    as a stateless-driver batch op: list files with the binaryFile source
+    (path, modificationTime, length), anti-join against the persisted state
+    table → NEW or MODIFIED files only; caller processes them and then
+    ``commit_discovered`` updates the state.
+
+    The reference kept this state in a Python dict (lost on restart, one
+    watcher process); here it's a parquet table — restart-safe and shared
+    by any number of ingest jobs.
+    """
+    listing = (spark.read.format("binaryFile")
+               .option("pathGlobFilter", glob)
+               .option("recursiveFileLookup", "true")
+               .load(input_dir)
+               .select("path", F.col("modificationTime").alias("mtime"),
+                       F.col("length").alias("size")))
+    try:
+        state = spark.read.parquet(state_path).select(
+            F.col("path").alias("seen_path"), F.col("mtime").alias("seen_mtime"))
+    except Exception:  # first run: no state yet → everything is new
+        return listing
+    return (listing.join(state, (listing.path == state.seen_path)
+                         & (listing.mtime == state.seen_mtime), "left_anti"))
+
+
+def commit_discovered(discovered: DataFrame, state_path: str) -> None:
+    """Record processed files (append; latest mtime per path wins on the
+    next discovery's anti-join because the join requires BOTH path+mtime
+    to match a seen entry)."""
+    discovered.select("path", "mtime").write.mode("append").parquet(state_path)

@@ -74,3 +74,26 @@ class ETLPipeline:
                                      sheet_name=table)
                 results.append(IngestResult(table, 0, "error", str(e)))
         return results
+
+
+def health_check(spark: SparkSession, warehouse_dir: str | None = None,
+                 tables: list[str] | None = None) -> dict:
+    """Reference `health_check` parity (`enhanced_tasks.py:264-284`):
+    session liveness + warehouse readability in one probe dict."""
+    out: dict = {"status": "healthy", "spark_version": spark.version,
+                 "default_parallelism": spark.sparkContext.defaultParallelism}
+    try:
+        out["session_alive"] = spark.range(1).count() == 1
+    except Exception as e:  # pragma: no cover
+        return {"status": "unhealthy", "error": str(e)}
+    if warehouse_dir and tables:
+        table_status = {}
+        for t in tables:
+            try:
+                spark.read.parquet(f"{warehouse_dir}/{t}").limit(1).collect()
+                table_status[t] = "ok"
+            except Exception as e:
+                table_status[t] = f"error: {e}"[:200]
+                out["status"] = "degraded"
+        out["tables"] = table_status
+    return out

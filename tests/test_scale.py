@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from light_etl_windows_container_poc_spark.catalog import load_tables
+from light_etl_windows_container_poc_spark.operators.scale import (
+    commit_discovered, compact_files, discover_new_files, salted_join,
+    write_bucketed)
+from light_etl_windows_container_poc_spark.pipeline import health_check
+from light_etl_windows_container_poc_spark.plans import assert_single_shuffle
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].select("l_partkey", "l_quantity")
+    part = t["part"].select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    plain = li.join(part, "l_partkey").groupBy("p_brand").count()
+    salted = salted_join(li, part, "l_partkey", salt=4) \
+        .groupBy("p_brand").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    # saveAsTable uses the session's (static) warehouse dir: ./spark-warehouse
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    try:
+        write_bucketed(t["orders"].select("o_orderkey", "o_totalprice"),
+                       "b_orders", "o_orderkey", num_buckets=4)
+        write_bucketed(t["lineitem"].select("l_orderkey", "l_quantity")
+                       .withColumnRenamed("l_orderkey", "o_orderkey"),
+                       "b_lineitem", "o_orderkey", num_buckets=4)
+        joined = (spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+                  .groupBy().sum("l_quantity"))
+        # co-bucketed join: no Exchange before the join; only the final agg
+        assert_single_shuffle(joined, max_exchanges=1)
+        expected = t["lineitem"].groupBy().sum("l_quantity").collect()[0][0]
+        assert joined.collect()[0][0] == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_files(spark, tmp_path, sf_dir):
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    frag = str(tmp_path / "fragmented")
+    li.repartition(40).write.parquet(frag)   # 40 tiny files
+    out = str(tmp_path / "compacted")
+    n = compact_files(spark, frag, out, target_mb=128)
+    assert n == 1  # tiny data → single output file
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_discover_new_files_incremental(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.csv").write_text("x\n1\n")
+    (d / "b.csv").write_text("x\n2\n")
+    state = str(tmp_path / "state")
+
+    first = discover_new_files(spark, str(d), state)
+    assert {p.path.split("/")[-1] for p in first.collect()} == {"a.csv", "b.csv"}
+    commit_discovered(first, state)
+
+    # nothing new → empty
+    assert discover_new_files(spark, str(d), state).count() == 0
+
+    # new file + modified file are both rediscovered
+    (d / "c.csv").write_text("x\n3\n")
+    import os, time
+    now = time.time() + 5
+    (d / "a.csv").write_text("x\n9\n")
+    os.utime(d / "a.csv", (now, now))
+    again = discover_new_files(spark, str(d), state)
+    assert {p.path.split("/")[-1] for p in again.collect()} == {"a.csv", "c.csv"}
+
+
+def test_health_check(spark, tmp_path, sf_dir):
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    li.limit(5).write.mode("overwrite").parquet(str(tmp_path / "wh" / "ok_table"))
+    h = health_check(spark, str(tmp_path / "wh"), ["ok_table", "missing_table"])
+    assert h["session_alive"] is True
+    assert h["tables"]["ok_table"] == "ok"
+    assert h["tables"]["missing_table"].startswith("error")
+    assert h["status"] == "degraded"
