@@ -10,3 +10,4 @@ from . import tpch2  # noqa: F401,E402
 from . import temporal  # noqa: F401,E402
 from . import etl  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
+from . import streaming_q  # noqa: F401,E402

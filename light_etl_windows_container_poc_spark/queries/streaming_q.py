@@ -1,0 +1,86 @@
+"""Streaming operators as driver-checkable queries.
+
+Each entry runs a real Structured Streaming job to completion
+(``trigger(availableNow=True)`` + memory sink) and returns the sink table.
+The windowed aggregation is oracle-checked against the same SQL the batch
+twin uses — on a bounded input, update-mode streaming totals equal the
+batch aggregation exactly.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from .registry import query
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """Bounded stream over the events table. The streaming parquet source
+    can't read TIMESTAMP(NANOS), so materialize the micro-precision form
+    once per (session, sf_dir) into a temp dir."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    key = f"_letl_stream_src_{abs(hash(sf_dir)) % 10**8}"
+    cache = getattr(spark, "_letl_stream_dirs", None)
+    if cache is None:
+        cache = {}
+        spark._letl_stream_dirs = cache
+    if key not in cache:
+        path = tempfile.mkdtemp(prefix=key)
+        ev.write.mode("overwrite").parquet(path)
+        cache[key] = path
+    return spark.readStream.schema(ev.schema).parquet(cache[key])
+
+
+def _run_to_table(df: DataFrame, output_mode: str) -> DataFrame:
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (df.writeStream.outputMode(output_mode).format("memory")
+         .queryName(name)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return df.sparkSession.table(name)
+
+
+# --------------------------------------------------------------------------
+# watermarked tumbling-window aggregation, run as a real stream
+# --------------------------------------------------------------------------
+@query("stream_window_agg", oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""")
+def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (stream
+           .withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                (F.sum(cents).cast("double") / 100).alias("total_value")))
+    out = _run_to_table(agg, "update")
+    return (out.select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                       .alias("window_start"),
+                       "event_type", "n", "total_value")
+            .orderBy("window_start", "event_type"))
+
+
+# --------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState) — engine-side state,
+# rows-only driver check; exact values asserted in tests/test_streaming.py
+# --------------------------------------------------------------------------
+@query("stream_stateful")
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import stateful_running_max
+
+    stream = _events_stream(spark, sf_dir)
+    out = _run_to_table(stateful_running_max(stream), "update")
+    return out.orderBy("user_id")

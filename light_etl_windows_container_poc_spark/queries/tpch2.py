@@ -180,3 +180,85 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
                  F.count_distinct("l_orderkey").alias("exact_orders"))
             .orderBy("l_returnflag"))
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with grouping indicators
+# --------------------------------------------------------------------------
+@query("agg_grouping_sets", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+""")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+    """)
+
+
+# --------------------------------------------------------------------------
+# string-function breadth: substring/pad/translate/split_part/levenshtein
+# --------------------------------------------------------------------------
+@query("string_funcs", oracle="""
+SELECT p_partkey,
+       upper(substring(p_type, 1, 3)) AS type3,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       replace(p_brand, '#', '_') AS brand_u,
+       split_part(p_brand, '#', 2) AS brand_num,
+       levenshtein(p_type, 'PROMO') AS dist_promo,
+       length(p_name) AS name_len
+FROM part
+ORDER BY p_partkey
+""")
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring("p_type", 1, 3)).alias("type3"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("_")).alias("brand_u"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_num"),
+        F.levenshtein(F.col("p_type"), F.lit("PROMO")).alias("dist_promo"),
+        F.length("p_name").cast("long").alias("name_len"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# date/time-function breadth (avoiding engine-divergent week/dow variants)
+# --------------------------------------------------------------------------
+@query("time_functions", oracle="""
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+       CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT)
+         AS days_to_2002
+FROM orders
+ORDER BY o_orderkey
+""")
+def time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"),
+                   F.to_date("o_orderdate")).cast("long").alias("days_to_2002"),
+    ).orderBy("o_orderkey")
