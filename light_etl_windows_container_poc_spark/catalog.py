@@ -37,8 +37,10 @@ def _fix_nanos(df: DataFrame) -> DataFrame:
     for field in df.schema.fields:
         meta = field.metadata or {}
         if meta.get("__is_nanos__") or (field.name == "ts" and field.dataType.simpleString() == "bigint"):
+            # integer division: epoch nanos (~1.7e18) exceed double's 2^53
+            # mantissa — a float divide here silently drifts by ±1 µs
             df = df.withColumn(field.name,
-                               F.timestamp_micros((F.col(field.name) / 1000).cast("long")))
+                               F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
     return df
 
 

@@ -53,3 +53,21 @@ def validate_rows(df: DataFrame, required_cols: list[str],
         if max_len is not None:
             cond = cond & (F.col(len_col) <= max_len)
     return df.withColumn("is_valid", cond)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  compare_col: str, status_col: str = "status") -> DataFrame:
+    """Data-reconciliation diff between two table snapshots: classify every
+    key as added / removed / changed / unchanged via one full outer join.
+
+    The ETL audit companion to merge_upsert: run it after a load to verify
+    the delta is exactly what the batch intended. One shuffle on the keys.
+    """
+    o = old.select(*keys, F.col(compare_col).alias("old_val"))
+    n = new.select(*keys, F.col(compare_col).alias("new_val"))
+    joined = o.join(n, keys, "full_outer")
+    status = (F.when(F.col("old_val").isNull(), "added")
+              .when(F.col("new_val").isNull(), "removed")
+              .when(F.col("old_val") != F.col("new_val"), "changed")
+              .otherwise("unchanged"))
+    return joined.withColumn(status_col, status)

@@ -294,3 +294,37 @@ def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                .withColumn("acctbal_cents", F.col("acctbal_cents") + 10000))
     return (merge_upsert(dim, updates, keys=["c_custkey"])
             .orderBy("c_custkey"))
+
+
+# --------------------------------------------------------------------------
+# snapshot reconciliation diff (full-outer-join audit of a load)
+# --------------------------------------------------------------------------
+@query("etl_snapshot_diff", oracle="""
+SELECT c_custkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS old_val,
+       CASE WHEN c_custkey % 97 <> 0 THEN
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END END AS new_val,
+       CASE WHEN c_custkey % 97 = 0 THEN 'removed'
+            WHEN c_custkey % 7 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM customer
+ORDER BY c_custkey
+""")
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import snapshot_diff
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    base = cust.select("c_custkey",
+                       F.round(F.col("c_acctbal") * 100).cast("long")
+                       .alias("cents"))
+    # old snapshot keeps %97 rows that the new one drops; new snapshot
+    # bumps %7 rows — deterministic on both engines
+    old = base.withColumnRenamed("cents", "v")
+    new = (base.filter(F.col("c_custkey") % 97 != 0)
+           .select("c_custkey",
+                   (F.col("cents") + F.when(F.col("c_custkey") % 7 == 0, 100)
+                    .otherwise(0)).alias("v")))
+    return (snapshot_diff(old, new, ["c_custkey"], "v")
+            .select("c_custkey", "old_val", "new_val", "status")
+            .orderBy("c_custkey"))

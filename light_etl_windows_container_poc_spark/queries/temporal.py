@@ -136,3 +136,49 @@ def time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("avg_value"))
         .orderBy("window_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# range join: event pairs within 60s per user — bucketed equi-join in
+# Spark, plain theta-join in the oracle (same result, different plan)
+# --------------------------------------------------------------------------
+@query("range_join", oracle="""
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (epoch_us(b.ts) > epoch_us(a.ts)
+      OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id > a.event_id))
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+ORDER BY a_id, b_id
+""")
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_ops import range_join_pairs
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (range_join_pairs(ev, "user_id", "ts", "event_id",
+                             max_gap_seconds=60)
+            .orderBy("a_id", "b_id"))
+
+
+# --------------------------------------------------------------------------
+# time-RANGE rolling window: trailing 1h value sum per user (exact cents)
+# --------------------------------------------------------------------------
+@query("window_rolling_time", oracle="""
+SELECT event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rolling_cents
+FROM events
+ORDER BY event_id
+""")
+def window_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_ops import rolling_time_window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (rolling_time_window(ev, "user_id", "ts", cents,
+                                window_seconds=3600, out_col="rolling_cents")
+            .select("event_id", "rolling_cents")
+            .orderBy("event_id"))
