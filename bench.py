@@ -18,17 +18,19 @@ from light_etl_windows_container_poc_spark.queries import QUERIES  # noqa: E402
 from light_etl_windows_container_poc_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
-    "q1_pricing_summary",   # scan + wide agg
-    "q5_local_supplier",    # 6-table join chain
-    "q18_large_orders",     # agg-filter semi-join
-    "window_running",       # windowed running aggregate
-    "sessionize",           # gap sessionization
-    "asof_join",            # as-of join
-    "time_window_agg",      # tumbling-window agg
-    # LLM-data ops join the list as they land:
-    "dedup_minhash_lsh",
-    "ann_bruteforce",
-    "text_quality",
+    "q1_pricing_summary",    # scan + wide agg
+    "q5_local_supplier",     # 6-table join chain (broadcast dims)
+    "q13_cust_distribution", # left join + double grouping
+    "q18_large_orders",      # agg-filter semi-join
+    "window_running",        # windowed running aggregate
+    "sessionize",            # gap sessionization
+    "asof_join",             # as-of join (union+window)
+    "range_join",            # bucketed bounded-gap pair join
+    "time_window_agg",       # tumbling-window agg
+    "dedup_minhash_lsh",     # minhash signatures + LSH banding
+    "dedup_ngram_jaccard",   # shingle self-join set similarity
+    "ann_bruteforce",        # broadcast-query exact top-k
+    "text_quality",          # per-row text metrics
 ]
 
 
