@@ -153,3 +153,49 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                         F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("a_id", "b_id", "hamming"))
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph (a_id, b_id) →
+    (node, component) where component = min node id in the component.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(log diameter) rounds for near-dup graphs (components are tiny
+    cliques). Each round is one shuffle on node id; lineage is cut with
+    localCheckpoint so plans stay bounded — the standard Spark shape for
+    iterative graph algorithms without GraphX.
+    """
+    edges = (pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+             .union(pairs.select(F.col("b_id").alias("src"),
+                                 F.col("a_id").alias("dst"))))
+    edges = edges.persist()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                        .groupBy("src").agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min, labels.node == neighbor_min.src,
+                                  "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nmin"), F.col("label")))
+                              .alias("label")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,
+                               id_col: str) -> DataFrame:
+    """Full near-dup dedup: cluster the pair graph, keep the min-id doc of
+    every component, pass through all unpaired docs."""
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(id_col))
+    return df.join(drop, id_col, "left_anti")

@@ -286,3 +286,38 @@ ORDER BY d.doc_id
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return fingerprint(docs, "text", "doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# near-dup clustering: connected components over the exact-Jaccard pair
+# graph (iterative label propagation; recursive-CTE oracle)
+# --------------------------------------------------------------------------
+@query("dedup_clusters", oracle=f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a_id, b_id
+),
+good AS (
+  SELECT a_id, b_id FROM pairs
+  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+),
+edges AS (SELECT a_id AS src, b_id AS dst FROM good
+          UNION ALL SELECT b_id, a_id FROM good),
+cc(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+)
+SELECT node, min(label) AS component FROM cc GROUP BY node
+ORDER BY node
+""")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return connected_components(pairs).orderBy("node")

@@ -58,3 +58,19 @@ def test_simhash_catches_planted_neardups(spark, sf_dir):
     if truth:  # sf0.001 may not contain >=0.9 pairs
         recall = len(truth & found) / len(truth)
         assert recall >= 0.5, f"simhash recall {recall}"
+
+
+def test_connected_components_and_keep_representatives(spark):
+    from light_etl_windows_container_poc_spark.operators.dedup import (
+        connected_components, dedup_keep_representatives)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 1)], "a_id long, b_id long")
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 5, 6, 9, 42]],
+                                 "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  dedup_keep_representatives(docs, pairs, "doc_id").collect())
+    assert kept == [1, 5, 42]  # one per component + untouched doc
