@@ -262,3 +262,95 @@ def time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("2002-01-01").cast("date"),
                    F.to_date("o_orderdate")).cast("long").alias("days_to_2002"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# array + higher-order functions over tokenized documents
+# --------------------------------------------------------------------------
+@query("array_funcs", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS INT) AS n_words,
+       array_to_string(w[1:3], ' ') AS first3,
+       list_contains(w, 'spark') AS has_spark,
+       array_to_string(list_sort(list_distinct(w))[1:5], ',') AS top5_sorted,
+       len(list_filter(w, x -> length(x) > 5)) > 0 AS any_long_word,
+       CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS total_chars
+FROM t
+ORDER BY doc_id
+""")
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texts import words
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.concat_ws(" ", F.slice(w, 1, 3)).alias("first3"),
+        F.array_contains(w, "spark").alias("has_spark"),
+        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(w)), 1, 5))
+        .alias("top5_sorted"),
+        F.exists(w, lambda x: F.length(x) > 5).alias("any_long_word"),
+        F.aggregate(w, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).alias("total_chars"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# map functions over parsed JSON properties
+# --------------------------------------------------------------------------
+@query("map_funcs", oracle="""
+SELECT event_id,
+       array_to_string(json_keys(props), ',') AS prop_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled
+FROM events
+ORDER BY event_id
+""")
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("prop_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        (F.element_at(m, "k") * 2).alias("k_doubled"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# ntile + first/last_value windows (deterministic full ordering)
+# --------------------------------------------------------------------------
+@query("window_ntile_firstlast", oracle="""
+SELECT c_custkey,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       first_value(c_custkey) OVER w AS seg_richest,
+       CAST(round(c_acctbal * 100) AS BIGINT)
+         - CAST(round(first_value(c_acctbal) OVER w * 100) AS BIGINT)
+         AS gap_to_richest_cents
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY c_custkey
+""")
+def window_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    w = (W.partitionBy("c_mktsegment")
+         .orderBy(F.desc("c_acctbal"), "c_custkey"))
+    w_rows = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    first_cents = F.round(F.first_value(F.col("c_acctbal")).over(w_rows) * 100).cast("long")
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first_value("c_custkey").over(w_rows).alias("seg_richest"),
+        (cents - first_cents).alias("gap_to_richest_cents"),
+    ).orderBy("c_custkey")
