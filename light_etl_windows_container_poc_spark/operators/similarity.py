@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, hyperplane_sign_bits
+from ..functions.vectors import cosine, hyperplane_sign_bits, to_double
 
 
 def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
@@ -147,3 +147,78 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("sim") >= threshold)
             .select("a_id", "b_id", "sim")
             .dropDuplicates(["a_id", "b_id"]))
+
+
+def kmeans_lite(corpus: DataFrame, id_col: str, vec_col: str,
+                k: int = 8, iterations: int = 2) -> DataFrame:
+    """Deterministic Lloyd iterations for IVF coarse quantization:
+    seeds = the k lowest-id vectors; assign → recompute means → repeat.
+
+    Each iteration is: one broadcast of k centroids, one map-side nearest-
+    centroid assignment, one shuffle keyed by (cluster, dim position) for
+    the elementwise mean — nothing scales with corpus² and centroids stay
+    tiny. Returns (cluster, centroid array<double>).
+    """
+    from pyspark.sql import types as T
+
+    c = corpus.select(F.col(id_col).alias("id"),
+                      to_double(F.col(vec_col)).alias("v"))
+    seeds = (c.orderBy("id").limit(k)
+             .select(F.monotonically_increasing_id().alias("_seq"), "v"))
+    centroids = [(int(i), [float(x) for x in row.v])
+                 for i, row in enumerate(seeds.collect())]
+
+    for _ in range(iterations):
+        cent_df = corpus.sparkSession.createDataFrame(
+            centroids, T.StructType([
+                T.StructField("cluster", T.IntegerType()),
+                T.StructField("cv", T.ArrayType(T.DoubleType()))]))
+        assigned = (c.crossJoin(F.broadcast(cent_df))
+                    .withColumn("sim", cosine(F.col("v"), F.col("cv")))
+                    .withColumn("rn", F.row_number().over(
+                        W.partitionBy("id").orderBy(F.desc("sim"), "cluster")))
+                    .filter(F.col("rn") == 1))
+        means = (assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+                 .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("cluster")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("pm"))
+                 .select("cluster",
+                         F.transform("pm", lambda s: s.getField("m")).alias("cv")))
+        centroids = [(int(r.cluster), [float(x) for x in r.cv])
+                     for r in means.collect()]
+    return corpus.sparkSession.createDataFrame(
+        centroids, "cluster int, cv array<double>")
+
+
+def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                 vec_col: str, k: int = 5, n_clusters: int = 8,
+                 nprobe: int = 3) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to kmeans_lite centroids;
+    each query probes its ``nprobe`` nearest centroids and ranks only those
+    clusters' vectors. Corpus assignment is a map-only pass against
+    broadcast centroids — the scan never shuffles on data size."""
+    cents = F.broadcast(kmeans_lite(corpus, id_col, vec_col, k=n_clusters))
+    c = corpus.select(F.col(id_col).alias("n_id"),
+                      to_double(F.col(vec_col)).alias("nv"))
+    c_assigned = (c.crossJoin(cents)
+                  .withColumn("sim_c", cosine(F.col("nv"), F.col("cv")))
+                  .withColumn("rn", F.row_number().over(
+                      W.partitionBy("n_id").orderBy(F.desc("sim_c"), "cluster")))
+                  .filter(F.col("rn") == 1)
+                  .select("n_id", "nv", "cluster"))
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       to_double(F.col(vec_col)).alias("qv"))
+    q_probes = (q.crossJoin(cents)
+                .withColumn("sim_c", cosine(F.col("qv"), F.col("cv")))
+                .withColumn("rn", F.row_number().over(
+                    W.partitionBy("q_id").orderBy(F.desc("sim_c"), "cluster")))
+                .filter(F.col("rn") <= nprobe)
+                .select("q_id", "qv", "cluster"))
+    scored = (c_assigned.join(F.broadcast(q_probes), "cluster")
+              .filter(F.col("q_id") != F.col("n_id"))
+              .withColumn("sim", cosine(F.col("qv"), F.col("nv"))))
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "sim", "rank"))

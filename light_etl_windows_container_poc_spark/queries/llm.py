@@ -321,3 +321,71 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
     return connected_components(pairs).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: kmeans-lite coarse quantization + nprobe cluster search
+# (centroid values are iteration-order dependent → rows-only; recall vs
+# brute force asserted in tests/test_similarity.py)
+# --------------------------------------------------------------------------
+@query("ann_ivf")
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_ivf_topk
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    topk = ann_ivf_topk(emb, queries_df, "vec_id", "embedding",
+                        k=5, n_clusters=8, nprobe=3)
+    return (topk.select("q_id", "n_id",
+                        F.round(F.col("sim") * 1_000_000).cast("long")
+                        .alias("sim_micro"), "rank")
+            .orderBy("q_id", "rank"))
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: classic corpus term weighting, top-5 terms per document
+# --------------------------------------------------------------------------
+@query("text_tfidf", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+terms AS (SELECT doc_id, unnest(w) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM t),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) * 1000000)
+              AS BIGINT) AS tfidf_micro
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf_micro
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_micro DESC, term) AS rn
+      FROM scored) x
+WHERE rn <= 5
+ORDER BY doc_id, tfidf_micro DESC, term
+""")
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.texts import words
+
+    docs = _spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    terms = docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf_micro",
+                          F.round(F.col("tf")
+                                  * F.log((F.col("n_docs") + 1.0)
+                                          / (F.col("df") + 1.0))
+                                  * 1_000_000).cast("long")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_micro"), "term")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("doc_id", "term", "tf", "df", "tfidf_micro")
+            .orderBy("doc_id", F.desc("tfidf_micro"), "term"))

@@ -34,7 +34,7 @@ def test_oracle_sql_is_registered_for_sql_expressible_ops():
     # for genuinely non-SQL-expressible ops (minhash/simhash/lsh/stream)
     missing = {n for n in QUERIES if n not in ORACLES
                and not n.startswith(("dedup_minhash", "dedup_simhash", "ann_lsh",
-                                     "agg_approx", "stream_", "mm_"))}
+                                     "ann_ivf", "agg_approx", "stream_", "mm_"))}
     assert not missing, f"queries without oracle: {missing}"
 
 

@@ -54,3 +54,21 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     # high recall with many planes; here we use few planes + multiprobe
     # (measured: 4 planes/mp2 → 0.88, 8 planes/mp2 → 0.36 on this corpus)
     assert recall >= 0.6, f"LSH recall {recall}"
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from light_etl_windows_container_poc_spark.operators.similarity import \
+        ann_ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = {(r.q_id, r.n_id)
+             for r in ann_bruteforce_topk(emb, q, "vec_id", "embedding", k=5).collect()}
+    approx = {(r.q_id, r.n_id)
+              for r in ann_ivf_topk(emb, q, "vec_id", "embedding", k=5,
+                                    n_clusters=4, nprobe=2).collect()}
+    recall = len(truth & approx) / len(truth)
+    # uniform-random vectors barely cluster (centroids ≈ 0) — the worst
+    # case for IVF, like LSH; nprobe/n_clusters = 1/2 of the space still
+    # recovers a solid fraction. Real clustered embeddings do far better.
+    assert recall >= 0.3, f"IVF recall {recall}"
