@@ -49,3 +49,20 @@ def write_jdbc(df: DataFrame, url: str, table: str,
     image, so the call surfaces Spark's own clear driver-not-found error."""
     df.write.mode(mode).format("jdbc").option("url", url) \
         .option("dbtable", table).options(**options).save()
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      fmt: str = "parquet") -> None:
+    """Partitioned warehouse write: downstream queries filtering on the
+    partition columns prune whole directories (PartitionFilters in the
+    scan), the single highest-leverage layout decision at 100 TB."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def write_format(df: DataFrame, path: str, fmt: str = "json",
+                 mode: str = "overwrite") -> None:
+    """Format-generic sink (json / csv / orc / parquet)."""
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.format(fmt).save(path)

@@ -150,3 +150,16 @@ def read_json_records(spark: SparkSession, records: list[dict],
     if schema_ddl:
         return spark.createDataFrame(records, schema_ddl)
     return spark.createDataFrame(records)
+
+
+def read_format(spark: SparkSession, path: str, fmt: str,
+                schema_ddl: str | None = None) -> DataFrame:
+    """Format-generic reader (json / csv / orc / parquet). Schema is
+    explicit where the format needs inference (json/csv) — inference over
+    a large lake is an extra full scan."""
+    r = spark.read
+    if schema_ddl:
+        r = r.schema(schema_ddl)
+    if fmt == "csv":
+        r = r.option("header", True)
+    return r.format(fmt).load(path)
