@@ -7,11 +7,18 @@ driver's DuckDB hash-compare at sf0.01.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from light_etl_windows_container_poc_spark.queries import ORACLES, QUERIES
+# importable regardless of the caller's cwd / sys.path
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from light_etl_windows_container_poc_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
