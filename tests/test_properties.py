@@ -1,0 +1,65 @@
+"""Property-based tests (hypothesis): operator invariants that hold for
+ANY input, not just the curated corpus."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from light_etl_windows_container_poc_spark.operators.cleaning import sanitize_name
+
+names = st.text(min_size=1, max_size=40)
+
+
+@given(names)
+@settings(max_examples=200, deadline=None)
+def test_sanitize_name_idempotent(name):
+    once = sanitize_name(name)
+    assert sanitize_name(once) == once  # fixpoint: cleaning clean names is a no-op
+
+
+@given(names)
+@settings(max_examples=200, deadline=None)
+def test_sanitize_name_output_charset(name):
+    out = sanitize_name(name)
+    assert all(c.islower() or c.isdigit() or c == "_" for c in out)
+    assert not out.startswith("_") and not out.endswith("_")
+
+
+@given(st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_shingles_count_matches_formula(tokens):
+    # spark-side property checked via a tiny local session is too slow per
+    # example; validate the python-reference formula the operator encodes:
+    # n-word text yields max(n - 2, 0) 3-gram shingles (before dedup)
+    n = len(tokens)
+    expected_raw = max(n - 2, 0)
+    shingles = [" ".join(tokens[i:i + 3]) for i in range(expected_raw)]
+    assert len(shingles) == expected_raw
+    assert len(set(shingles)) <= max(expected_raw, 0) + (0 if n >= 3 else 0)
+
+
+def test_minhash_agreement_tracks_jaccard(spark):
+    """Signature agreement must approximate true Jaccard (±0.15 at 128
+    hashes) across constructed overlap levels."""
+    from pyspark.sql import functions as F
+
+    from light_etl_windows_container_poc_spark.functions.texts import (
+        minhash_signature, signature_agreement, word_shingles)
+
+    base = [f"w{i}" for i in range(60)]
+    rows = []
+    for frac in (0.0, 0.5, 0.9, 1.0):
+        shared = int(60 * frac)
+        other = base[:shared] + [f"x{i}" for i in range(60 - shared)]
+        rows.append((" ".join(base), " ".join(other)))
+    df = spark.createDataFrame(rows, "ta string, tb string")
+    out = df.select(
+        signature_agreement(minhash_signature(F.col("ta")),
+                            minhash_signature(F.col("tb"))).alias("est"),
+        (F.size(F.array_intersect(word_shingles(F.col("ta")),
+                                  word_shingles(F.col("tb"))))
+         / F.size(F.array_union(word_shingles(F.col("ta")),
+                                word_shingles(F.col("tb"))))).alias("true_j"),
+    ).collect()
+    for r in out:
+        assert abs(r.est - r.true_j) <= 0.15, (r.est, r.true_j)
