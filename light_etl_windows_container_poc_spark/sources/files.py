@@ -50,7 +50,8 @@ def _decode_bytes(raw: bytes) -> str:
 def read_csv_auto(spark: SparkSession, path: str,
                   schema_ddl: str,
                   assume_utf8: bool = False,
-                  include_source_path: bool = True) -> DataFrame:
+                  include_source_path: bool = True,
+                  max_file_mb: float | None = None) -> DataFrame:
     """CSV reader with the reference's encoding-fallback chain.
 
     ``assume_utf8=True`` short-circuits to Spark's native reader (the
@@ -69,6 +70,10 @@ def read_csv_auto(spark: SparkSession, path: str,
     binary = (spark.read.format("binaryFile")
               .option("pathGlobFilter", "*.csv")
               .option("recursiveFileLookup", "true").load(path))
+    if max_file_mb is not None:
+        # reference data_quality.max_file_size_mb guard — a metadata-only
+        # filter on the listing's length column, no bytes read for rejects
+        binary = binary.filter(F.col("length") <= int(max_file_mb * 1024 * 1024))
     out_ddl = schema_ddl + (", source_path string" if include_source_path else "")
     target = spark.createDataFrame([], out_ddl).schema
 

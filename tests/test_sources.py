@@ -52,3 +52,13 @@ def test_read_json_records(spark):
                            "a long, b string")
     assert df.count() == 2
     assert dict(df.dtypes) == {"a": "bigint", "b": "string"}
+
+
+def test_read_csv_auto_max_file_size_guard(spark, tmp_path):
+    d = tmp_path / "sz"
+    d.mkdir()
+    (d / "small.csv").write_text("name,city,amount\nAna,Paris,1.5\n")
+    (d / "big.csv").write_text("name,city,amount\n" + "Bob,Big,9.9\n" * 50000)
+    df = read_csv_auto(spark, str(d), CSV_SCHEMA, max_file_mb=0.01)
+    names = {r.name for r in df.collect()}
+    assert names == {"Ana"}  # oversized file rejected before decode
