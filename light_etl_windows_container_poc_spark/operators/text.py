@@ -99,3 +99,39 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str,
     return df.select(F.col(id_col),
                      F.md5(F.col(text_col)).alias("content_md5"),
                      min_sh.alias("min_shingle_md5"))
+
+
+def clean_text(df: DataFrame, text_col: str,
+               out_col: str = "text_clean") -> DataFrame:
+    """Normalization pass for training corpora: lowercase, strip
+    non-printable/control chars, collapse whitespace runs, trim."""
+    t = F.col(text_col)
+    t = F.lower(t)
+    t = F.regexp_replace(t, "[\\x00-\\x1f\\x7f]", " ")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return df.withColumn(out_col, F.trim(t))
+
+
+def mask_pii(df: DataFrame, text_col: str,
+             out_col: str = "text_masked") -> DataFrame:
+    """PII masking for training corpora: emails and long digit runs
+    (phone/account numbers) replaced with typed tokens. Patterns are
+    intentionally simple-and-portable (same semantics in Java regex and
+    RE2-family engines)."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+                         "<EMAIL>")
+    t = F.regexp_replace(t, "[0-9][0-9 ()+-]{7,}[0-9]", "<PHONE>")
+    return df.withColumn(out_col, t)
+
+
+def train_test_split(df: DataFrame, id_col: str, test_permille: int = 200,
+                     salt: str = "split") -> DataFrame:
+    """Deterministic, id-stable train/test assignment: bucket by md5 of the
+    (salted) id — stable across runs/engines/cluster sizes, unlike
+    rand()-based sampling. Output column `split` ∈ {train, test}."""
+    bucket = F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                               F.lit(salt))), 1, 6), 16, 10) \
+        .cast("long") % 1000
+    return df.withColumn(
+        "split", F.when(bucket < test_permille, "test").otherwise("train"))

@@ -389,3 +389,95 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= 5)
             .select("doc_id", "term", "tf", "df", "tfidf_micro")
             .orderBy("doc_id", F.desc("tfidf_micro"), "term"))
+
+
+# --------------------------------------------------------------------------
+# text normalization + PII masking over a deterministically-dirtied corpus
+# --------------------------------------------------------------------------
+@query("text_clean_pii", oracle="""
+WITH dirty AS (
+  SELECT doc_id,
+         'User  user' || CAST(doc_id AS VARCHAR)
+           || '@example.com  CALL 555 01' || CAST(doc_id % 100 AS VARCHAR)
+           || '23 now ' || upper(text[:40]) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(lower(raw),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9][0-9 ()+-]{7,}[0-9]', '<PHONE>', 'g'),
+            '\\s+', ' ', 'g')) AS cleaned
+FROM dirty
+ORDER BY doc_id
+""")
+def text_clean_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import clean_text, mask_pii
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    dirty = docs.select(
+        "doc_id",
+        F.concat(F.lit("User  user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com  CALL 555 01"),
+                 (F.col("doc_id") % 100).cast("string"), F.lit("23 now "),
+                 F.upper(F.substring("text", 1, 40))).alias("raw"))
+    # clean (lowercase/collapse) FIRST, then mask — so the <EMAIL>/<PHONE>
+    # tokens survive in their canonical uppercase form
+    out = mask_pii(clean_text(dirty, "raw", out_col="normed"),
+                   "normed", out_col="cleaned")
+    return out.select("doc_id", "cleaned").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# corpus report: per-language dataset statistics (the pipeline dashboard)
+# --------------------------------------------------------------------------
+@query("corpus_report", oracle="""
+WITH t AS (
+  SELECT lang, n_chars,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+           AS n_words
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_tokens,
+       CAST(round(CAST(sum(n_words) AS BIGINT) * 100.0 / count(*)) AS BIGINT)
+         AS avg_tokens_centi,
+       count(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1 END) AS n_pass_length
+FROM t
+GROUP BY lang
+ORDER BY lang
+""")
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texts import words
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n = F.count(F.lit(1))
+    withw = docs.select("lang", "n_chars", F.size(words(F.col("text"))).alias("n_words"))
+    return (withw.groupBy("lang")
+            .agg(n.alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("total_tokens"),
+                 F.round(F.sum("n_words") * 100.0 / n).cast("long")
+                 .alias("avg_tokens_centi"),
+                 F.count(F.when(F.col("n_chars").between(100, 5000), 1))
+                 .alias("n_pass_length"))
+            .orderBy("lang"))
+
+
+# --------------------------------------------------------------------------
+# deterministic md5-bucket train/test split (id-stable, engine-portable)
+# --------------------------------------------------------------------------
+@query("split_train_test", oracle="""
+SELECT doc_id,
+       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 6))
+                      AS BIGINT) % 1000 < 200
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+ORDER BY doc_id
+""")
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import train_test_split
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (train_test_split(docs, "doc_id", test_permille=200)
+            .select("doc_id", "split")
+            .orderBy("doc_id"))

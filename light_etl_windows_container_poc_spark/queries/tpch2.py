@@ -354,3 +354,69 @@ def window_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first_value("c_custkey").over(w_rows).alias("seg_richest"),
         (cents - first_cents).alias("gap_to_richest_cents"),
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# q2-ish: per-part minimum-price supplier (correlated min over a join)
+# --------------------------------------------------------------------------
+@query("q2_min_cost_supplier", oracle="""
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS min_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT c.l_partkey, c.l_suppkey, s_name, c.min_cents
+FROM costs c
+JOIN supplier ON s_suppkey = c.l_suppkey
+WHERE c.min_cents = (SELECT min(min_cents) FROM costs c2
+                     WHERE c2.l_partkey = c.l_partkey)
+ORDER BY c.l_partkey, c.l_suppkey
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    costs = (t["lineitem"]
+             .groupBy("l_partkey", "l_suppkey")
+             .agg(F.min(_units(F.col("l_extendedprice"), 100)).alias("min_cents")))
+    best = (costs.groupBy(F.col("l_partkey").alias("bp"))
+            .agg(F.min("min_cents").alias("best_cents")))
+    return (costs.join(best, (F.col("l_partkey") == F.col("bp"))
+                       & (F.col("min_cents") == F.col("best_cents")))
+            .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("l_partkey", "l_suppkey", "s_name", "min_cents")
+            .orderBy("l_partkey", "l_suppkey"))
+
+
+# --------------------------------------------------------------------------
+# q20-ish: suppliers who moved significant volume of PROMO parts
+# (nested IN subqueries)
+# --------------------------------------------------------------------------
+@query("q20_promo_suppliers", oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 500
+)
+ORDER BY s_suppkey
+""")
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem", "part"))
+    promo_parts = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    movers = (t["lineitem"]
+              .filter((F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+                      & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00")))
+              .join(F.broadcast(promo_parts),
+                    F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+              .groupBy("l_suppkey")
+              .agg(F.sum("l_quantity").alias("qty"))
+              .filter(F.col("qty") > 500)
+              .select("l_suppkey"))
+    return (t["supplier"]
+            .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .select("s_suppkey", "s_name")
+            .orderBy("s_suppkey"))

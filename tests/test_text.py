@@ -46,3 +46,29 @@ def test_fingerprint_stable_and_distinct(spark):
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
     assert len(rows[1][0]) == 32
+
+
+def test_mask_pii(spark):
+    from light_etl_windows_container_poc_spark.operators.text import mask_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@x-corp.io or call +1 (555) 123-4567 ok")],
+        "id long, t string")
+    out = mask_pii(df, "t").collect()[0].text_masked
+    assert "<EMAIL>" in out and "<PHONE>" in out
+    assert "@" not in out and "555" not in out
+
+
+def test_train_test_split_deterministic_and_proportional(spark, sf_dir):
+    from light_etl_windows_container_poc_spark.catalog import load_tables
+    from light_etl_windows_container_poc_spark.operators.text import \
+        train_test_split
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    a = {r.doc_id: r.split for r in
+         train_test_split(docs, "doc_id").select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in
+         train_test_split(docs, "doc_id").select("doc_id", "split").collect()}
+    assert a == b  # stable across runs
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.1 < frac < 0.3  # ~20% ± sampling noise on 500 ids
