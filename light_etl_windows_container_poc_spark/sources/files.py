@@ -168,3 +168,31 @@ def read_format(spark: SparkSession, path: str, fmt: str,
     if fmt == "csv":
         r = r.option("header", True)
     return r.format(fmt).load(path)
+
+
+def list_excel_sheets(spark: SparkSession, path: str) -> DataFrame:
+    """Sheet-name listing per workbook (reference fileserver
+    `/sheets/<filename>`, fileserver.py:256). Distributed like read_excel;
+    gated on openpyxl with the same clear error."""
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    binary = (spark.read.format("binaryFile")
+              .option("pathGlobFilter", "*.xls*")
+              .option("recursiveFileLookup", "true").load(path))
+
+    def sheets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "sheet listing requires openpyxl (not in this image); the "
+                "Spark-side plumbing is complete.") from e
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                xls = pd.ExcelFile(io.BytesIO(bytes(row["content"])))
+                yield pd.DataFrame({"path": [row["path"]] * len(xls.sheet_names),
+                                    "sheet_name": xls.sheet_names})
+
+    return binary.select("path", "content").mapInPandas(
+        sheets, "path string, sheet_name string")

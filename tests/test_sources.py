@@ -62,3 +62,19 @@ def test_read_csv_auto_max_file_size_guard(spark, tmp_path):
     df = read_csv_auto(spark, str(d), CSV_SCHEMA, max_file_mb=0.01)
     names = {r.name for r in df.collect()}
     assert names == {"Ana"}  # oversized file rejected before decode
+
+
+def test_list_excel_sheets_gated(spark, tmp_path):
+    from light_etl_windows_container_poc_spark.sources.files import \
+        list_excel_sheets
+
+    (tmp_path / "wb.xlsx").write_bytes(b"PK\x03\x04 fake workbook")
+    df = list_excel_sheets(spark, str(tmp_path))
+    assert df.columns == ["path", "sheet_name"]
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        import pytest
+        with pytest.raises(Exception) as ei:
+            df.collect()
+        assert "openpyxl" in str(ei.value)
