@@ -7,6 +7,7 @@ Import the submodules for their registration side effects.
 from .registry import QUERIES, ORACLES, query  # noqa: F401
 from . import tpch  # noqa: F401,E402
 from . import tpch2  # noqa: F401,E402
+from . import tpch3  # noqa: F401,E402
 from . import temporal  # noqa: F401,E402
 from . import etl  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
