@@ -12,3 +12,4 @@ from . import temporal  # noqa: F401,E402
 from . import etl  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
+from . import breadth  # noqa: F401,E402
