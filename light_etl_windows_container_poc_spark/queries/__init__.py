@@ -13,3 +13,4 @@ from . import etl  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
 from . import breadth  # noqa: F401,E402
+from . import breadth2  # noqa: F401,E402
