@@ -74,6 +74,47 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# streaming deduplication: dropDuplicates state over a bounded stream —
+# the output SET equals batch DISTINCT (arrival order only affects which
+# duplicate survives, and we project exactly the key columns)
+# --------------------------------------------------------------------------
+@query("stream_dedup", oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+""")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    dd = (stream.select("user_id", "event_type")
+          .dropDuplicates(["user_id", "event_type"]))
+    out = _run_to_table(dd, "append")
+    return out.orderBy("user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# stream-static enrichment join: the static dimension broadcasts onto every
+# micro-batch (the standard streaming-enrichment shape)
+# --------------------------------------------------------------------------
+@query("stream_static_join", oracle="""
+SELECT event_id,
+       CASE event_type WHEN 'view' THEN 'engage' WHEN 'click' THEN 'engage'
+            WHEN 'purchase' THEN 'convert' WHEN 'signup' THEN 'convert'
+            ELSE 'ops' END AS category
+FROM events
+ORDER BY event_id
+""")
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = spark.createDataFrame(
+        [("view", "engage"), ("click", "engage"), ("purchase", "convert"),
+         ("signup", "convert"), ("error", "ops")],
+        "event_type string, category string")
+    stream = _events_stream(spark, sf_dir)
+    j = (stream.join(F.broadcast(cat), "event_type")
+         .select("event_id", "category"))
+    out = _run_to_table(j, "append")
+    return out.orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
 # custom stateful operator (applyInPandasWithState) — engine-side state,
 # rows-only driver check; exact values asserted in tests/test_streaming.py
 # --------------------------------------------------------------------------

@@ -31,10 +31,12 @@ def test_entry_contract(spark):
 
 def test_oracle_sql_is_registered_for_sql_expressible_ops():
     # every relational query should carry an oracle; rows-only is reserved
-    # for genuinely non-SQL-expressible ops (minhash/simhash/lsh/stream)
+    # for genuinely non-SQL-expressible ops (minhash/simhash/lsh/stream/
+    # iterative float fixpoints)
     missing = {n for n in QUERIES if n not in ORACLES
                and not n.startswith(("dedup_minhash", "dedup_simhash", "ann_lsh",
-                                     "ann_ivf", "agg_approx", "stream_", "mm_"))}
+                                     "ann_ivf", "agg_approx", "stream_", "mm_",
+                                     "pagerank_"))}
     assert not missing, f"queries without oracle: {missing}"
 
 
