@@ -38,17 +38,26 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.8,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        hash_shingles: bool = True) -> DataFrame:
     """Pairs (a_id < b_id) with shingle-set Jaccard ≥ threshold.
 
     ``max_df`` drops shingles present in more than that many documents
     before the self-join — the skew guard for web-scale corpora where a
     boilerplate shingle can appear in millions of docs.
+
+    ``hash_shingles`` self-joins on xxhash64 of the shingle instead of the
+    string: the shuffled key drops from ~20-30 bytes to 8, which dominates
+    the cost at corpus scale (measured ~10% even at sf0.1 single-node).
+    A cross-doc 64-bit collision (P ≈ pairs·shingles/2^64) would inflate
+    one intersection count by 1; pass False where exactness is contractual.
     """
     nparts = df.sparkSession.sparkContext.defaultParallelism
     sh = (df.repartition(nparts, F.col(id_col))
           .select(F.col(id_col).alias("doc"),
                   F.explode(word_shingles(F.col(text_col), n)).alias("s")))
+    if hash_shingles:
+        sh = sh.select("doc", F.xxhash64("s").alias("s"))
     if max_df is not None:
         hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
                .filter(F.col("df_") > max_df).select("s"))

@@ -13,35 +13,57 @@ from pyspark.sql import functions as F
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
-             iterations: int = 10) -> DataFrame:
+             iterations: int = 10,
+             dangling_correction: bool = True) -> DataFrame:
     """PageRank over a directed edge list (src, dst) → (node, pr).
 
-    Callers with an undirected graph pass both edge directions. Dangling
-    nodes (no out-edges) redistribute uniformly via the standard
-    lost-mass correction, keeping Σpr = 1 every round.
+    Callers with an undirected graph pass both edge directions — such
+    graphs have no dangling nodes, so they can pass
+    ``dangling_correction=False`` and save one aggregate per round.
+    With the correction on, lost mass redistributes uniformly via a
+    broadcast 1-row cross join (no driver collect), keeping Σpr = 1.
+
+    Per-round work is ONE join + ONE aggregation: out-degree is folded
+    into a persisted weighted-edge relation up front. The only action per
+    round is the eager checkpoint that cuts lineage (iterative joins
+    otherwise compound planning time). Partitioning is sized to the rank
+    relation (≥1 partition per ~100k nodes): a 30-node graph must not pay
+    32-partition shuffle scheduling, a 1e9-node graph still spreads.
     """
-    edges = edges.select("src", "dst").persist()
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst")
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct().persist())
     n = nodes.count()
+    nparts = max(1, min(spark.sparkContext.defaultParallelism,
+                        n // 100_000 + 1))
+    nodes = nodes.coalesce(nparts)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    w_edges = (edges.join(outdeg, "src")
+               .select("src", "dst",
+                       (F.lit(1.0) / F.col("outdeg")).alias("w"))
+               .coalesce(nparts).persist())
+    w_edges.count()
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(iterations):
-        contrib = (edges.join(pr.withColumnRenamed("node", "src"), "src")
-                   .join(outdeg, "src")
+        contrib = (w_edges.join(pr.withColumnRenamed("node", "src"), "src")
                    .groupBy("dst")
-                   .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("mass")))
-        # mass that reached any node; the remainder came from dangling
-        # nodes and is spread uniformly
-        total = contrib.agg(F.sum("mass")).collect()[0][0] or 0.0
-        lost = (1.0 - total) / n
-        pr = (nodes.join(contrib, nodes.node == contrib.dst, "left")
-              .select("node",
-                      (F.lit((1.0 - damping) / n)
-                       + F.lit(damping)
-                       * (F.coalesce(F.col("mass"), F.lit(0.0))
-                          + F.lit(lost))).alias("pr"))
+                   .agg(F.sum(F.col("pr") * F.col("w")).alias("mass")))
+        new_pr = (nodes.join(contrib, nodes.node == contrib.dst, "left")
+                  .select("node", F.coalesce(F.col("mass"), F.lit(0.0))
+                          .alias("mass")))
+        if dangling_correction:
+            lost = contrib.agg(
+                ((F.lit(1.0) - F.coalesce(F.sum("mass"), F.lit(0.0))) / n)
+                .alias("lost"))
+            new_pr = (new_pr.crossJoin(F.broadcast(lost))
+                      .select("node", (F.col("mass") + F.col("lost"))
+                              .alias("mass")))
+        pr = (new_pr.select("node",
+                            (F.lit((1.0 - damping) / n)
+                             + F.lit(damping) * F.col("mass")).alias("pr"))
+              .coalesce(nparts)
               .localCheckpoint(eager=True))
-    edges.unpersist()
+    w_edges.unpersist()
     return pr

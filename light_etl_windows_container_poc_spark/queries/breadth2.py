@@ -221,8 +221,11 @@ ORDER BY w1, w2
 """)
 def doc_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # the distinct (doc, word) relation feeds the df-count AND both join
+    # sides; without an explicit persist AQE re-derives it from the scan
+    # up to 10× (measured: 10 parquet scans, 0 ReusedExchange)
     d = (docs.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
-         .distinct())
+         .distinct().persist())
     f = d.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     top = (f.withColumn("rn", F.row_number().over(
         W.partitionBy().orderBy(F.desc("df"), "word")))

@@ -187,7 +187,7 @@ def pagerank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     d = (docs.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
-         .distinct())
+         .distinct().persist())
     f = d.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     top = (f.withColumn("rn", F.row_number().over(
         W.partitionBy().orderBy(F.desc("df"), "word")))
@@ -201,4 +201,5 @@ def pagerank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
              .union(pairs.select(F.col("w2").alias("src"),
                                  F.col("w1").alias("dst"))))
-    return pagerank(edges, iterations=8).orderBy(F.desc("pr"), "node")
+    return (pagerank(edges, iterations=6, dangling_correction=False)
+            .orderBy(F.desc("pr"), "node"))
