@@ -1,0 +1,99 @@
+"""Multimodal pipeline as driver-checkable queries.
+
+The container ships no codec libs, so the corpus is a deterministic fake:
+each document's text bytes prefixed with a real magic number chosen by
+doc_id % 6. That makes the SPARK-side plumbing — binary columns, magic-byte
+sniffing, Arrow-batched mapInPandas decode, frame-explode shape — fully
+real, while the oracle checks the sniffed type/size against the
+construction ground truth (DuckDB lacks blob md5/substring, so metadata
+parity is asserted on type + byte length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from .registry import query
+
+# (hex magic, media type) in doc_id % 6 order — mirrors operators.multimodal._MAGIC
+_FAKE_MEDIA = [
+    ("ffd8ff", "image/jpeg"),
+    ("89504e47", "image/png"),
+    ("47494638", "image/gif"),
+    ("52494646", "audio/wav"),
+    ("494433", "audio/mp3"),
+    ("1a45dfa3", "video/webm"),
+]
+
+
+def fake_media_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, content binary): utf-8 text bytes behind a real magic
+    prefix selected by doc_id % 6."""
+    magic = F.lit(bytes.fromhex(_FAKE_MEDIA[5][0]))
+    for i in range(5):
+        magic = F.when(F.col("doc_id") % 6 == i,
+                       F.lit(bytes.fromhex(_FAKE_MEDIA[i][0]))).otherwise(magic)
+    return docs.select(
+        "doc_id",
+        F.concat(magic, F.encode(F.col("text"), "UTF-8")).alias("content"))
+
+
+# --------------------------------------------------------------------------
+# binary metadata + magic-byte sniffing: the sniffed type must round-trip
+# the construction ground truth; byte length = prefix + utf8 text bytes
+# --------------------------------------------------------------------------
+@query("mm_media_meta", oracle="""
+SELECT doc_id,
+       CASE doc_id % 6 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+            WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+            WHEN 4 THEN 'audio/mp3' ELSE 'video/webm' END AS media_type,
+       CAST(CASE WHEN doc_id % 6 IN (0, 4) THEN 3 ELSE 4 END
+            + octet_length(encode(text)) AS BIGINT) AS media_bytes
+FROM documents
+ORDER BY doc_id
+""")
+def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import with_media_metadata
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corp = fake_media_corpus(docs)
+    return (with_media_metadata(corp)
+            .select("doc_id", "media_type",
+                    F.col("media_bytes").cast("long").alias("media_bytes"))
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# Arrow-batched decode + featurize (fake decoder: content-hash features —
+# deterministic, so the driver's rows-only check is stable)
+# --------------------------------------------------------------------------
+@query("mm_features")
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_and_featurize, sniff_media_type
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corp = sniff_media_type(fake_media_corpus(docs))
+    feats = decode_and_featurize(corp, id_col="doc_id",
+                                 use_fake_decoder=True, feature_dim=16)
+    return (feats.select("id", "media_type", "width", "height", "n_frames",
+                         F.round(F.element_at("features", 1) * 1000, 0)
+                         .cast("long").alias("f0_milli"))
+            .orderBy("id"))
+
+
+# --------------------------------------------------------------------------
+# frame sampling shape (fake decoder: byte-slice frames)
+# --------------------------------------------------------------------------
+@query("mm_frame_sample")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corp = fake_media_corpus(docs)
+    frames = sample_frames(corp, id_col="doc_id", every_n=100,
+                           use_fake_decoder=True)
+    return (frames.select("id", "frame_idx",
+                          F.length("frame_bytes").alias("frame_len"))
+            .orderBy("id", "frame_idx"))
