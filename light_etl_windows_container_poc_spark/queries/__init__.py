@@ -17,3 +17,4 @@ from . import breadth2  # noqa: F401,E402
 from . import breadth3  # noqa: F401,E402
 from . import breadth4  # noqa: F401,E402
 from . import breadth5  # noqa: F401,E402
+from . import breadth6  # noqa: F401,E402
