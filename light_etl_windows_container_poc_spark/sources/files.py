@@ -196,3 +196,28 @@ def list_excel_sheets(spark: SparkSession, path: str) -> DataFrame:
 
     return binary.select("path", "content").mapInPandas(
         sheets, "path string, sheet_name string")
+
+
+def read_json_robust(spark: SparkSession, path: str, schema_ddl: str,
+                     corrupt_col: str = "_corrupt_record",
+                     mode: str = "PERMISSIVE") -> DataFrame:
+    """JSON-lines reader that survives malformed rows instead of failing
+    the job: PERMISSIVE mode parses what it can and captures the raw bad
+    line in ``corrupt_col`` (DROPMALFORMED silently drops instead). The
+    bad-record stream can then be routed to a quarantine sink — the
+    distributed version of the reference's per-file try/except logging
+    (`pattern_based_cleaner_watcher.py` error path)."""
+    schema = f"{schema_ddl}, {corrupt_col} STRING" \
+        if mode.upper() == "PERMISSIVE" else schema_ddl
+    return (spark.read.schema(schema)
+            .option("mode", mode)
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(path))
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every file footer
+    (``mergeSchema``) so columns added over time surface as nullable.
+    Use at ingest boundaries only — footer merging scans all footers,
+    so warehouse tables should land with a registered schema instead."""
+    return spark.read.option("mergeSchema", True).parquet(path)

@@ -73,3 +73,35 @@ def test_bruteforce_ann_has_no_shuffle_before_topk(spark, sf_dir):
     # corpus side never exchanges on data size — only the window shuffle
     assert_single_shuffle(df, max_exchanges=2)
     assert_broadcast_join(df, 1)
+
+
+def test_zscore_stats_side_broadcasts(spark, sf_dir):
+    # the 5-row per-type moment stats must broadcast back onto the scan,
+    # never shuffle the event stream for a dimension-sized join
+    assert_broadcast_join(QUERIES["zscore_outliers"](spark, sf_dir), 1)
+
+
+def test_gap_fill_spine_broadcasts(spark, sf_dir):
+    # day-spine × type dimension is generated data — broadcast only
+    assert_broadcast_join(QUERIES["gap_fill_daily"](spark, sf_dir), 1)
+
+
+def test_cooccur_topk_broadcasts(spark, sf_dir):
+    # the top-30 vocabulary side of the pair join must broadcast
+    assert_broadcast_join(QUERIES["doc_cooccur"](spark, sf_dir), 1)
+
+
+def test_embed_centroid_partial_aggregates(spark, sf_dir):
+    # posexplode → partial agg map-side → ONE exchange on (label, pos)
+    df = QUERIES["embed_centroid"](spark, sf_dir)
+    assert_single_shuffle(df, max_exchanges=2)  # agg + orderBy
+
+
+def test_pack_sequences_no_global_window_over_corpus(spark, sf_dir):
+    # the two-phase cumsum must keep the big window partitioned by bucket;
+    # only the tiny bucket-base window may be single-partition
+    plan = QUERIES["pack_sequences"](spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the per-doc running sum window must carry a partition spec
+    assert "Window [" in plan or "Window" in plan
+    assert_broadcast_join(QUERIES["pack_sequences"](spark, sf_dir), 1)
