@@ -36,7 +36,7 @@ def test_oracle_sql_is_registered_for_sql_expressible_ops():
     missing = {n for n in QUERIES if n not in ORACLES
                and not n.startswith(("dedup_minhash", "dedup_simhash", "ann_lsh",
                                      "ann_ivf", "agg_approx", "stream_", "mm_",
-                                     "pagerank_"))}
+                                     "pagerank_", "sketch_"))}
     assert not missing, f"queries without oracle: {missing}"
 
 
