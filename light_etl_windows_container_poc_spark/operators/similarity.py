@@ -22,16 +22,32 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, hyperplane_sign_bits, to_double
+from ..functions.vectors import cosine, dot, hyperplane_sign_bits, to_double
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str,
+          vec_alias: str, nrm_alias: str) -> DataFrame:
+    """(id, double-cast vector, L2 norm) — cast and norm computed ONCE per
+    row. Scoring N·M pairs with the raw `cosine()` expression re-casts both
+    arrays and re-folds both norms PER PAIR (higher-order functions don't
+    codegen, and Catalyst won't CSE them across the join): 3 interpreted
+    folds per pair instead of 1. Precomputing turned the sf0.1 all-pairs
+    dedup from 86s into the dot-fold-only cost (~3×). `dot(va,vb)/(na·nb)`
+    is bit-identical to `cosine(va,vb)` — same subtrees, evaluated once."""
+    v = to_double(F.col(vec_col))
+    out = df.select(F.col(id_col).alias(id_alias), v.alias(vec_alias))
+    return out.withColumn(
+        nrm_alias, F.sqrt(dot(F.col(vec_alias), F.col(vec_alias))))
 
 
 def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
                  threshold: float) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold (a_id < b_id)."""
-    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    a = _prep(df, id_col, vec_col, "a_id", "va", "na")
+    b = _prep(df, id_col, vec_col, "b_id", "vb", "nb")
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (a.join(b, F.col("a_id") < F.col("b_id"))
-            .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+            .withColumn("sim", sim)
             .filter(F.col("sim") >= threshold)
             .select("a_id", "b_id", "sim"))
 
@@ -43,10 +59,11 @@ def ann_bruteforce_topk(corpus: DataFrame, queries: DataFrame,
     Query side is broadcast: the corpus is scanned exactly once regardless
     of |queries|; the only shuffle is the final per-query top-k window
     (tiny: |queries|·|corpus| rows reduced by the window)."""
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    q = _prep(queries, id_col, vec_col, "q_id", "qv", "nq")
+    c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
     scored = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-              .withColumn("sim", cosine(F.col("qv"), F.col("nv"))))
+              .withColumn("sim", dot(F.col("qv"), F.col("nv"))
+                          / (F.col("nq") * F.col("nn"))))
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -70,10 +87,10 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     bucket id is a plan-time expression — bucketing 100 TB is a map-only
     pass; the candidate join is an equi-join on the bucket key."""
     planes = make_hyperplanes(dim, num_planes, seed)
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"),
-                      hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"))
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
-                       hyperplane_sign_bits(F.col(vec_col), planes).alias("qb"))
+    c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn").withColumn(
+        "bucket", hyperplane_sign_bits(F.col("nv"), planes))
+    q = _prep(queries, id_col, vec_col, "q_id", "qv", "nq").withColumn(
+        "qb", hyperplane_sign_bits(F.col("qv"), planes))
     # multiprobe: also visit buckets differing in ≤ `multiprobe` sign bits
     probes = [F.col("qb")]
     if multiprobe >= 1:
@@ -82,10 +99,12 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     if multiprobe >= 2:
         probes += [F.col("qb").bitwiseXOR(F.lit((1 << i) | (1 << j)))
                    for i in range(num_planes) for j in range(i + 1, num_planes)]
-    q_probed = (q.select("q_id", "qv", F.explode(F.array(*probes)).alias("bucket")))
+    q_probed = (q.select("q_id", "qv", "nq",
+                         F.explode(F.array(*probes)).alias("bucket")))
     scored = (c.join(F.broadcast(q_probed), "bucket")
               .filter(F.col("q_id") != F.col("n_id"))
-              .withColumn("sim", cosine(F.col("qv"), F.col("nv"))))
+              .withColumn("sim", dot(F.col("qv"), F.col("nv"))
+                          / (F.col("nq") * F.col("nn"))))
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -137,13 +156,16 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     if not use_lsh:
         return cosine_pairs(df, id_col, vec_col, threshold)
     planes = make_hyperplanes(dim, num_planes=8)
-    withb = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                      hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"))
-    a = withb.select(F.col("id").alias("a_id"), F.col("v").alias("va"), "bucket")
-    b = withb.select(F.col("id").alias("b_id"), F.col("v").alias("vb"), "bucket")
+    withb = _prep(df, id_col, vec_col, "id", "v", "nrm").withColumn(
+        "bucket", hyperplane_sign_bits(F.col("v"), planes))
+    a = withb.select(F.col("id").alias("a_id"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"), "bucket")
+    b = withb.select(F.col("id").alias("b_id"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"), "bucket")
     return (a.join(b, "bucket")
             .filter(F.col("a_id") < F.col("b_id"))
-            .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+            .withColumn("sim", dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")))
             .filter(F.col("sim") >= threshold)
             .select("a_id", "b_id", "sim")
             .dropDuplicates(["a_id", "b_id"]))
@@ -199,25 +221,24 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     clusters' vectors. Corpus assignment is a map-only pass against
     broadcast centroids — the scan never shuffles on data size."""
     cents = F.broadcast(kmeans_lite(corpus, id_col, vec_col, k=n_clusters))
-    c = corpus.select(F.col(id_col).alias("n_id"),
-                      to_double(F.col(vec_col)).alias("nv"))
+    c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
     c_assigned = (c.crossJoin(cents)
                   .withColumn("sim_c", cosine(F.col("nv"), F.col("cv")))
                   .withColumn("rn", F.row_number().over(
                       W.partitionBy("n_id").orderBy(F.desc("sim_c"), "cluster")))
                   .filter(F.col("rn") == 1)
-                  .select("n_id", "nv", "cluster"))
-    q = queries.select(F.col(id_col).alias("q_id"),
-                       to_double(F.col(vec_col)).alias("qv"))
+                  .select("n_id", "nv", "nn", "cluster"))
+    q = _prep(queries, id_col, vec_col, "q_id", "qv", "nq")
     q_probes = (q.crossJoin(cents)
                 .withColumn("sim_c", cosine(F.col("qv"), F.col("cv")))
                 .withColumn("rn", F.row_number().over(
                     W.partitionBy("q_id").orderBy(F.desc("sim_c"), "cluster")))
                 .filter(F.col("rn") <= nprobe)
-                .select("q_id", "qv", "cluster"))
+                .select("q_id", "qv", "nq", "cluster"))
     scored = (c_assigned.join(F.broadcast(q_probes), "cluster")
               .filter(F.col("q_id") != F.col("n_id"))
-              .withColumn("sim", cosine(F.col("qv"), F.col("nv"))))
+              .withColumn("sim", dot(F.col("qv"), F.col("nv"))
+                          / (F.col("nq") * F.col("nn"))))
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
