@@ -128,3 +128,47 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.lit(None).cast("date").alias("day"),
                      F.hll_sketch_estimate("sk").alias("est_uniques")))
     return per_day.unionAll(total).orderBy(F.col("day").asc_nulls_last())
+
+
+# --------------------------------------------------------------------------
+# custom grouped-map operator (applyInPandas) with exact oracle parity:
+# per-type OLS trend of value vs time. Python sums INTEGER moments only;
+# the final doubles use the oracle's exact expression tree.
+# --------------------------------------------------------------------------
+@query("grouped_ols", oracle="""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS secs,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), o AS (
+  SELECT event_type,
+         secs - min(secs) OVER (PARTITION BY event_type) AS x,
+         cents AS y
+  FROM b
+), m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM o GROUP BY event_type
+)
+SELECT event_type, n, sx, sy, sxx, sxy,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept
+FROM m
+ORDER BY event_type
+""")
+def grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import grouped_ols as _ols
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return _ols(ev).orderBy("event_type")
