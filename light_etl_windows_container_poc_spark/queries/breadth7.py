@@ -172,3 +172,25 @@ def grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return _ols(ev).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# approximate percentiles (mergeable quantile summaries): the sketch-side
+# answer to `percentiles`/`agg_median` — estimates are engine-specific
+# (Greenwald-Khanna in Spark) → rows; rank-error bound asserted in
+# tests/test_sketches.py
+# --------------------------------------------------------------------------
+@query("sketch_approx_percentile")
+def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (li.select("l_returnflag", cents.alias("cents"))
+            .groupBy("l_returnflag")
+            .agg(F.approx_percentile("cents", F.array(
+                F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000))
+                .alias("approx_quartiles"))
+            .select("l_returnflag",
+                    F.col("approx_quartiles")[0].alias("p25"),
+                    F.col("approx_quartiles")[1].alias("p50"),
+                    F.col("approx_quartiles")[2].alias("p75"))
+            .orderBy("l_returnflag"))
