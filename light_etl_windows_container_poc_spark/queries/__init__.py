@@ -20,3 +20,4 @@ from . import breadth5  # noqa: F401,E402
 from . import breadth6  # noqa: F401,E402
 from . import breadth7  # noqa: F401,E402
 from . import breadth8  # noqa: F401,E402
+from . import breadth9  # noqa: F401,E402
