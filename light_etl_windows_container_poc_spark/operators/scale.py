@@ -60,12 +60,19 @@ def compact_files(spark: SparkSession, path: str, out_path: str,
 
 
 def discover_new_files(spark: SparkSession, input_dir: str, state_path: str,
-                       glob: str = "*.csv") -> DataFrame:
+                       glob: str = "*.csv",
+                       allowed_extensions: tuple[str, ...] | None = None,
+                       skip_empty: bool = True) -> DataFrame:
     """Reference watcher parity (`pattern_based_cleaner_watcher.py:239-314`)
     as a stateless-driver batch op: list files with the binaryFile source
     (path, modificationTime, length), anti-join against the persisted state
     table → NEW or MODIFIED files only; caller processes them and then
     ``commit_discovered`` updates the state.
+
+    ``allowed_extensions`` mirrors `fileserver.is_allowed_file`
+    (fileserver.py:41-44: .xlsx/.xls/.xlsm/.xlsb/.csv allow-list) and
+    ``skip_empty`` the watcher's empty-file skip — both are metadata-only
+    predicates on the listing, no file content is read to reject a file.
 
     The reference kept this state in a Python dict (lost on restart, one
     watcher process); here it's a parquet table — restart-safe and shared
@@ -77,6 +84,12 @@ def discover_new_files(spark: SparkSession, input_dir: str, state_path: str,
                .load(input_dir)
                .select("path", F.col("modificationTime").alias("mtime"),
                        F.col("length").alias("size")))
+    if allowed_extensions is not None:
+        ext = F.lower(F.regexp_extract(F.col("path"), r"(\.[^./\\]+)$", 1))
+        listing = listing.filter(ext.isin(*[e.lower()
+                                            for e in allowed_extensions]))
+    if skip_empty:
+        listing = listing.filter(F.col("size") > 0)
     try:
         state = spark.read.parquet(state_path).select(
             F.col("path").alias("seen_path"), F.col("mtime").alias("seen_mtime"))

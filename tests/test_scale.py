@@ -82,3 +82,19 @@ def test_health_check(spark, tmp_path, sf_dir):
     assert h["tables"]["ok_table"] == "ok"
     assert h["tables"]["missing_table"].startswith("error")
     assert h["status"] == "degraded"
+
+
+def test_discover_respects_allowlist_and_skips_empty(spark, tmp_path):
+    d = tmp_path / "inbox2"
+    d.mkdir()
+    (d / "good.csv").write_text("a,b\n1,2\n")
+    (d / "sheet.XLSX").write_text("fake")       # allow-list is case-blind
+    (d / "notes.txt").write_text("nope")        # not allowed
+    (d / "empty.csv").write_text("")            # empty → skipped
+    state = str(tmp_path / "state2")
+    found = discover_new_files(
+        spark, str(d), state, glob="*",
+        allowed_extensions=(".csv", ".xlsx", ".xls", ".xlsm", ".xlsb"))
+    names = sorted(p.split("/")[-1] for p in
+                   [r.path for r in found.collect()])
+    assert names == ["good.csv", "sheet.XLSX"]
