@@ -58,3 +58,21 @@ class PatternRouter:
             if pattern.lower() in norm:
                 return table
         return None
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "PatternRouter":
+        """Load the reference's YAML config format
+        (`config/pattern_config.yaml` → `pattern_mappings.<pattern>.table`,
+        consumed by `pattern_config_system.py`). Schema-qualified targets
+        come back as `schema.table` when a schema is present."""
+        import yaml
+
+        with open(path) as fh:
+            cfg = yaml.safe_load(fh) or {}
+        mapping: dict[str, str] = {}
+        for pattern, spec in (cfg.get("pattern_mappings") or {}).items():
+            table = spec["table"] if isinstance(spec, dict) else str(spec)
+            schema = spec.get("schema") if isinstance(spec, dict) else None
+            mapping[pattern] = f"{schema}.{table}" \
+                if schema and schema != "public" else table
+        return cls(mapping=mapping)
