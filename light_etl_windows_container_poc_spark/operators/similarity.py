@@ -243,3 +243,66 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "sim", "rank"))
+
+
+def cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
+                         threshold: float, n_blocks: int = 16,
+                         ) -> DataFrame:
+    """Exact all-pairs cosine via BLOCK-MATRIX multiply — the form that
+    survives corpus scale. Vectors are packed into ``n_blocks`` row-blocks
+    (pick n_blocks so a block is ~2-8 MB: bounded task memory); the
+    block-pair grid (i ≤ j) is a tiny cross join, and each grid cell runs
+    ONE numpy GEMM on an executor instead of |block|² interpreted
+    expression folds. Same pair set as `cosine_pairs`; sims may differ in
+    the last ulp (numpy pairwise summation vs left fold) → rows-only
+    outside, equality asserted in tests with tolerance.
+    """
+    import numpy as np
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    b = df.select(F.col(id_col).alias("id"),
+                  to_double(F.col(vec_col)).alias("v"),
+                  (F.col(id_col) % n_blocks).alias("blk"))
+    packed = (b.groupBy("blk")
+              .agg(F.collect_list(F.struct("id", "v")).alias("rows")))
+    grid = (packed.select(F.col("blk").alias("ablk"), F.col("rows").alias("arows"))
+            .crossJoin(packed.select(F.col("blk").alias("bblk"),
+                                     F.col("rows").alias("brows")))
+            .filter(F.col("ablk") <= F.col("bblk"))
+            # one GEMM per task: spread grid cells across the cluster
+            .repartition(n_blocks * (n_blocks + 1) // 2))
+
+    def gemm(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for _, r in pdf.iterrows():
+                aid = np.array([x["id"] for x in r["arows"]], dtype=np.int64)
+                am = np.array([x["v"] for x in r["arows"]], dtype=np.float64)
+                bid = np.array([x["id"] for x in r["brows"]], dtype=np.int64)
+                bm = np.array([x["v"] for x in r["brows"]], dtype=np.float64)
+                am /= np.linalg.norm(am, axis=1, keepdims=True)
+                bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+                s = am @ bm.T
+                # diagonal cell: keep one orientation; off-diagonal: each
+                # unordered pair appears in exactly one grid cell, but the
+                # larger id may sit on either side → emit (min, max)
+                if r["ablk"] == r["bblk"]:
+                    mask = (s >= threshold) & (aid[:, None] < bid[None, :])
+                else:
+                    mask = s >= threshold
+                ai, bi = np.nonzero(mask)
+                lo = np.minimum(aid[ai], bid[bi])
+                hi = np.maximum(aid[ai], bid[bi])
+                out_a.append(lo); out_b.append(hi)
+                out_s.append(s[ai, bi])
+            yield pd.DataFrame({
+                "a_id": np.concatenate(out_a) if out_a else [],
+                "b_id": np.concatenate(out_b) if out_b else [],
+                "sim": np.concatenate(out_s) if out_s else [],
+            })
+
+    return grid.mapInPandas(gemm, "a_id long, b_id long, sim double")

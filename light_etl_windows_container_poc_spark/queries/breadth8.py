@@ -128,3 +128,19 @@ def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("cents", "mean_cents").alias("cents_filled"),
                     F.col("cents").isNull().alias("was_imputed"))
             .orderBy("event_id"))
+
+
+# --------------------------------------------------------------------------
+# block-GEMM exact all-pairs cosine — the 100 TB form of dedup_embedding
+# (bounded task memory, one numpy matmul per block pair; sims differ from
+# the JVM fold only in the last ulp → rows; set-equality vs the exact
+# JVM form asserted in tests/test_similarity_blocked.py)
+# --------------------------------------------------------------------------
+@query("dedup_embedding_blocked")
+def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_pairs_blocked
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return (cosine_pairs_blocked(emb, "vec_id", "embedding",
+                                 threshold=0.45, n_blocks=8)
+            .orderBy("a_id", "b_id"))

@@ -36,7 +36,8 @@ def test_oracle_sql_is_registered_for_sql_expressible_ops():
     missing = {n for n in QUERIES if n not in ORACLES
                and not n.startswith(("dedup_minhash", "dedup_simhash", "ann_lsh",
                                      "ann_ivf", "agg_approx", "stream_", "mm_",
-                                     "pagerank_", "sketch_"))}
+                                     "pagerank_", "sketch_"))
+               and n != "dedup_embedding_blocked"}
     assert not missing, f"queries without oracle: {missing}"
 
 
