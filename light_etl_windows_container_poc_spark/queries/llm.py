@@ -481,3 +481,43 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (train_test_split(docs, "doc_id", test_permille=200)
             .select("doc_id", "split")
             .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# full dedup pass: detect → cluster → keep the min-id representative of
+# each near-dup component, pass everything unpaired through untouched
+# --------------------------------------------------------------------------
+@query("dedup_keep_one", oracle=f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a_id, b_id
+),
+good AS (
+  SELECT a_id, b_id FROM pairs
+  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+),
+edges AS (SELECT a_id AS src, b_id AS dst FROM good
+          UNION ALL SELECT b_id, a_id FROM good),
+cc(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+),
+comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+ORDER BY d.doc_id
+""")
+def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_keep_representatives
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return (dedup_keep_representatives(docs, pairs, "doc_id")
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
