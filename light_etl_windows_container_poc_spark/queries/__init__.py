@@ -21,3 +21,4 @@ from . import breadth6  # noqa: F401,E402
 from . import breadth7  # noqa: F401,E402
 from . import breadth8  # noqa: F401,E402
 from . import breadth9  # noqa: F401,E402
+from . import breadth10  # noqa: F401,E402
