@@ -98,3 +98,41 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         j(F.array_except("head", "tail")).alias("except_sorted"),
         F.arrays_overlap("head", "tail").alias("overlaps"))
         .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# join-key skew diagnostics: the pre-flight check that decides between a
+# plain shuffle join, salting, and AQE skew handling. Top keys by row
+# share — share kept integer-exact (permille via cross-multiplication)
+# --------------------------------------------------------------------------
+@query("skew_profile", oracle="""
+WITH k AS (
+  SELECT l_orderkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+), tot AS (SELECT count(*) AS n, count(DISTINCT l_orderkey) AS n_keys
+           FROM lineitem),
+top AS (
+  SELECT key, cnt FROM k ORDER BY cnt DESC, key LIMIT 20
+)
+SELECT t.key, t.cnt,
+       CAST(t.cnt * 1000 // tot.n AS BIGINT) AS share_permille,
+       tot.n AS total_rows, tot.n_keys
+FROM top t, tot
+ORDER BY t.cnt DESC, t.key
+""")
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    k = li.groupBy(F.col("l_orderkey").alias("key")) \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    tot = li.agg(F.count(F.lit(1)).alias("total_rows"),
+                 F.count_distinct("l_orderkey").alias("n_keys"))
+    top = (k.withColumn("rn", F.row_number().over(
+        W.partitionBy().orderBy(F.desc("cnt"), "key")))
+        .filter(F.col("rn") <= 20).drop("rn"))
+    return (top.crossJoin(F.broadcast(tot))
+            .select("key", "cnt",
+                    F.expr("CAST(cnt * 1000 div total_rows AS BIGINT)")
+                    .alias("share_permille"),
+                    "total_rows", "n_keys")
+            .orderBy(F.desc("cnt"), "key"))
