@@ -28,9 +28,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, _SMOKE_SF_DIR)
 
 
+# The round-1 correctness run certified only the first 50 registered
+# queries (driver budget), leaving 74 registered-but-unchecked. Order the
+# dict so NOT-yet-certified entries run first: whatever budget the driver
+# has, it certifies new surface before re-certifying known-good rows.
+_R01_CERTIFIED = [
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+    "q10_returned_items", "q14_promo_effect", "q18_large_orders",
+    "q19_discount_revenue", "topk_per_group", "window_running",
+    "window_lag_delta", "agg_rollup", "agg_cube", "pivot_wide",
+    "unpivot_long", "set_ops", "join_anti", "subquery_scalar",
+    "percentiles", "q11_important_parts", "q13_cust_distribution",
+    "q15_top_supplier", "q16_supplier_counts", "q17_small_qty_revenue",
+    "q22_sales_opportunity", "agg_approx_distinct", "agg_grouping_sets",
+    "string_funcs", "time_functions", "array_funcs", "map_funcs",
+    "window_ntile_firstlast", "q2_min_cost_supplier", "q20_promo_suppliers",
+    "q8_market_share", "q9_product_profit", "q12_late_priority",
+    "q21_waiting_supplier", "asof_join", "sessionize", "time_window_agg",
+    "range_join", "window_rolling_time", "etl_clean_columns",
+    "etl_type_coercion", "etl_drop_empty_rows", "etl_dedup_rows",
+    "etl_enrich_metadata",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    certified = set(_R01_CERTIFIED)
+    head = [n for n in QUERIES if n not in certified]
+    tail = [n for n in _R01_CERTIFIED if n in QUERIES]
+    return {n: QUERIES[n] for n in (*head, *tail)}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -9,8 +9,12 @@ warehouse is parquet and tables register as Spark temp views so the whole
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
+
+# session → {(sf_dir, table): DataFrame} — plans only, nothing materialized
+_TABLE_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -60,8 +64,20 @@ def load_tables(spark: SparkSession, sf_dir: str,
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # older/newer Spark without the knob: reader may handle nanos
-    return {name: _fix_nanos(spark.read.parquet(table_path(sf_dir, name)))
-            for name in names}
+    # Parquet file-listing + footer read costs ~50-100ms per table; over a
+    # 124-query suite that is seconds of pure overhead. Reuse the (lazy,
+    # immutable) scan plans per session — but only for the read-only test
+    # warehouse: an arbitrary path may be overwritten between calls, and a
+    # cached plan pins the file listing captured at read time.
+    cacheable = os.path.realpath(sf_dir).startswith("/root/testdata")
+    cache = _TABLE_CACHE.setdefault(spark, {}) if cacheable else {}
+    out = {}
+    for name in names:
+        key = (sf_dir, name)
+        if key not in cache:
+            cache[key] = _fix_nanos(spark.read.parquet(table_path(sf_dir, name)))
+        out[name] = cache[key]
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str,

@@ -31,11 +31,15 @@ def sanitize_column_names(df: DataFrame) -> DataFrame:
     """Sanitize all column names; de-duplicate collisions with an ``_i``
     positional suffix (first occurrence keeps the bare name), matching the
     reference's dedup rule (`dataframe_tasks.py:60-62`)."""
-    cleaned = [sanitize_name(c) for c in df.columns]
+    cleaned = [sanitize_name(c) or "col" for c in df.columns]
     out, seen = [], set()
     for i, c in enumerate(cleaned):
         name = c if c not in seen else f"{c}_{i}"
-        seen.add(c)
+        # a positional suffix can itself collide with a literal column
+        # (['a','a','a_1'] would emit 'a_1' twice) — re-suffix until unique
+        while name in seen:
+            name = f"{name}_{i}"
+        seen.add(name)
         out.append(name)
     return df.toDF(*out)
 

@@ -169,9 +169,14 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
     (node, component) where component = min node id in the component.
 
     Iterative min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors; converges in
-    O(log diameter) rounds for near-dup graphs (components are tiny
-    cliques). Each round is one shuffle on node id; lineage is cut with
+    minimum label among itself and its neighbors. The label advances one
+    hop per round, so convergence takes O(diameter) rounds — fine for
+    near-dup graphs (components are tiny cliques, diameter ~2), but a
+    path-shaped component longer than ``max_iterations`` would NOT fully
+    converge, so non-convergence raises instead of returning silently
+    split components. (If long chains are expected, switch to
+    large-star/small-star pointer doubling for O(log diameter).)
+    Each round is one shuffle on node id; lineage is cut with
     localCheckpoint so plans stay bounded — the standard Spark shape for
     iterative graph algorithms without GraphX.
     """
@@ -181,6 +186,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
     edges = edges.persist()
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("label").alias("nmin")))
@@ -196,7 +202,13 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
                    .filter(F.col("n.label") != F.col("o.label")).limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; components would be silently split. Raise "
+            "max_iterations (component diameter exceeds it).")
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

@@ -31,7 +31,11 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     32-partition shuffle scheduling, a 1e9-node graph still spreads.
     """
     spark = edges.sparkSession
-    edges = edges.select("src", "dst")
+    # the edge list may carry an arbitrarily expensive upstream plan
+    # (pagerank_words: text explode + self-join); persist it so the two
+    # setup actions (node count, weighted-edge materialization) and the
+    # per-round joins never recompute it
+    edges = edges.select("src", "dst").persist()
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct().persist())
@@ -45,6 +49,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                        (F.lit(1.0) / F.col("outdeg")).alias("w"))
                .coalesce(nparts).persist())
     w_edges.count()
+    edges.unpersist()
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(iterations):
         contrib = (w_edges.join(pr.withColumnRenamed("node", "src"), "src")

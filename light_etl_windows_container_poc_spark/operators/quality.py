@@ -31,7 +31,9 @@ def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     metrics = wide.unpivot([], wide.columns, "metric", "value")
     split = metrics.select(
         F.split_part("metric", F.lit("__"), F.lit(1)).alias("kind"),
-        F.split_part("metric", F.lit("__"), F.lit(2)).alias("col_name"),
+        # everything after the FIRST '__': a column whose own name contains
+        # '__' (legal after sanitize) must not truncate to its first segment
+        F.expr("substring(metric, instr(metric, '__') + 2)").alias("col_name"),
         "value")
     return (split.groupBy("col_name")
             .pivot("kind", ["null", "blank", "distinct"])

@@ -7,8 +7,6 @@ in tests/test_scale.py.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,13 +44,17 @@ def compact_files(spark: SparkSession, path: str, out_path: str,
     """Small-file compaction: rewrite a directory of tiny parquet files
     into ~target_mb outputs. Returns the output file count.
 
-    Driver-side math uses only FILE METADATA (sizes), never data; the
-    rewrite itself is one distributed pass.
+    Sizing uses only FILE METADATA from the binaryFile listing (its
+    `length` column — `content` is pruned, no bytes read), so it works on
+    any Hadoop-compatible filesystem (HDFS/S3/local), not just a POSIX
+    mount; the rewrite itself is one distributed pass.
     """
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f))
-                     for f in files if f.endswith(".parquet"))
+    total = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.parquet")
+             .option("recursiveFileLookup", "true")
+             .load(path)
+             .agg(F.sum("length").alias("total"))
+             .collect()[0]["total"]) or 0
     n_out = max(1, round(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     df.repartition(n_out).write.mode("overwrite").parquet(out_path)

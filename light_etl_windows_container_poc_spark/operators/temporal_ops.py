@@ -20,8 +20,14 @@ def range_join_pairs(df: DataFrame, key_col: str, ts_col: str, id_col: str,
     key. Output: a_id, b_id, gap_us."""
     gap_us = max_gap_seconds * 1_000_000
     us = F.unix_micros(F.col(ts_col))
-    base = df.select(F.col(key_col).alias("k"), F.col(id_col).alias("id"),
-                     us.alias("t"), (us / gap_us).cast("long").alias("bucket"))
+    # `div` keeps the bucket computation in 64-bit integer arithmetic:
+    # epoch micros (~1.7e15) are safe today, but a float divide would break
+    # silently once the numerator exceeds double's 2^53 mantissa (nanos, or
+    # far-future micros) — boundary rows would mis-bucket and pairs with
+    # tb-ta <= gap could land 2 buckets apart and be missed.
+    base = (df.select(F.col(key_col).alias("k"), F.col(id_col).alias("id"),
+                      us.alias("t"))
+            .withColumn("bucket", F.expr(f"t div {gap_us}")))
     left = (base.select("k", F.col("id").alias("a_id"), F.col("t").alias("ta"),
                         F.explode(F.array(F.col("bucket"),
                                           F.col("bucket") + 1)).alias("probe")))

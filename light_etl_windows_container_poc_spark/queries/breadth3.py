@@ -189,9 +189,9 @@ def pagerank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (docs.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
          .distinct().persist())
     f = d.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    top = (f.withColumn("rn", F.row_number().over(
-        W.partitionBy().orderBy(F.desc("df"), "word")))
-        .filter(F.col("rn") <= 30).select("word"))
+    # global top-30 via orderBy+limit (TakeOrdered — partial per-partition
+    # top-k, no single-partition global window)
+    top = f.orderBy(F.desc("df"), "word").limit(30).select("word")
     dd = d.join(F.broadcast(top), "word")
     a = dd.select("doc_id", F.col("word").alias("w1"))
     b = dd.select("doc_id", F.col("word").alias("w2"))

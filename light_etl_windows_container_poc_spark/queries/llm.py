@@ -65,12 +65,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (exact set similarity)
 # --------------------------------------------------------------------------
+# max_df: the boilerplate-skew guard is ON in the registered path (a
+# shingle present in >_MAX_DF docs is dropped before the self-join — on a
+# web corpus one hot shingle otherwise creates a quadratic join key). The
+# oracle applies the SAME document-frequency cutoff, so parity holds by
+# construction at any scale factor, not just ones where no shingle is hot.
+_NGRAM_MAX_DF = 500
+
 @query("dedup_ngram_jaccard", oracle=f"""
 WITH {_SHINGLE_CTE},
-sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shf AS (
+  SELECT * FROM sh
+  WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > {_NGRAM_MAX_DF})
+),
+sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a_id, b_id
 )
 SELECT a_id, b_id,
@@ -83,7 +94,8 @@ ORDER BY a_id, b_id
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return (ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return (ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8,
+                                max_df=_NGRAM_MAX_DF)
             .orderBy("a_id", "b_id"))
 
 
@@ -110,7 +122,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# embedding-cosine near-dup pairs (exact)
+# embedding-cosine near-dup pairs — exact RESULT via the scale-safe plan
+# (blocked-GEMM candidates + fold re-score); the naive all-pairs theta-join
+# remains only as the oracle twin below
 # --------------------------------------------------------------------------
 @query("dedup_embedding", oracle="""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,

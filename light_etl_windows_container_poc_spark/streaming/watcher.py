@@ -18,18 +18,26 @@ from ..operators.routing import PatternRouter
 
 def watch_csv_dir(spark: SparkSession, input_dir: str, schema_ddl: str,
                   router: PatternRouter | None = None,
-                  max_files_per_trigger: int = 1000) -> DataFrame:
+                  max_files_per_trigger: int = 1000,
+                  modified_after: str | None = None) -> DataFrame:
     """Streaming DataFrame of newly-arrived CSV rows, pattern-routed.
 
-    Only files that appear AFTER the checkpoint was created are processed
-    (the reference's "record existing files, process only NEW" semantics).
+    NOTE: by default the file source's FIRST micro-batch ingests the
+    pre-existing backlog (every file already in the directory); subsequent
+    batches are new-files-only via the checkpoint. To reproduce the
+    reference's "record existing files, process only NEW" semantics, pass
+    ``modified_after`` (e.g. the watcher start time,
+    'YYYY-MM-DDTHH:mm:ss') — the source then skips files whose
+    modification time is at or before it.
     Route → writeStream.foreachBatch(append per table) completes the flow;
     tests drive it with trigger(availableNow=True) + a memory sink.
     """
     router = router or PatternRouter()
-    stream = (spark.readStream.schema(schema_ddl)
+    reader = (spark.readStream.schema(schema_ddl)
               .option("header", True)
-              .option("maxFilesPerTrigger", max_files_per_trigger)
-              .csv(input_dir + "/**", pathGlobFilter="*.csv"))
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if modified_after is not None:
+        reader = reader.option("modifiedAfter", modified_after)
+    stream = reader.csv(input_dir + "/**", pathGlobFilter="*.csv")
     routed = stream.withColumn("source_path", F.input_file_name())
     return router.route(routed, path_col="source_path")

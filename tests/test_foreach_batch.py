@@ -1,14 +1,14 @@
-"""Streaming MERGE via foreachBatch: the standard upsert-sink shape when
-the warehouse format has no native MERGE (parquet). Each micro-batch
-anti-joins the existing keys and appends only new ones — idempotent under
-replay, which is what checkpoint recovery requires."""
-
-import pathlib
+"""Streaming MERGE via foreachBatch — exercises the LIBRARY sink
+(`streaming.sinks.parquet_upsert_sink` / `start_upsert_stream`): each
+micro-batch anti-joins the existing keys and appends only new ones —
+idempotent under replay, which is what checkpoint recovery requires."""
 
 from pyspark.sql import functions as F
 
 from light_etl_windows_container_poc_spark.queries.streaming_q import \
     _events_stream
+from light_etl_windows_container_poc_spark.streaming import \
+    start_upsert_stream
 
 
 def test_foreach_batch_upsert_is_idempotent(spark, sf_dir, tmp_path):
@@ -20,21 +20,30 @@ def test_foreach_batch_upsert_is_idempotent(spark, sf_dir, tmp_path):
     seed = (ev.select("user_id").distinct().filter(F.col("user_id") < 10))
     seed.write.parquet(target)
 
-    def upsert(batch, _bid):
-        s = batch.sparkSession
-        new = batch.select("user_id").dropDuplicates(["user_id"])
-        if pathlib.Path(target).exists():
-            existing = s.read.parquet(target).select("user_id")
-            new = new.join(existing, "user_id", "left_anti")
-        new.write.mode("append").parquet(target)
-
     stream = _events_stream(spark, sf_dir).select("user_id")
-    q = (stream.writeStream.foreachBatch(upsert)
-         .option("checkpointLocation", str(tmp_path / "ckpt"))
-         .trigger(availableNow=True).start())
+    q = start_upsert_stream(stream, target, ["user_id"],
+                            checkpoint_dir=str(tmp_path / "ckpt"))
     q.awaitTermination(300)
 
     final = spark.read.parquet(target)
     exact = ev.select("user_id").distinct().count()
     assert final.count() == exact                      # no drops
     assert final.distinct().count() == final.count()   # no duplicate keys
+
+
+def test_upsert_stream_restart_appends_nothing(spark, sf_dir, tmp_path):
+    """A second availableNow run over the same source (fresh checkpoint →
+    full replay) must not duplicate keys."""
+    target = str(tmp_path / "user_dim2")
+    stream = _events_stream(spark, sf_dir).select("user_id")
+    q = start_upsert_stream(stream, target, ["user_id"],
+                            checkpoint_dir=str(tmp_path / "ckpt_a"))
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(target).count()
+
+    q2 = start_upsert_stream(stream, target, ["user_id"],
+                             checkpoint_dir=str(tmp_path / "ckpt_b"))
+    q2.awaitTermination(300)
+    final = spark.read.parquet(target)
+    assert final.count() == n1
+    assert final.distinct().count() == n1

@@ -54,9 +54,23 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
     jvm_queries = [n for n in QUERIES
                    if not n.startswith(("src_", "mm_", "stream_"))
                    # deliberate Arrow-batched Python paths (documented):
-                   and n not in ("dedup_embedding_blocked", "grouped_ols")]
+                   and n not in ("dedup_embedding_blocked", "grouped_ols",
+                                 "dedup_embedding")]
     for name in jvm_queries:
         assert_no_python_udf(QUERIES[name](spark, sf_dir))
+
+
+def test_neardup_defaults_have_no_nested_loop_join(spark, sf_dir):
+    """The registered near-dup queries must never plan an O(n²) row join:
+    dedup_embedding's default is now blocked-GEMM candidates + fold
+    verify, and dedup_ngram_jaccard equi-joins on shingle hashes."""
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+
+    for name in ("dedup_embedding", "dedup_ngram_jaccard"):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, \
+            f"O(n^2) nested-loop join in {name}:\n{plan}"
+        assert "CartesianProduct" not in plan
 
 
 def test_q1_single_shuffle(spark, sf_dir):
