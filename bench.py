@@ -29,6 +29,7 @@ HEADLINE = [
     "time_window_agg",       # tumbling-window agg
     "dedup_minhash_lsh",     # minhash signatures + LSH banding
     "dedup_ngram_jaccard",   # shingle self-join set similarity
+    "dedup_embedding",       # blocked-GEMM exact near-dup (r2 default)
     "ann_bruteforce",        # broadcast-query exact top-k
     "text_quality",          # per-row text metrics
 ]
@@ -58,6 +59,19 @@ def main() -> None:
         results[name] = round(dt, 3)
         total += dt
         spark.catalog.clearCache()
+    # full-suite wall: every registered query once, no warm — the
+    # round-over-round regression tripwire for the non-headline surface
+    suite_total, suite_n = 0.0, 0
+    if os.environ.get("SPARK_GRAFT_SKIP_SUITE") != "1":
+        t0 = time.time()
+        for name, fn in QUERIES.items():
+            try:
+                fn(spark, sf_dir).collect()
+                suite_n += 1
+            except Exception:
+                pass  # bench must still emit its one JSON line
+            spark.catalog.clearCache()
+        suite_total = time.time() - t0
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -68,6 +82,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": results,
+        "full_suite_sec": round(suite_total, 3),
+        "full_suite_queries": suite_n,
         "sf": sf_val,
     }))
 

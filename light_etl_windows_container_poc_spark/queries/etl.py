@@ -328,3 +328,45 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (snapshot_diff(old, new, ["c_custkey"], "v")
             .select("c_custkey", "old_val", "new_val", "status")
             .orderBy("c_custkey"))
+
+
+# --------------------------------------------------------------------------
+# Excel source end-to-end (reference fileserver.py:131-254 read_excel /
+# read_excel_with_params): build a REAL .xlsx from the nation table with
+# the dependency-free writer, read it back through the distributed
+# binaryFile+mapInPandas reader exercising sheet/skiprows/usecols, and
+# oracle-check the round trip against the original table.
+# --------------------------------------------------------------------------
+@query("src_excel", oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+ORDER BY n_nationkey
+""")
+def src_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.files import read_excel
+    from ..sources.xlsx import build_xlsx_bytes
+
+    nation = load_tables(spark, sf_dir, ("nation",))["nation"]
+    rows = nation.orderBy("n_nationkey").collect()  # 25 rows at any SF
+    grid = [["nation export", None, None, None],   # skiprows target
+            ["n_nationkey", "n_name", "junk", "n_regionkey"]]
+    grid += [[int(r.n_nationkey), r.n_name, "x", int(r.n_regionkey)]
+             for r in rows]
+    book = build_xlsx_bytes({"meta": [["ignore me"]], "nation": grid})
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_xlsx_{tag}")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "nation.xlsx"), "wb") as fh:
+        fh.write(book)
+    df = read_excel(
+        spark, out_dir,
+        "n_nationkey long, n_name string, n_regionkey long",
+        sheet_name="nation", skiprows=1, usecols="A:B,D",
+        include_source_path=False)
+    return df.orderBy("n_nationkey")

@@ -51,6 +51,45 @@ def write_jdbc(df: DataFrame, url: str, table: str,
         .option("dbtable", table).options(**options).save()
 
 
+def write_dbapi(df: DataFrame, connect_factory, table: str,
+                batch_size: int = 1000, paramstyle: str = "qmark") -> None:
+    """Relational-DB sink through any PEP-249 driver, no JDBC jar needed:
+    each PARTITION opens its own connection via ``connect_factory`` (must
+    be picklable — a top-level function or functools.partial) and inserts
+    in ``batch_size`` executemany chunks.
+
+    This is the reference's chunked pandas ``to_sql(..., chunksize=1000)``
+    append (`database_postgres.py:10-44`) with the row loop distributed:
+    N partitions stream concurrently into the database instead of one
+    driver-side loop. ``paramstyle``: 'qmark' (sqlite3/duckdb) or
+    'format' (psycopg2/mysql). Chunks commit per batch, matching the
+    reference's incremental-commit behavior.
+    """
+    cols = df.columns
+    ph = "%s" if paramstyle == "format" else "?"
+    insert = (f"INSERT INTO {table} ({', '.join(cols)}) "
+              f"VALUES ({', '.join([ph] * len(cols))})")
+
+    def write_partition(rows) -> None:
+        conn = connect_factory()
+        try:
+            cur = conn.cursor()
+            buf = []
+            for row in rows:
+                buf.append(tuple(row))
+                if len(buf) >= batch_size:
+                    cur.executemany(insert, buf)
+                    conn.commit()
+                    buf = []
+            if buf:
+                cur.executemany(insert, buf)
+                conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(write_partition)
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
                       fmt: str = "parquet") -> None:
     """Partitioned warehouse write: downstream queries filtering on the

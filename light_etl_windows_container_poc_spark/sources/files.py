@@ -106,11 +106,12 @@ def read_excel(spark: SparkSession, path: str, schema_ddl: str,
     """Excel reader (sheet / skiprows / nrows / usecols — the reference
     fileserver's read_excel_with_params surface, `fileserver.py:201-254`).
 
-    Plumbing is fully distributed (binaryFile + mapInPandas, one workbook
-    per executor task); the byte-level decode needs openpyxl, which this
-    image doesn't ship — the task raises a clear error at run time. The
-    operator's Spark-side shape (schema contract, partitioning, batch
-    iteration) is real and tested via the gate test.
+    Fully functional in-image: each workbook decodes on an executor with
+    the dependency-free SpreadsheetML parser (`sources/xlsx.py` — zipfile
+    + xml.etree, no openpyxl). Distributed shape: binaryFile listing +
+    mapInPandas, one workbook per task, Arrow-batched output. Legacy
+    binary .xls/.xlsb files are not zip archives and raise a clear
+    NotImplementedError naming the file.
     """
     from ..session import ensure_package_on_executors
 
@@ -122,18 +123,22 @@ def read_excel(spark: SparkSession, path: str, schema_ddl: str,
     target = spark.createDataFrame([], out_ddl).schema
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import openpyxl  # noqa: F401
-        except ImportError as e:  # pragma: no cover - image lacks the lib
-            raise NotImplementedError(
-                "Excel decode requires openpyxl, which is not available in "
-                "this image; read_excel's Spark plumbing is complete — add "
-                "openpyxl to the cluster image to enable it.") from e
+        import zipfile
+
+        from .xlsx import parse_xlsx
+
         for pdf in batches:
             for _, row in pdf.iterrows():
-                parsed = pd.read_excel(io.BytesIO(bytes(row["content"])),
-                                       sheet_name=sheet_name, skiprows=skiprows,
-                                       nrows=nrows, usecols=usecols)
+                try:
+                    parsed = parse_xlsx(bytes(row["content"]),
+                                        sheet_name=sheet_name,
+                                        skiprows=skiprows, nrows=nrows,
+                                        usecols=usecols)
+                except zipfile.BadZipFile as e:
+                    raise NotImplementedError(
+                        f"{row['path']}: not an .xlsx (zip) archive — legacy "
+                        "binary .xls/.xlsb needs xlrd/pyxlsb, absent from "
+                        "this image") from e
                 out = pd.DataFrame()
                 for fld in target.fields:
                     if fld.name == "source_path":
@@ -172,8 +177,8 @@ def read_format(spark: SparkSession, path: str, fmt: str,
 
 def list_excel_sheets(spark: SparkSession, path: str) -> DataFrame:
     """Sheet-name listing per workbook (reference fileserver
-    `/sheets/<filename>`, fileserver.py:256). Distributed like read_excel;
-    gated on openpyxl with the same clear error."""
+    `/sheets/<filename>`, fileserver.py:256). Distributed like read_excel,
+    via the dependency-free SpreadsheetML parser."""
     from ..session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)
@@ -182,17 +187,13 @@ def list_excel_sheets(spark: SparkSession, path: str) -> DataFrame:
               .option("recursiveFileLookup", "true").load(path))
 
     def sheets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import openpyxl  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "sheet listing requires openpyxl (not in this image); the "
-                "Spark-side plumbing is complete.") from e
+        from .xlsx import list_sheet_names
+
         for pdf in batches:
             for _, row in pdf.iterrows():
-                xls = pd.ExcelFile(io.BytesIO(bytes(row["content"])))
-                yield pd.DataFrame({"path": [row["path"]] * len(xls.sheet_names),
-                                    "sheet_name": xls.sheet_names})
+                names = list_sheet_names(bytes(row["content"]))
+                yield pd.DataFrame({"path": [row["path"]] * len(names),
+                                    "sheet_name": names})
 
     return binary.select("path", "content").mapInPandas(
         sheets, "path string, sheet_name string")

@@ -1,0 +1,52 @@
+"""DBAPI sink round-trip (reference `database_postgres.py:10-83` writes
+cleaned frames to Postgres in 1000-row chunks; here the same chunked
+executemany append runs per-partition through sqlite3 — the PEP-249
+driver available in-image — and is verified by reading the rows back)."""
+
+import sqlite3
+
+from pyspark.sql import functions as F
+
+from light_etl_windows_container_poc_spark.sinks import write_dbapi
+
+
+def test_write_dbapi_round_trip(spark, tmp_path):
+    db = str(tmp_path / "wh.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE dim_users (user_id INTEGER, name TEXT)")
+
+    df = (spark.range(0, 500)
+          .select(F.col("id").alias("user_id"),
+                  F.concat(F.lit("u"), F.col("id")).alias("name"))
+          .repartition(4))
+
+    def connect(db_path=db):
+        # generous timeout: concurrent partitions serialize on sqlite's
+        # single-writer lock (Postgres has no such constraint)
+        return sqlite3.connect(db_path, timeout=60)
+
+    write_dbapi(df, connect, "dim_users", batch_size=100)
+
+    with sqlite3.connect(db) as conn:
+        n, lo, hi = conn.execute(
+            "SELECT count(*), min(user_id), max(user_id) FROM dim_users"
+        ).fetchone()
+        sample = conn.execute(
+            "SELECT name FROM dim_users WHERE user_id = 42").fetchone()
+    assert (n, lo, hi) == (500, 0, 499)
+    assert sample == ("u42",)
+
+
+def test_write_dbapi_appends(spark, tmp_path):
+    db = str(tmp_path / "append.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE t (x INTEGER)")
+
+    def connect(db_path=db):
+        return sqlite3.connect(db_path, timeout=60)
+
+    small = spark.range(0, 10).select(F.col("id").alias("x")).coalesce(1)
+    write_dbapi(small, connect, "t")
+    write_dbapi(small, connect, "t")   # append-always contract
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT count(*) FROM t").fetchone() == (20,)

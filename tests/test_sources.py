@@ -32,19 +32,40 @@ def test_read_csv_auto_fast_path(spark, csv_dir):
     assert df.collect()[0].name == "Ana"
 
 
-def test_read_excel_is_gated_with_clear_error(spark, tmp_path):
-    (tmp_path / "book.xlsx").write_bytes(b"PK\x03\x04 fake")
+def _write_book(path, sheets):
+    from light_etl_windows_container_poc_spark.sources.xlsx import \
+        build_xlsx_bytes
+    path.write_bytes(build_xlsx_bytes(sheets))
+
+
+def test_read_excel_round_trip(spark, tmp_path):
+    _write_book(tmp_path / "book.xlsx", {"Sheet1": [
+        ["a", "b"], ["Ana", 1.5], ["Bob", 2], ["Łódź", None]]})
     df = read_excel(spark, str(tmp_path), "a string, b double")
-    assert "a" in df.columns and "source_path" in df.columns  # plan builds
-    try:
-        import openpyxl  # noqa: F401
-        have_openpyxl = True
-    except ImportError:
-        have_openpyxl = False
-    if not have_openpyxl:
-        with pytest.raises(Exception) as ei:
-            df.collect()
-        assert "openpyxl" in str(ei.value)
+    rows = {r.a: r.b for r in df.collect()}
+    assert rows == {"Ana": 1.5, "Bob": 2.0, "Łódź": None}
+    assert all(r.source_path.endswith("book.xlsx")
+               for r in df.select("source_path").collect())
+
+
+def test_read_excel_sheet_skiprows_nrows_usecols(spark, tmp_path):
+    _write_book(tmp_path / "multi.xlsx", {
+        "meta": [["junk"]],
+        "data": [["title row", None, None],
+                 ["a", "drop_me", "b"],
+                 ["x", "no", 1], ["y", "no", 2], ["z", "no", 3]]})
+    df = read_excel(spark, str(tmp_path), "a string, b double",
+                    sheet_name="data", skiprows=1, nrows=2, usecols="A,C",
+                    include_source_path=False)
+    assert sorted((r.a, r.b) for r in df.collect()) == [("x", 1.0), ("y", 2.0)]
+
+
+def test_read_excel_legacy_xls_raises_clearly(spark, tmp_path):
+    (tmp_path / "legacy.xls").write_bytes(b"\xd0\xcf\x11\xe0 not a zip")
+    df = read_excel(spark, str(tmp_path), "a string, b double")
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "xls" in str(ei.value)
 
 
 def test_read_json_records(spark):
@@ -64,17 +85,11 @@ def test_read_csv_auto_max_file_size_guard(spark, tmp_path):
     assert names == {"Ana"}  # oversized file rejected before decode
 
 
-def test_list_excel_sheets_gated(spark, tmp_path):
+def test_list_excel_sheets(spark, tmp_path):
     from light_etl_windows_container_poc_spark.sources.files import \
         list_excel_sheets
 
-    (tmp_path / "wb.xlsx").write_bytes(b"PK\x03\x04 fake workbook")
+    _write_book(tmp_path / "wb.xlsx", {"alpha": [["x"]], "beta": [["y"]]})
     df = list_excel_sheets(spark, str(tmp_path))
     assert df.columns == ["path", "sheet_name"]
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        import pytest
-        with pytest.raises(Exception) as ei:
-            df.collect()
-        assert "openpyxl" in str(ei.value)
+    assert [r.sheet_name for r in df.collect()] == ["alpha", "beta"]
