@@ -57,9 +57,10 @@ def load_tables(spark: SparkSession, sf_dir: str,
     ``_fix_nanos`` converts back to a proper TIMESTAMP column, so callers
     always see the logical schema regardless of physical encoding.
     """
-    from .session import ensure_package_on_executors
+    from .session import ensure_package_on_executors, tune_caller_session
 
     ensure_package_on_executors(spark)  # caller-owned sessions included
+    tune_caller_session(spark)
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

@@ -43,6 +43,22 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     sc.addPyFile(zpath)
     sc._letl_pkg_shipped = True
 
+
+# Runtime-settable confs an engine call may tune on a CALLER-OWNED session
+# when they still hold Spark's untouched defaults. A vanilla session runs
+# every shuffle at 200 partitions; on a 32-core local box that is pure
+# scheduling overhead for small stages (AQE coalesces the data but not the
+# task-launch floor on non-AQE-eligible stages). The override keys off the
+# DEFAULT value so a user's (or cluster's) explicit setting always wins.
+def tune_caller_session(spark: SparkSession) -> None:
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(max(cores, 16)))
+    except Exception:
+        pass
+
 # Session timezone is pinned to UTC so timestamp semantics match the
 # DuckDB oracle (naive-UTC) and are cluster-location-independent.
 _DEFAULTS = {
