@@ -101,6 +101,86 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str,
                      min_sh.alias("min_shingle_md5"))
 
 
+def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-word
+    fraction, top-word share, duplicate-2-gram fraction (all exact
+    integer milli-units via floor — floor of an identically-computed IEEE
+    double is engine-portable where round() is not).
+
+    Shape at scale: two explode → two-level groupBy passes (word counts,
+    bigram counts) + one join on the doc id. Everything stays in codegen;
+    docs with zero words drop out (no tokens → no signal).
+    Output: id, n_words, distinct_milli, topword_milli, dup2gram_milli.
+    """
+    did = F.col(id_col)
+    w = words(F.col(text_col))
+    word_stats = (df.select(did.alias("__id"), F.explode(w).alias("word"))
+                  .groupBy("__id", "word")
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .groupBy("__id")
+                  .agg(F.sum("c").alias("n_words"),
+                       F.count(F.lit(1)).alias("n_distinct"),
+                       F.max("c").alias("top_c")))
+    # raw (non-distinct) bigrams — duplicates are the signal here, so this
+    # deliberately does NOT reuse word_shingles (which de-dups)
+    idx = F.sequence(F.lit(1), F.size(w) - 1)
+    bg = F.when(F.size(w) >= 2,
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, 2)))) \
+          .otherwise(F.array().cast("array<string>"))
+    bg_stats = (df.select(did.alias("__id"), F.explode(bg).alias("bg"))
+                .groupBy("__id", "bg")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("__id")
+                .agg(F.sum("c").alias("total2"),
+                     F.count(F.lit(1)).alias("distinct2")))
+    out = (word_stats.join(bg_stats, "__id", "left")
+           .select(F.col("__id").alias(id_col), "n_words",
+                   F.floor(F.col("n_distinct") * 1000.0 / F.col("n_words"))
+                   .alias("distinct_milli"),
+                   F.floor(F.col("top_c") * 1000.0 / F.col("n_words"))
+                   .alias("topword_milli"),
+                   F.floor((F.coalesce(F.col("total2"), F.lit(0))
+                            - F.coalesce(F.col("distinct2"), F.lit(0))) * 1000.0
+                           / F.greatest(F.coalesce(F.col("total2"), F.lit(0)),
+                                        F.lit(1)))
+                   .alias("dup2gram_milli")))
+    return out
+
+
+def gopher_quality_rules(df: DataFrame, text_col: str, id_col: str,
+                         min_words: int = 20, max_words: int = 100_000,
+                         min_word_len_centi: int = 300,
+                         max_word_len_centi: int = 1_000,
+                         min_alpha_milli: int = 600,
+                         min_stopword_hits: int = 2) -> DataFrame:
+    """Composite Gopher-rules quality filter: word-count bounds, mean word
+    length bounds, alphabetic-character fraction, minimum stopword hits.
+    Emits one boolean per rule plus the conjunction (`keep`) so a corpus
+    report can attribute rejections — one codegen'd scan at any scale.
+    """
+    text = F.col(text_col)
+    w = words(text)
+    n_words = F.size(w)
+    total_word_chars = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    word_len_centi = F.floor(total_word_chars * 100.0
+                             / F.greatest(n_words, F.lit(1)))
+    alpha_milli = F.floor(F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+                          * 1000.0 / F.greatest(F.length(text), F.lit(1)))
+    sw = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(sw, F.lower(x))))
+    p_count = n_words.between(min_words, max_words)
+    p_len = word_len_centi.between(min_word_len_centi, max_word_len_centi)
+    p_alpha = alpha_milli >= min_alpha_milli
+    p_stop = stop_hits >= min_stopword_hits
+    return df.select(
+        F.col(id_col),
+        p_count.alias("pass_word_count"),
+        p_len.alias("pass_word_len"),
+        p_alpha.alias("pass_alpha"),
+        p_stop.alias("pass_stopwords"),
+        (p_count & p_len & p_alpha & p_stop).alias("keep"))
+
+
 def clean_text(df: DataFrame, text_col: str,
                out_col: str = "text_clean") -> DataFrame:
     """Normalization pass for training corpora: lowercase, strip

@@ -125,3 +125,48 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     out = _run_to_table(stateful_running_max(stream), "update")
     return out.orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# streaming SESSION windows (session_window + watermark): gap-merged
+# sessions per user, run as a real stream. On a bounded availableNow input
+# the update-mode output equals batch gap-sessionization exactly, so the
+# oracle is the same lag+cumsum SQL the batch sessionize twin uses —
+# Spark merges an event into a session while event_ts < last_ts + gap,
+# i.e. a gap >= 10 min starts a new session.
+# --------------------------------------------------------------------------
+@query("stream_session_window", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""")
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = (stream
+           .withWatermark("ts", "2 hours")
+           .groupBy("user_id", F.session_window("ts", "10 minutes"))
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    out = _run_to_table(agg, "complete")
+    return (out.select("user_id",
+                       F.date_format("session_window.start",
+                                     "yyyy-MM-dd HH:mm:ss")
+                       .alias("session_start"),
+                       "n_events")
+            .orderBy("user_id", "session_start"))

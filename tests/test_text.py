@@ -72,3 +72,40 @@ def test_train_test_split_deterministic_and_proportional(spark, sf_dir):
     assert a == b  # stable across runs
     frac = sum(1 for v in a.values() if v == "test") / len(a)
     assert 0.1 < frac < 0.3  # ~20% ± sampling noise on 500 ids
+
+
+def test_repetition_metrics_edges(spark):
+    from light_etl_windows_container_poc_spark.operators.text import \
+        repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"),            # one word repeated: top share 1000
+         (2, "x"),                  # single word: no bigrams -> dup2 = 0
+         (3, ""),                   # empty: no tokens -> dropped
+         (4, "a b a b a b")],       # alternating: every bigram duplicated
+        "id long, text string")
+    out = {r.id: r for r in repetition_metrics(df, "text", "id").collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].distinct_milli == 250 and out[1].topword_milli == 1000
+    assert out[1].dup2gram_milli == 666          # 3 bigrams, 1 distinct
+    assert out[2].n_words == 1 and out[2].dup2gram_milli == 0
+    assert out[4].distinct_milli == 333          # 2 of 6
+    assert out[4].dup2gram_milli == 600          # 5 bigrams, 2 distinct
+
+
+def test_gopher_rules_flags(spark):
+    from light_etl_windows_container_poc_spark.operators.text import \
+        gopher_quality_rules
+
+    good = "the quick brown fox jumps over the lazy dog and then it " \
+           "runs far away for a while in the sun " * 2
+    df = spark.createDataFrame(
+        [(1, good),                     # passes everything
+         (2, "a b"),                    # too short
+         (3, "1234 5678 " * 30)],       # numeric: alpha fraction fails
+        "id long, text string")
+    out = {r.id: r for r in
+           gopher_quality_rules(df, "text", "id").collect()}
+    assert out[1].keep
+    assert not out[2].pass_word_count and not out[2].keep
+    assert not out[3].pass_alpha and not out[3].keep
