@@ -2,10 +2,13 @@
 
 Media travel as opaque ``binary`` columns with typed metadata; transforms
 run as Arrow-batched mapInPandas so each executor decodes its own batch.
-The actual codec step needs libs this image doesn't ship (PIL/av) — decode
-is gated behind a clear error, with a deterministic fake for exercising
-the full Spark-side path (schema contract, batching, partitioning) in
-tests and downstream operators.
+
+Decode is REAL where stdlib codecs suffice (`decode_media_real`: WAV via
+wave/struct, PNG via zlib with full scanline un-filtering, JPEG/GIF
+header dimensions — see operators/media_codec.py). Formats that genuinely
+need external libs (JPEG pixels, video frames) stay behind a gated error,
+with a deterministic fake for exercising the full Spark-side path
+(schema contract, batching, partitioning) in tests and downstream ops.
 """
 
 from __future__ import annotations
@@ -100,6 +103,68 @@ def decode_and_featurize(df: DataFrame, id_col: str = "id",
     cols = [id_col, content_col] + (
         ["media_type"] if "media_type" in df.columns else [])
     return df.select(*cols).mapInPandas(run, _FEATURE_SCHEMA)
+
+
+_REAL_DECODE_SCHEMA = (
+    "id long, media_type string, sample_rate int, n_samples int, "
+    "duration_ms int, peak_abs int, width int, height int, mean_milli int")
+
+
+def decode_media_real(df: DataFrame, id_col: str = "id",
+                      content_col: str = "content") -> DataFrame:
+    """REAL media decode with the stdlib codecs (`operators/media_codec`):
+    WAV → sample rate / count / duration / peak amplitude; PNG → full
+    pixel decode (un-filtered scanlines) → dimensions + mean-pixel
+    milli-units; JPEG/GIF → header dimensions. Formats needing external
+    codec libraries keep the gated `decode_and_featurize` path.
+
+    Same distributed shape as every decode here: Arrow-batched
+    mapInPandas, one file per row, executor-side work only.
+    """
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codec import (decode_png, decode_wav, gif_dimensions,
+                                  jpeg_dimensions)
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r[content_col])
+                out = {"id": r[id_col], "media_type": None,
+                       "sample_rate": None, "n_samples": None,
+                       "duration_ms": None, "peak_abs": None,
+                       "width": None, "height": None, "mean_milli": None}
+                if raw[:4] == b"RIFF":
+                    meta = decode_wav(raw)
+                    out.update(media_type="audio/wav",
+                               sample_rate=meta["sample_rate"],
+                               n_samples=meta["n_samples"],
+                               duration_ms=meta["duration_ms"],
+                               peak_abs=meta["peak_abs"])
+                elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    meta = decode_png(raw)
+                    px = meta["pixels"]
+                    denom = meta["width"] * meta["height"] * meta["channels"] * 255
+                    out.update(media_type="image/png",
+                               width=meta["width"], height=meta["height"],
+                               mean_milli=sum(px) * 1000 // max(denom, 1))
+                elif raw[:2] == b"\xff\xd8":
+                    w, h = jpeg_dimensions(raw)
+                    out.update(media_type="image/jpeg", width=w, height=h)
+                elif raw[:3] == b"GIF":
+                    w, h = gif_dimensions(raw)
+                    out.update(media_type="image/gif", width=w, height=h)
+                else:
+                    out["media_type"] = "application/octet-stream"
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=[
+                "id", "media_type", "sample_rate", "n_samples",
+                "duration_ms", "peak_abs", "width", "height", "mean_milli"])
+
+    return df.select(id_col, content_col).mapInPandas(run, _REAL_DECODE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, id_col: str = "id",

@@ -97,3 +97,87 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (frames.select("id", "frame_idx",
                           F.length("frame_bytes").alias("frame_len"))
             .orderBy("id", "frame_idx"))
+
+
+# --------------------------------------------------------------------------
+# REAL decode (stdlib codecs): build genuine WAV (even doc_ids) and PNG
+# (odd doc_ids) files from doc_id-deterministic signal/pixel functions,
+# decode them distributed (wave/zlib — operators/media_codec.py), and
+# oracle-check the DECODED properties (rate, samples, duration, peak
+# amplitude, dimensions, mean pixel) against the construction arithmetic.
+# --------------------------------------------------------------------------
+def _real_media_corpus(docs: DataFrame) -> DataFrame:
+    import pandas as pd
+
+    def build(batches):
+        from ..operators.media_codec import build_png_bytes, build_wav_bytes
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                d = int(r["doc_id"])
+                if d % 2 == 0:
+                    n = 160 + d % 50
+                    rate = 8000 + (d % 3) * 4000
+                    samples = [((d * 131 + i * 7919) % 65521) - 32760
+                               for i in range(n)]
+                    content = build_wav_bytes(samples, rate)
+                else:
+                    w, h = 8 + d % 9, 8 + d % 7
+                    px = bytes((d + 3 * x + 7 * y) % 256
+                               for y in range(h) for x in range(w))
+                    content = build_png_bytes(w, h, px)
+                rows.append({"doc_id": d, "content": content})
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return docs.select("doc_id").mapInPandas(build,
+                                             "doc_id long, content binary")
+
+
+@query("mm_decode_real", oracle="""
+WITH wav AS (
+  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sample_rate,
+         160 + doc_id % 50 AS n_samples
+  FROM documents WHERE doc_id % 2 = 0
+),
+wav_i AS (
+  SELECT doc_id, unnest(range(0, n_samples)) AS i FROM wav
+),
+wav_peak AS (
+  SELECT doc_id,
+         max(abs((doc_id * 131 + i * 7919) % 65521 - 32760)) AS peak_abs
+  FROM wav_i GROUP BY doc_id
+),
+png AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 2 = 1
+),
+png_x AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM png),
+png_xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM png_x),
+png_mean AS (
+  SELECT doc_id, w, h,
+         CAST(floor(sum((doc_id + 3 * x + 7 * y) % 256) * 1000.0
+                    / (w * h * 255)) AS BIGINT) AS mean_milli
+  FROM png_xy GROUP BY doc_id, w, h
+)
+SELECT wav.doc_id, 'audio/wav' AS media_type,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(floor(n_samples * 1000.0 / sample_rate) AS BIGINT) AS duration_ms,
+       CAST(peak_abs AS BIGINT) AS peak_abs,
+       NULL AS width, NULL AS height, NULL AS mean_milli
+FROM wav JOIN wav_peak USING (doc_id)
+UNION ALL
+SELECT doc_id, 'image/png', NULL, NULL, NULL, NULL,
+       CAST(w AS BIGINT), CAST(h AS BIGINT), mean_milli
+FROM png_mean
+ORDER BY doc_id
+""")
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_media_real
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corp = _real_media_corpus(docs)
+    return (decode_media_real(corp, id_col="doc_id")
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
