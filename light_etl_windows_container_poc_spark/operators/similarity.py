@@ -234,7 +234,8 @@ def _nprobe_clusters_expr(vec: "F.Column",
 
 
 def kmeans_lite(corpus: DataFrame, id_col: str, vec_col: str,
-                k: int = 8, iterations: int = 2) -> DataFrame:
+                k: int = 8, iterations: int = 2,
+                sample_fraction: float | None = None) -> DataFrame:
     """Deterministic Lloyd iterations for IVF coarse quantization:
     seeds = the k lowest-id vectors; assign → recompute means → repeat.
 
@@ -242,10 +243,18 @@ def kmeans_lite(corpus: DataFrame, id_col: str, vec_col: str,
     (`_nearest_cluster_expr`): assignment is map-only, and the only shuffle
     is the (cluster, dim position) aggregation for the elementwise mean —
     nothing scales with corpus² and centroids stay tiny.
+
+    The training input is persisted across the seed/iteration actions (it
+    is read ``iterations+1`` times). At 100 TB pass ``sample_fraction``:
+    centroid QUALITY needs only a sample, the later full-corpus assignment
+    in `ann_ivf_topk` stays exact, and the persisted footprint becomes
+    sample-sized instead of corpus-sized.
     Returns (cluster, centroid array<double>).
     """
-    c = corpus.select(F.col(id_col).alias("id"),
-                      to_double(F.col(vec_col)).alias("v"))
+    src = corpus if sample_fraction is None else \
+        corpus.sample(fraction=sample_fraction, seed=42)
+    c = src.select(F.col(id_col).alias("id"),
+                   to_double(F.col(vec_col)).alias("v")).persist()
     seeds = (c.orderBy("id").limit(k)
              .select(F.monotonically_increasing_id().alias("_seq"), "v"))
     centroids = [(int(i), [float(x) for x in row.v])
@@ -263,6 +272,7 @@ def kmeans_lite(corpus: DataFrame, id_col: str, vec_col: str,
                          F.transform("pm", lambda s: s.getField("m")).alias("cv")))
         centroids = [(int(r.cluster), [float(x) for x in r.cv])
                      for r in means.collect()]
+    c.unpersist()
     return corpus.sparkSession.createDataFrame(
         centroids, "cluster int, cv array<double>")
 

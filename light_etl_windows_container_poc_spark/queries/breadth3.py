@@ -183,23 +183,28 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.texts import words
     from ..operators.graph import pagerank
-    from pyspark.sql import Window as W
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    d = (docs.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
-         .distinct().persist())
-    f = d.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    # global top-30 via orderBy+limit (TakeOrdered — partial per-partition
-    # top-k, no single-partition global window)
-    top = f.orderBy(F.desc("df"), "word").limit(30).select("word")
-    dd = d.join(F.broadcast(top), "word")
-    a = dd.select("doc_id", F.col("word").alias("w1"))
-    b = dd.select("doc_id", F.col("word").alias("w2"))
-    pairs = (a.join(b, ["doc_id"]).filter(F.col("w1") < F.col("w2"))
-             .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-             .filter(F.col("n_pair") >= 20))
+    w = F.array_distinct(words(F.col("text")))
+    # global top-30 words by document frequency via TakeOrdered (one job);
+    # 30 rows → embed as a literal so co-occurrence needs NO self-join:
+    # per doc, intersect with the top set and emit ordered pairs from the
+    # (≤30-element) array — map-only until the final pair count
+    top = [r["word"] for r in
+           (docs.select(F.explode(w).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.desc("df"), "word").limit(30).collect())]
+    tw = F.array_sort(F.array_intersect(w, F.array(*[F.lit(t) for t in top])))
+    pair_arr = F.flatten(F.transform(
+        tw, lambda x: F.filter(F.transform(tw, lambda y: F.struct(
+            x.alias("w1"), y.alias("w2"))), lambda s: s.w1 < s.w2)))
+    pairs = (docs.select(F.explode(pair_arr).alias("p"))
+             .groupBy("p").agg(F.count(F.lit(1)).alias("n_pair"))
+             .filter(F.col("n_pair") >= 20)
+             .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
     edges = (pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
              .union(pairs.select(F.col("w2").alias("src"),
                                  F.col("w1").alias("dst"))))
-    return (pagerank(edges, iterations=6, dangling_correction=False)
+    return (pagerank(edges, iterations=6, dangling_correction=False,
+                     eager_checkpoint=False)
             .orderBy(F.desc("pr"), "node"))
