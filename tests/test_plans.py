@@ -121,3 +121,36 @@ def test_pack_sequences_no_global_window_over_corpus(spark, sf_dir):
     # the per-doc running sum window must carry a partition spec
     assert "Window [" in plan or "Window" in plan
     assert_broadcast_join(QUERIES["pack_sequences"](spark, sf_dir), 1)
+
+
+def test_heavy_pair_joins_are_equi_joins(spark, sf_dir):
+    """Every candidate-pair generator must join on an equi-key (bucket,
+    shingle hash, band hash, time bucket) — a nested-loop or cartesian
+    node here is the O(n²) shape that dies at corpus scale."""
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "asof_join",
+                 "range_join", "fuzzy_join_parts", "ann_lsh"):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q9_broadcasts_dimensions(spark, sf_dir):
+    # part, supplier, nation are all broadcast-sized at any SF
+    assert_broadcast_join(QUERIES["q9_product_profit"](spark, sf_dir), 2)
+
+
+def test_ivf_corpus_assignment_is_map_only(spark, sf_dir):
+    """IVF centroid assignment must not shuffle the corpus: literal
+    centroids → the only exchanges are the probe join + top-k window."""
+    from light_etl_windows_container_poc_spark.operators.similarity import (
+        _prep, _nearest_cluster_expr)
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    c = _prep(emb, "vec_id", "embedding", "n_id", "nv", "nn")
+    assigned = c.withColumn("cluster", _nearest_cluster_expr(
+        F.col("nv"), [(0, [0.1] * 64), (1, [0.2] * 64)]))
+    plan = formatted_plan(assigned)
+    assert "Exchange" not in plan  # pure map-side: scan + project only
