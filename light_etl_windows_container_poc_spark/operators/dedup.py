@@ -59,9 +59,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     if hash_shingles:
         sh = sh.select("doc", F.xxhash64("s").alias("s"))
     if max_df is not None:
+        # the hot set (df > max_df) is tiny by construction — broadcast the
+        # anti-join so the shingle stream is filtered map-side instead of
+        # shuffling the whole exploded relation a second time
         hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
                .filter(F.col("df_") > max_df).select("s"))
-        sh = sh.join(hot, "s", "left_anti")
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc").alias("a_id"), "s")
     b = sh.select(F.col("doc").alias("b_id"), "s")
