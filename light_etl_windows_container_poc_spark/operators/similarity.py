@@ -306,6 +306,79 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             .select("q_id", "n_id", "sim", "rank"))
 
 
+def knn_graph_topk(corpus: DataFrame, id_col: str, vec_col: str,
+                   k: int = 3, n_blocks: int = 8, pad: int = 3) -> DataFrame:
+    """Top-k cosine neighbors for EVERY corpus row — the kNN-graph builder
+    (near-dup clustering, label propagation, and diversity sampling all
+    start from this graph).
+
+    Scale shape: vectors pack into ``n_blocks`` row-blocks; every
+    (query-block, corpus-block) grid cell runs ONE numpy GEMM and emits
+    only that cell's top-(k+pad) candidates per query row, so the shuffle
+    carries n·n_blocks·(k+pad) candidate rows — never the n² score matrix.
+    Survivors are re-scored with the exact left-fold expression (bit-
+    identical to `cosine_pairs` / DuckDB's list kernel) and re-ranked, so
+    the result matches the naive all-pairs ranking exactly; ``pad``
+    absorbs any ulp-level GEMM-vs-fold rank flips at each cell's cut line.
+    """
+    import numpy as np
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(corpus.sparkSession)
+    b = corpus.select(F.col(id_col).alias("id"),
+                      to_double(F.col(vec_col)).alias("v"),
+                      (F.col(id_col) % n_blocks).alias("blk"))
+    packed = (b.groupBy("blk")
+              .agg(F.collect_list(F.struct("id", "v")).alias("rows")))
+    grid = (packed.select(F.col("blk").alias("ablk"),
+                          F.col("rows").alias("arows"),
+                          F.explode(F.sequence(F.lit(0),
+                                               F.lit(n_blocks - 1))).alias("bblk"))
+            .join(packed.select(F.col("blk").alias("bblk"),
+                                F.col("rows").alias("brows")), "bblk")
+            .repartition(n_blocks * n_blocks))
+    m = k + pad
+
+    def gemm_topk(batches):
+        import pandas as pd
+
+        def empty():
+            return pd.DataFrame({"q_id": np.array([], dtype=np.int64),
+                                 "n_id": np.array([], dtype=np.int64)})
+
+        for pdf in batches:
+            outs = []
+            for _, r in pdf.iterrows():
+                aid = np.array([x["id"] for x in r["arows"]], dtype=np.int64)
+                am = np.array([x["v"] for x in r["arows"]], dtype=np.float64)
+                bid = np.array([x["id"] for x in r["brows"]], dtype=np.int64)
+                bm = np.array([x["v"] for x in r["brows"]], dtype=np.float64)
+                am /= np.linalg.norm(am, axis=1, keepdims=True)
+                bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+                s = am @ bm.T
+                s[aid[:, None] == bid[None, :]] = -np.inf  # no self-edges
+                t = min(m, s.shape[1])
+                idx = np.argpartition(-s, t - 1, axis=1)[:, :t]
+                sims = np.take_along_axis(s, idx, axis=1).ravel()
+                keep = np.isfinite(sims)
+                outs.append(pd.DataFrame({
+                    "q_id": np.repeat(aid, t)[keep],
+                    "n_id": bid[idx.ravel()][keep]}))
+            yield pd.concat(outs) if outs else empty()
+
+    cand = grid.mapInPandas(gemm_topk, "q_id long, n_id long")
+    q = _prep(corpus, id_col, vec_col, "q_id", "qv", "nq")
+    c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
+    scored = (cand.join(q, "q_id").join(c, "n_id")
+              .withColumn("sim", dot(F.col("qv"), F.col("nv"))
+                          / (F.col("nq") * F.col("nn"))))
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "sim", "rank"))
+
+
 def cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
                          threshold: float, n_blocks: int = 16,
                          ) -> DataFrame:

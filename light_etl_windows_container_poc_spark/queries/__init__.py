@@ -23,3 +23,4 @@ from . import breadth8  # noqa: F401,E402
 from . import breadth9  # noqa: F401,E402
 from . import breadth10  # noqa: F401,E402
 from . import breadth11  # noqa: F401,E402
+from . import breadth12  # noqa: F401,E402

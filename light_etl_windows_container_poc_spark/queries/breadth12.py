@@ -1,0 +1,279 @@
+"""Training-corpus curation breadth: per-domain cap sampling, C4-style
+repeated-block stripping, corpus bigram-LM document scoring, int8
+embedding quantization, and the full kNN graph.
+
+These are the remaining first-class ops a 100 TB pretraining pipeline
+runs between raw crawl and tokenizer:
+
+- `domain_cap` rebalances a crawl dominated by a few hot domains by
+  keeping a deterministic priority sample of at most N docs per source.
+- `boilerplate_strip` is bulk exact-substring dedup at block granularity
+  (the C4 recipe uses 3-sentence spans; word-soup test docs use 3-word
+  blocks): a block repeated ≥ K times corpus-wide is template text and is
+  removed from every document, preserving the remaining text order.
+- `text_bigram_lm` scores documents by mean corpus bigram conditional
+  probability — the KenLM-style fluency filter, in exact integer
+  micro-units (ln is not engine-portable; the rational is).
+- `embed_quantize` is symmetric per-vector int8 quantization: the 4×
+  memory cut that makes a 100 TB ANN index fit, with integer-exact
+  outputs (quantized norms and a quantized dot product) in both engines.
+- `knn_graph` builds top-k cosine neighbors for EVERY row via the
+  block-GEMM candidate path (operators/similarity.knn_graph_topk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.texts import words
+from ..functions.vectors import dot, to_double
+from .registry import query
+
+_BLOCK = 3       # words per block (C4 uses 3 sentences; soup docs → words)
+_HOT_DF = 3      # blocks appearing ≥ this many times corpus-wide are boilerplate
+_CAP = 15        # max docs kept per source
+
+
+# --------------------------------------------------------------------------
+# per-domain cap: deterministic priority sample of ≤ N docs per source
+# --------------------------------------------------------------------------
+@query("domain_cap", oracle=f"""
+SELECT source, doc_id, CAST(rk AS INT) AS rk
+FROM (SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id) AS rk
+      FROM documents)
+WHERE rk <= {_CAP}
+ORDER BY source, doc_id
+""")
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap documents per source at {_CAP} using an md5 priority order:
+    id-stable (a doc keeps/loses its slot independent of scan order or
+    cluster size) and uniform within each source.
+
+    Scale note: the window sorts each source's rows; for a pathological
+    single domain holding billions of rows, pre-filter with an
+    approximate md5 threshold (cap/count estimate from a sketch) so the
+    exact window runs on ~cap-sized survivors. The md5 key makes that
+    two-phase refinement exact-compatible."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pri = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("cap")))
+    w = W.partitionBy("source").orderBy(pri, "doc_id")
+    return (docs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _CAP)
+            .select("source", "doc_id", "rk")
+            .orderBy("source", "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# C4-style repeated-block strip: drop every block occurring ≥ K times
+# corpus-wide, reassemble the remaining text in order
+# --------------------------------------------------------------------------
+@query("boilerplate_strip", oracle=f"""
+WITH wrds AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+idx AS (SELECT doc_id, w,
+               unnest(range(0, CAST(ceil(len(w) / {_BLOCK}.0) AS INT))) AS bi
+        FROM wrds),
+blk AS (SELECT doc_id, bi,
+               array_to_string(w[(bi*{_BLOCK}+1):(bi*{_BLOCK}+{_BLOCK})], ' ') AS btext
+        FROM idx),
+hot AS (SELECT btext FROM blk GROUP BY btext HAVING count(*) >= {_HOT_DF}),
+kept AS (SELECT doc_id, bi, btext FROM blk
+         WHERE btext NOT IN (SELECT btext FROM hot)),
+agg AS (SELECT doc_id, string_agg(btext, ' ' ORDER BY bi) AS kept_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+nb AS (SELECT doc_id, CAST(ceil(len(w) / {_BLOCK}.0) AS INT) AS n_blocks
+       FROM wrds)
+SELECT n.doc_id, coalesce(a.kept_text, '') AS kept_text, n.n_blocks,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM nb n LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+""")
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk exact-block dedup (C4 recipe): any {_BLOCK}-word block seen
+    ≥ {_HOT_DF} times across the corpus is removed from every document.
+
+    One explode + one block-key aggregation + one anti-join — shuffle ∝
+    corpus blocks, never doc-pairs. The hot-block relation is the df-skew
+    complement of `boilerplate_shingles` (per-source detect); this op
+    actually REWRITES the text."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = words(F.col("text"))
+    nb = F.ceil(F.size(w) / F.lit(_BLOCK)).cast("int")
+    blocks = F.when(nb > 0, F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.array_join(F.slice(w, i * _BLOCK + 1, _BLOCK), " "))) \
+        .otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", nb.alias("n_blocks"), blocks.alias("blocks"))
+    blk = base.select("doc_id", F.posexplode("blocks").alias("bi", "btext"))
+    hot = (blk.groupBy("btext").agg(F.count(F.lit(1)).alias("df_"))
+           .filter(F.col("df_") >= _HOT_DF).select("btext"))
+    kept = blk.join(hot, "btext", "left_anti")
+    agg = (kept.groupBy("doc_id")
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("bi", "btext"))),
+                        lambda s: s.getField("btext")), " ").alias("kept_text"),
+                F.count(F.lit(1)).alias("n_kept")))
+    return (base.select("doc_id", "n_blocks")
+            .join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+                    "n_blocks",
+                    F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"))
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# corpus bigram-LM document scoring (KenLM-style fluency filter) in exact
+# integer micro-units: P(w2|w1) ≈ C(w1 w2) / C(w1), floored to micro
+# --------------------------------------------------------------------------
+@query("text_bigram_lm", oracle="""
+WITH wrds AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(w) AS tok FROM wrds),
+uc AS (SELECT tok, count(*) AS c_uni FROM toks GROUP BY tok),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM wrds),
+bg AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bgr FROM idx),
+bc AS (SELECT bgr, count(*) AS c_bi FROM bg GROUP BY bgr),
+scored AS (
+  SELECT b.doc_id, (1000000 * bc.c_bi) // uc.c_uni AS prob_micro
+  FROM bg b JOIN bc ON b.bgr = bc.bgr JOIN uc ON b.w1 = uc.tok
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(prob_micro) AS BIGINT) AS sum_prob_micro,
+       CAST(sum(prob_micro) // count(*) AS BIGINT) AS avg_prob_micro
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+""")
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean corpus bigram conditional probability per document — documents
+    whose word transitions are common corpus-wide score high (fluent/
+    templated), rare-transition documents score low (noise). The standard
+    LM quality filter with the LM replaced by the corpus itself.
+
+    prob_micro = (1e6 · C(w1 w2)) div C(w1) is integer division on BIGINT
+    counts: bit-exact in any engine (a float ln/log here is not). Two
+    aggregations (unigram, bigram counts) + one doc-keyed aggregation;
+    the count relations join back on the bigram/token keys."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = words(F.col("text"))
+    base = docs.select("doc_id", w.alias("w"))
+    toks = base.select("doc_id", F.explode("w").alias("tok"))
+    uc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+    bgr_arr = F.when(F.size("w") >= 2, F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 2)))) \
+        .otherwise(F.array().cast("array<string>"))
+    bg = (base.select("doc_id", F.explode(bgr_arr).alias("bgr"))
+          .withColumn("w1", F.split_part(F.col("bgr"), F.lit(" "), F.lit(1))))
+    bc = bg.groupBy("bgr").agg(F.count(F.lit(1)).alias("c_bi"))
+    scored = (bg.join(bc, "bgr").join(uc, bg.w1 == uc.tok)
+              .select("doc_id",
+                      F.expr("(1000000 * c_bi) div c_uni").alias("prob_micro")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("prob_micro").cast("long").alias("sum_prob_micro"))
+            .withColumn("avg_prob_micro",
+                        F.expr("sum_prob_micro div n_bigrams").cast("long"))
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# symmetric int8 embedding quantization — integer-exact in both engines
+# --------------------------------------------------------------------------
+@query("embed_quantize", oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs FROM v),
+q AS (SELECT vec_id, maxabs,
+             list_transform(v, x -> CAST(floor(x / (maxabs / 127.0) + 0.5)
+                                         AS BIGINT)) AS qv
+      FROM m),
+q0 AS (SELECT qv AS q0 FROM q WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(floor(maxabs * 1000000 / 127.0 + 0.5) AS BIGINT) AS scale_micro,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_l2sq,
+       CAST(len(list_filter(qv, x -> x <> 0)) AS INT) AS nnz,
+       CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                    i -> qv[i] * q0[i])) AS BIGINT) AS qdot0
+FROM q, q0
+ORDER BY vec_id
+""")
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = round-half-up(x_i/scale) ∈ [-127, 127]. 4× smaller vectors make
+    the difference between an ANN index that fits executor memory at
+    100 TB and one that doesn't; int dot products then rank candidates
+    before a float re-score of the survivors.
+
+    floor(x/scale + 0.5) is the portable rounding form (both engines'
+    round() differ in half-value tie handling across types); every output
+    is integer-derived, so parity is exact. The quantized dot against
+    vector 0 is computed via a broadcast single-row cross join — map-only
+    over the corpus."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = to_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id", v.alias("v"),
+        F.array_max(F.transform(v, F.abs)).alias("maxabs"))
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x / (F.col("maxabs") / F.lit(127.0)) + F.lit(0.5))
+        .cast("long"))
+    q = base.select("vec_id", "maxabs", qv.alias("qv"))
+    q0 = q.filter(F.col("vec_id") == 0).select(F.col("qv").alias("q0"))
+    return (q.crossJoin(F.broadcast(q0))
+            .select("vec_id",
+                    F.floor(F.col("maxabs") * 1_000_000 / F.lit(127.0)
+                            + F.lit(0.5)).cast("long").alias("scale_micro"),
+                    F.aggregate(F.col("qv"), F.lit(0).cast("long"),
+                                lambda a, x: a + x * x).alias("q_l2sq"),
+                    F.size(F.filter(F.col("qv"),
+                                    lambda x: x != 0)).alias("nnz"),
+                    F.aggregate(F.zip_with(F.col("qv"), F.col("q0"),
+                                           lambda x, y: x * y),
+                                F.lit(0).cast("long"),
+                                lambda a, x: a + x).alias("qdot0"))
+            .orderBy("vec_id"))
+
+
+# --------------------------------------------------------------------------
+# full kNN graph: top-k cosine neighbors for every corpus row
+# --------------------------------------------------------------------------
+@query("knn_graph", oracle="""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             list_cosine_similarity(a.v, b.v) AS sim
+      FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+r AS (SELECT q_id, n_id, CAST(round(sim * 1000000) AS BIGINT) AS sim_micro,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, n_id) AS rn
+      FROM s)
+SELECT q_id, n_id, sim_micro, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 3
+ORDER BY q_id, rank
+""")
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors for EVERY embedding row via the block-GEMM
+    candidate path + exact fold re-score (same rows as the naive n² rank;
+    see operators/similarity.knn_graph_topk for the scale argument)."""
+    from ..operators.similarity import knn_graph_topk
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    topk = knn_graph_topk(emb, "vec_id", "embedding", k=3, n_blocks=8)
+    return (topk.select("q_id", "n_id",
+                        F.round(F.col("sim") * 1_000_000).cast("long")
+                        .alias("sim_micro"), "rank")
+            .orderBy("q_id", "rank"))
