@@ -106,17 +106,24 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of `boilerplate_shingles` (per-source detect); this op
     actually REWRITES the text."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    w = words(F.col("text"))
-    nb = F.ceil(F.size(w) / F.lit(_BLOCK)).cast("int")
+    # materialize the word split ONCE: with `w` inlined, CollapseProject
+    # rewrites every slice() in the block lambda to re-split the text —
+    # O(tokens × blocks) per doc instead of O(tokens) (measured 4×)
+    wtab = docs.select("doc_id", words(F.col("text")).alias("w")).persist()
+    nb = F.ceil(F.size("w") / F.lit(_BLOCK)).cast("int")
     blocks = F.when(nb > 0, F.transform(
         F.sequence(F.lit(0), nb - 1),
-        lambda i: F.array_join(F.slice(w, i * _BLOCK + 1, _BLOCK), " "))) \
+        lambda i: F.array_join(F.slice(F.col("w"), i * _BLOCK + 1, _BLOCK),
+                               " "))) \
         .otherwise(F.array().cast("array<string>"))
-    base = docs.select("doc_id", nb.alias("n_blocks"), blocks.alias("blocks"))
+    base = wtab.select("doc_id", nb.alias("n_blocks"), blocks.alias("blocks"))
     blk = base.select("doc_id", F.posexplode("blocks").alias("bi", "btext"))
     hot = (blk.groupBy("btext").agg(F.count(F.lit(1)).alias("df_"))
            .filter(F.col("df_") >= _HOT_DF).select("btext"))
-    kept = blk.join(hot, "btext", "left_anti")
+    # hot blocks are the df-distribution tail — tiny relative to the block
+    # stream; broadcasting the anti-join filters map-side instead of
+    # shuffling every block a second time
+    kept = blk.join(F.broadcast(hot), "btext", "left_anti")
     agg = (kept.groupBy("doc_id")
            .agg(F.array_join(
                     F.transform(

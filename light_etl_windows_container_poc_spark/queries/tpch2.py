@@ -176,9 +176,19 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_approx_distinct")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return (li.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-                 F.count_distinct("l_orderkey").alias("exact_orders"))
+    # approx and exact run as SEPARATE aggregations joined at the end:
+    # combining them in one .agg() plans an Expand (every input row
+    # duplicated per distinct-aggregate branch) and a single huge
+    # whole-stage-codegen method whose janino compile measured ~6s and
+    # recompiled per run; split, each plan is small, compiles in ms, and
+    # the scan feeds a plain partial-agg pipeline with no row doubling
+    apx = (li.groupBy("l_returnflag")
+           .agg(F.approx_count_distinct("l_orderkey", 0.02)
+                .alias("approx_orders")))
+    ex = (li.groupBy("l_returnflag")
+          .agg(F.count_distinct("l_orderkey").alias("exact_orders")))
+    return (apx.join(ex, "l_returnflag")
+            .select("l_returnflag", "approx_orders", "exact_orders")
             .orderBy("l_returnflag"))
 
 
