@@ -55,7 +55,7 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
                    if not n.startswith(("src_", "mm_", "stream_"))
                    # deliberate Arrow-batched Python paths (documented):
                    and n not in ("dedup_embedding_blocked", "grouped_ols",
-                                 "dedup_embedding")]
+                                 "dedup_embedding", "knn_graph")]
     for name in jvm_queries:
         assert_no_python_udf(QUERIES[name](spark, sf_dir))
 
