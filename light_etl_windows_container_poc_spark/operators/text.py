@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.texts import words
+from ..functions.texts import word_ngrams_raw, words
 
 # Small high-frequency stopword sets per language (public knowledge).
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -122,11 +122,8 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                        F.count(F.lit(1)).alias("n_distinct"),
                        F.max("c").alias("top_c")))
     # raw (non-distinct) bigrams — duplicates are the signal here, so this
-    # deliberately does NOT reuse word_shingles (which de-dups)
-    idx = F.sequence(F.lit(1), F.size(w) - 1)
-    bg = F.when(F.size(w) >= 2,
-                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, 2)))) \
-          .otherwise(F.array().cast("array<string>"))
+    # uses word_ngrams_raw, not word_shingles (which de-dups)
+    bg = word_ngrams_raw(F.col(text_col), 2)
     bg_stats = (df.select(did.alias("__id"), F.explode(bg).alias("bg"))
                 .groupBy("__id", "bg")
                 .agg(F.count(F.lit(1)).alias("c"))

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions.texts import words
+from ..functions.texts import word_ngrams_raw, words
 from ..functions.vectors import dot, to_double
 from .registry import query
 
@@ -175,15 +175,10 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations (unigram, bigram counts) + one doc-keyed aggregation;
     the count relations join back on the bigram/token keys."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    w = words(F.col("text"))
-    base = docs.select("doc_id", w.alias("w"))
-    toks = base.select("doc_id", F.explode("w").alias("tok"))
+    toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
     uc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
-    bgr_arr = F.when(F.size("w") >= 2, F.transform(
-        F.sequence(F.lit(1), F.size("w") - 1),
-        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 2)))) \
-        .otherwise(F.array().cast("array<string>"))
-    bg = (base.select("doc_id", F.explode(bgr_arr).alias("bgr"))
+    bg = (docs.select("doc_id",
+                      F.explode(word_ngrams_raw(F.col("text"), 2)).alias("bgr"))
           .withColumn("w1", F.split_part(F.col("bgr"), F.lit(" "), F.lit(1))))
     bc = bg.groupBy("bgr").agg(F.count(F.lit(1)).alias("c_bi"))
     scored = (bg.join(bc, "bgr").join(uc, bg.w1 == uc.tok)
