@@ -198,11 +198,17 @@ FROM b GROUP BY l_returnflag ORDER BY l_returnflag
 def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     cents = _units(F.col("l_extendedprice"), 100)
+    # ONE percentile aggregate with an array of probabilities: median and
+    # both quartiles share a single value buffer per group instead of
+    # three independent ones (3x less aggregation state and sort work)
+    p = F.percentile("cents", F.array(F.lit(0.5), F.lit(0.25), F.lit(0.75)))
     return (li.select("l_returnflag", cents.alias("cents"))
             .groupBy("l_returnflag")
-            .agg(F.median("cents").alias("med_cents"),
-                 F.percentile("cents", F.lit(0.25)).alias("p25_cents"),
-                 F.percentile("cents", F.lit(0.75)).alias("p75_cents"))
+            .agg(p.alias("p"))
+            .select("l_returnflag",
+                    F.col("p")[0].alias("med_cents"),
+                    F.col("p")[1].alias("p25_cents"),
+                    F.col("p")[2].alias("p75_cents"))
             .orderBy("l_returnflag"))
 
 
