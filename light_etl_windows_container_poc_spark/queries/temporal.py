@@ -182,3 +182,74 @@ def window_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 window_seconds=3600, out_col="rolling_cents")
             .select("event_id", "rolling_cents")
             .orderBy("event_id"))
+
+
+# --------------------------------------------------------------------------
+# interval-overlap join: concurrent sessions of DIFFERENT users — the
+# interval-join shape (Flink intervalJoin / range-predicate join) Spark
+# lacks natively. Spark plan: explode each interval to the hour buckets it
+# touches → equi-join on bucket → exact overlap filter → dedup; bucket
+# count per interval is bounded by interval length (≤ 1h sessions → ≤ 2
+# buckets), so the join stays an equi-join with linear-ish candidates.
+# The oracle states the same semantics as a plain inequality join.
+# --------------------------------------------------------------------------
+@query("interval_join", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+  FROM flagged
+), iv AS (
+  SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1
+  FROM numbered GROUP BY user_id, sid
+)
+SELECT a.user_id AS a_user, CAST(a.sid AS BIGINT) AS a_sid,
+       b.user_id AS b_user, CAST(b.sid AS BIGINT) AS b_sid,
+       CAST(epoch_us(least(a.t1, b.t1)) - epoch_us(greatest(a.t0, b.t0))
+            AS BIGINT) AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id < b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
+ORDER BY a_user, a_sid, b_user, b_sid
+""")
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (W.partitionBy("user_id").orderBy("ts")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                  > 1800000000), F.lit(1)).otherwise(F.lit(0)))
+    iv = (flagged
+          .withColumn("sid", F.sum("new_session").over(w_run).cast("long"))
+          .groupBy("user_id", "sid")
+          .agg(F.unix_micros(F.min("ts")).alias("u0"),
+               F.unix_micros(F.max("ts")).alias("u1")))
+    # integer `div` bucketing — float division of epoch micros exceeds
+    # double's 2^53 mantissa and can mis-bucket boundary timestamps
+    buckets = F.sequence(F.expr("u0 div 3600000000"),
+                         F.expr("u1 div 3600000000"))
+    def side(p):
+        return iv.select(F.col("user_id").alias(f"{p}_user"),
+                         F.col("sid").alias(f"{p}_sid"),
+                         F.col("u0").alias(f"{p}_u0"),
+                         F.col("u1").alias(f"{p}_u1"),
+                         F.explode(buckets).alias("bk"))
+    return (side("a").join(side("b"), "bk")
+            .filter((F.col("a_user") < F.col("b_user"))
+                    & (F.col("a_u0") <= F.col("b_u1"))
+                    & (F.col("b_u0") <= F.col("a_u1")))
+            .select("a_user", "a_sid", "b_user", "b_sid",
+                    (F.least("a_u1", "b_u1")
+                     - F.greatest("a_u0", "b_u0")).alias("overlap_us"))
+            .dropDuplicates(["a_user", "a_sid", "b_user", "b_sid"])
+            .orderBy("a_user", "a_sid", "b_user", "b_sid"))
