@@ -279,3 +279,73 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("sim") * 1_000_000).cast("long")
                         .alias("sim_micro"), "rank")
             .orderBy("q_id", "rank"))
+
+
+# --------------------------------------------------------------------------
+# per-dimension embedding standardization (the PCA/whitening front step):
+# corpus mean/variance per dimension, then z-scored vectors for a probe
+# set — exact integer micro/milli units end to end
+# --------------------------------------------------------------------------
+@query("embed_standardize", oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos, v FROM v),
+xi AS (SELECT vec_id, CAST(pos AS INT) AS pos,
+              CAST(round(v[pos] * 1000000) AS BIGINT) AS xi
+       FROM x),
+m AS (SELECT pos, count(*) AS n, CAST(sum(xi) AS BIGINT) AS s FROM xi
+      GROUP BY pos),
+st AS (SELECT pos, n, s // n AS mean_micro FROM m),
+var_ AS (SELECT xi.pos,
+                CAST(sum((xi.xi - st.mean_micro) * (xi.xi - st.mean_micro))
+                     // max(st.n) AS BIGINT) AS var_micro2
+         FROM xi JOIN st ON xi.pos = st.pos GROUP BY xi.pos),
+stats AS (SELECT st.pos, st.n, CAST(st.mean_micro AS BIGINT) AS mean_micro,
+                 var_.var_micro2,
+                 CAST(floor(sqrt(CAST(var_.var_micro2 AS DOUBLE))) AS BIGINT)
+                   AS std_micro
+          FROM st JOIN var_ ON st.pos = var_.pos)
+SELECT xi.vec_id, xi.pos AS pos,
+       CAST((xi.xi - stats.mean_micro) * 1000 // stats.std_micro AS BIGINT)
+         AS z_milli,
+       stats.mean_micro, stats.var_micro2
+FROM xi JOIN stats ON xi.pos = stats.pos
+WHERE xi.vec_id % 50 = 0
+ORDER BY vec_id, pos
+""")
+def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-wise standardization over an embedding corpus: per-dimension
+    mean and variance in exact integer units (values quantized to micro
+    once per row; every aggregate and the z-score itself is then integer
+    arithmetic — floor(sqrt) of an exact integer is the one IEEE op used,
+    and sqrt is correctly rounded in every engine).
+
+    Scale shape: posexplode → groupBy(pos) hits exactly `dim` groups with
+    map-side partial aggregation (shuffle carries dim × partitions rows);
+    z-scoring joins the broadcast 64-row stats relation — map-only over
+    the corpus. Truncating `div` matches both engines' toward-zero
+    semantics on negative deviations."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    xi = (emb.select("vec_id",
+                     F.posexplode(to_double(F.col("embedding")))
+                     .alias("pos0", "x"))
+          .select("vec_id", (F.col("pos0") + 1).cast("int").alias("pos"),
+                  F.round(F.col("x") * 1_000_000).cast("long").alias("xi")))
+    m = xi.groupBy("pos").agg(F.count(F.lit(1)).alias("n"),
+                              F.sum("xi").alias("s"))
+    st = m.select("pos", "n", F.expr("s div n").alias("mean_micro"))
+    var_ = (xi.join(F.broadcast(st), "pos")
+            .groupBy("pos")
+            .agg(F.expr("sum((xi - mean_micro) * (xi - mean_micro))"
+                        " div max(n)").alias("var_micro2")))
+    stats = (st.join(var_, "pos")
+             .select("pos", "n", F.col("mean_micro").cast("long").alias("mean_micro"),
+                     F.col("var_micro2").cast("long").alias("var_micro2"),
+                     F.floor(F.sqrt(F.col("var_micro2").cast("double")))
+                     .cast("long").alias("std_micro")))
+    return (xi.filter(F.col("vec_id") % 50 == 0)
+            .join(F.broadcast(stats), "pos")
+            .select("vec_id", "pos",
+                    F.expr("(xi - mean_micro) * 1000 div std_micro")
+                    .cast("long").alias("z_milli"),
+                    "mean_micro", "var_micro2")
+            .orderBy("vec_id", "pos"))
