@@ -154,3 +154,23 @@ def test_ivf_corpus_assignment_is_map_only(spark, sf_dir):
         F.col("nv"), [(0, [0.1] * 64), (1, [0.2] * 64)]))
     plan = formatted_plan(assigned)
     assert "Exchange" not in plan  # pure map-side: scan + project only
+
+
+def test_new_pair_ops_are_bnlj_free(spark, sf_dir):
+    """interval_join (bucket decomposition) and knn_graph (block-GEMM
+    candidates) must never plan a nested-loop pair join; embed_quantize's
+    single-row q0 cross join is the one sanctioned BNLJ (1-row build
+    side, map-only over the corpus)."""
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+
+    for name in ("interval_join", "knn_graph", "domain_cap",
+                 "boilerplate_strip", "text_bigram_lm"):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_embed_standardize_stats_join_is_broadcast(spark, sf_dir):
+    # the 64-row dimension-stats relation must broadcast; the corpus side
+    # never shuffles for the z-score join
+    assert_broadcast_join(QUERIES["embed_standardize"](spark, sf_dir), 1)
