@@ -349,3 +349,100 @@ def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long").alias("z_milli"),
                     "mean_micro", "var_micro2")
             .orderBy("vec_id", "pos"))
+
+
+# --------------------------------------------------------------------------
+# END-TO-END corpus curation: the composed pipeline a pretraining corpus
+# actually runs — Gopher quality gate → exact dedup → near-dup keep-one →
+# deterministic split → per-(split, lang) report. Every stage is one of
+# this repo's operators; the oracle chains the same stages in SQL.
+# --------------------------------------------------------------------------
+@query("curate_corpus", oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, text, lang,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text, lang, t FROM toks
+  WHERE len(t) BETWEEN 20 AND 100000
+    AND floor(coalesce(list_sum(list_transform(t, x -> len(x))), 0) * 100.0
+              / greatest(len(t), 1)) BETWEEN 300 AND 1000
+    AND floor(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000.0
+              / greatest(len(text), 1)) >= 600
+    AND len(list_filter(t, x -> list_contains(
+          ['the','a','and','of','to','in','is','it','that','for'],
+          lower(x)))) >= 2
+),
+ex AS (SELECT * FROM q
+       WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
+idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        FROM ex),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       FROM idx),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a_id, b_id
+),
+good AS (
+  SELECT a_id, b_id FROM pairs
+  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+),
+edges AS (SELECT a_id AS src, b_id AS dst FROM good
+          UNION ALL SELECT b_id, a_id FROM good),
+cc(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+),
+comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+kept AS (SELECT * FROM ex
+         WHERE doc_id NOT IN (SELECT node FROM comp
+                              WHERE node <> component)),
+sp AS (
+  SELECT lang, len(t) AS nw,
+         CASE WHEN CAST(('0x' || substring(
+                    md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 6)) AS BIGINT)
+                   % 1000 < 200
+              THEN 'test' ELSE 'train' END AS split
+  FROM kept
+)
+SELECT split, lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS total_tokens
+FROM sp GROUP BY split, lang
+ORDER BY split, lang
+""")
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass over `documents`:
+
+    1. Gopher quality rules (operators/text.gopher_quality_rules) —
+       one codegen'd scan, each rule attributable.
+    2. Exact dedup — md5 content-hash groupBy, keep the min-id copy.
+    3. Near-dup keep-one — shingle-Jaccard pairs (equi-join on shingles)
+       → connected components → min-id representative per cluster.
+    4. Deterministic md5-bucket train/test split (id-stable).
+    5. Per-(split, lang) doc/token report.
+
+    Each stage's scale shape is argued at its own operator; composition
+    adds no new shuffle beyond the stages themselves."""
+    from ..operators.dedup import (dedup_keep_representatives,
+                                   ngram_jaccard_pairs)
+    from ..operators.text import gopher_quality_rules, train_test_split
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    keep_ids = (gopher_quality_rules(docs, "text", "doc_id")
+                .filter(F.col("keep")).select("doc_id"))
+    quality = docs.join(keep_ids, "doc_id")
+    exact_keep = (quality.groupBy(F.md5("text").alias("h"))
+                  .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    exact = quality.join(exact_keep, "doc_id")
+    pairs = ngram_jaccard_pairs(exact, "doc_id", "text", n=3, threshold=0.8)
+    deduped = dedup_keep_representatives(exact, pairs, "doc_id")
+    sp = train_test_split(deduped, "doc_id", test_permille=200)
+    return (sp.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.size(words(F.col("text")))).cast("long")
+                 .alias("total_tokens"))
+            .orderBy("split", "lang"))
