@@ -7,7 +7,7 @@ in tests/test_scale.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
@@ -106,3 +106,50 @@ def commit_discovered(discovered: DataFrame, state_path: str) -> None:
     next discovery's anti-join because the join requires BOTH path+mtime
     to match a seen entry)."""
     discovered.select("path", "mtime").write.mode("append").parquet(state_path)
+
+
+def capped_priority_sample(df: DataFrame, id_col: str, group_col: str,
+                           cap: int, safety: int = 4) -> DataFrame:
+    """EXACT per-group top-``cap`` priority sample (md5 order — the
+    domain-rebalancing cap) with a map-side threshold pre-filter, so a
+    pathological group holding billions of rows never feeds its full bulk
+    into the row_number sort.
+
+    Priority is the md5 hex string of the salted id; its first-6-hex-digit
+    integer is an ORDER-CONSISTENT PREFIX of the full priority. Per group
+    with n rows, rows with prefix ≥ t ≈ 2^24·cap·safety/n are discarded
+    map-side (an expected cap·safety survivors); if a group keeps at least
+    min(cap, n) survivors, its true top-cap provably all survived (any
+    discarded row is strictly greater in the prefix, hence in the full
+    order). Groups where the pre-filter cut too deep — vanishingly rare at
+    safety=4 but detected exactly — fall back to the unfiltered window.
+
+    Shuffle: group counts (tiny), the ~cap·safety survivors per group, and
+    only fallback groups' full rows. Result is bit-identical to the plain
+    full-sort window (asserted in tests)."""
+    pri = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("cap")))
+    pri24 = F.conv(F.substring(pri, 1, 6), 16, 10).cast("long")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    thr = counts.select(
+        group_col,
+        F.when(F.col("__n") > cap * safety,
+               F.ceil(F.lit(float(1 << 24) * cap * safety) / F.col("__n"))
+               .cast("long"))
+        .otherwise(F.lit(1 << 24)).alias("__thr"),
+        F.least(F.lit(cap).cast("long"), F.col("__n")).alias("__need"))
+    pre = (df.withColumn("__p24", pri24)
+           .join(F.broadcast(thr), group_col)
+           .filter(F.col("__p24") < F.col("__thr")))
+    got = pre.groupBy(group_col).agg(F.count(F.lit(1)).alias("__got"),
+                                     F.max("__need").alias("__need2"))
+    bad = got.filter(F.col("__got") < F.col("__need2")).select(group_col)
+    ok_rows = pre.join(F.broadcast(bad), group_col, "left_anti")
+    fallback_rows = (df.join(F.broadcast(bad), group_col)
+                     .withColumn("__p24", pri24)
+                     .join(F.broadcast(thr), group_col))
+    w = W.partitionBy(group_col).orderBy(pri, F.col(id_col))
+    cols = [c for c in df.columns]
+    return (ok_rows.unionByName(fallback_rows)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= cap)
+            .select(*cols, "rk"))

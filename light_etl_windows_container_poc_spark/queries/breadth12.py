@@ -54,17 +54,17 @@ def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-stable (a doc keeps/loses its slot independent of scan order or
     cluster size) and uniform within each source.
 
-    Scale note: the window sorts each source's rows; for a pathological
-    single domain holding billions of rows, pre-filter with an
-    approximate md5 threshold (cap/count estimate from a sketch) so the
-    exact window runs on ~cap-sized survivors. The md5 key makes that
-    two-phase refinement exact-compatible."""
+    Runs the SCALE path (operators/scale.capped_priority_sample): an
+    order-consistent md5-prefix threshold discards a hot domain's bulk
+    map-side, the exact window sorts only ~cap·safety survivors per
+    group, and groups where the pre-filter provably cut too deep fall
+    back to the full sort — bit-identical to the plain window (asserted
+    in tests/test_scale.py) while never sorting a billion-row domain."""
+    from ..operators.scale import capped_priority_sample
+
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    pri = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("cap")))
-    w = W.partitionBy("source").orderBy(pri, "doc_id")
-    return (docs.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= _CAP)
-            .select("source", "doc_id", "rk")
+    return (capped_priority_sample(docs, "doc_id", "source", cap=_CAP)
+            .select("source", "doc_id", F.col("rk").cast("int").alias("rk"))
             .orderBy("source", "doc_id"))
 
 

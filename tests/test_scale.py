@@ -98,3 +98,28 @@ def test_discover_respects_allowlist_and_skips_empty(spark, tmp_path):
     names = sorted(p.split("/")[-1] for p in
                    [r.path for r in found.collect()])
     assert names == ["good.csv", "sheet.XLSX"]
+
+
+def test_capped_priority_sample_matches_full_sort(spark, sf_dir):
+    """The threshold pre-filtered cap sample must be bit-identical to the
+    plain full-sort window, including when the pre-filter is forced to
+    cut too deep (tiny safety) and the per-group fallback engages."""
+    from pyspark.sql import Window as W
+
+    from light_etl_windows_container_poc_spark.catalog import load_tables
+    from light_etl_windows_container_poc_spark.operators.scale import \
+        capped_priority_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pri = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("cap")))
+    w = W.partitionBy("source").orderBy(pri, "doc_id")
+    truth = sorted(
+        (r.source, r.doc_id, r.rk)
+        for r in docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5).collect())
+    for safety in (4, 1):
+        got = sorted(
+            (r.source, r.doc_id, r.rk)
+            for r in capped_priority_sample(docs, "doc_id", "source",
+                                            cap=5, safety=safety).collect())
+        assert got == truth, f"safety={safety}"
