@@ -446,3 +446,78 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.size(words(F.col("text")))).cast("long")
                  .alias("total_tokens"))
             .orderBy("split", "lang"))
+
+
+# --------------------------------------------------------------------------
+# linear-interpolation imputation: nulls take the time-weighted blend of
+# the nearest non-null neighbors per key (the time-series repair that
+# forward-fill can't do) — exact integer cents/micros end to end
+# --------------------------------------------------------------------------
+@query("impute_linear_interp", oracle="""
+WITH holey AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+  FROM events
+),
+marked AS (
+  SELECT event_id, user_id, cents, us,
+         last_value(CASE WHEN cents IS NOT NULL THEN cents END IGNORE NULLS)
+           OVER wp AS pv,
+         last_value(CASE WHEN cents IS NOT NULL THEN us END IGNORE NULLS)
+           OVER wp AS pu,
+         first_value(CASE WHEN cents IS NOT NULL THEN cents END IGNORE NULLS)
+           OVER wn AS nv,
+         first_value(CASE WHEN cents IS NOT NULL THEN us END IGNORE NULLS)
+           OVER wn AS nu
+  FROM holey
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, cents,
+       CASE WHEN cents IS NOT NULL THEN cents
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            WHEN nu = pu THEN pv
+            ELSE pv + (nv - pv) * (us - pu) // (nu - pu) END AS cents_interp
+FROM marked
+ORDER BY event_id
+""")
+def impute_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear interpolation at null positions: the last and next
+    non-null (value, timestamp) pairs come from two ignore-nulls windows
+    (the value and its timestamp provably come from the same row — the
+    guard nulls both together), endpoints fall back to nearest-known.
+    One shuffle on the key; the blend is integer cents·micros arithmetic
+    with toward-zero div, bit-equal in both engines (product envelope
+    ≤ 2e4 cents × 2.6e12 µs ≈ 5e16 < int64)."""
+    from .tpch import _units
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    holey = ev.select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(_units(F.col("value"), 100)).alias("cents"))
+    wp = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wn = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    known_c = F.when(F.col("cents").isNotNull(), F.col("cents"))
+    known_u = F.when(F.col("cents").isNotNull(), F.col("us"))
+    marked = holey.select(
+        "event_id", "user_id", "cents", "us",
+        F.last(known_c, ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_u, ignorenulls=True).over(wp).alias("pu"),
+        F.first(known_c, ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_u, ignorenulls=True).over(wn).alias("nu"))
+    interp = (F.when(F.col("cents").isNotNull(), F.col("cents"))
+              .when(F.col("pv").isNull(), F.col("nv"))
+              .when(F.col("nv").isNull(), F.col("pv"))
+              .when(F.col("nu") == F.col("pu"), F.col("pv"))
+              .otherwise(F.col("pv") + F.expr(
+                  "(nv - pv) * (us - pu) div (nu - pu)")))
+    return (marked.select("event_id", "user_id", "cents",
+                          interp.cast("long").alias("cents_interp"))
+            .orderBy("event_id"))
