@@ -521,3 +521,46 @@ def impute_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (marked.select("event_id", "user_id", "cents",
                           interp.cast("long").alias("cents_interp"))
             .orderBy("event_id"))
+
+
+# --------------------------------------------------------------------------
+# gaps-and-islands: per-user runs of consecutive same-type events (the
+# row_number-difference trick), longest streak + streak count per type
+# --------------------------------------------------------------------------
+@query("event_streaks", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, grp, count(*) AS streak
+  FROM seq GROUP BY user_id, event_type, grp
+)
+SELECT user_id, event_type,
+       CAST(max(streak) AS BIGINT) AS longest_streak,
+       count(*) AS n_streaks
+FROM runs GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+""")
+def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands via the row_number-difference trick: within a
+    user's timeline, a run of consecutive same-type events shares
+    (global_rn - per-type_rn). Two windows over one user-keyed shuffle
+    (same partitioning — a single Exchange feeds both sorts), then two
+    small aggregations; nothing scales beyond the per-user timeline."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ))
+        .alias("grp"))
+    runs = (seq.groupBy("user_id", "event_type", "grp")
+            .agg(F.count(F.lit(1)).alias("streak")))
+    return (runs.groupBy("user_id", "event_type")
+            .agg(F.max("streak").cast("long").alias("longest_streak"),
+                 F.count(F.lit(1)).alias("n_streaks"))
+            .orderBy("user_id", "event_type"))

@@ -63,3 +63,31 @@ def test_minhash_agreement_tracks_jaccard(spark):
     ).collect()
     for r in out:
         assert abs(r.est - r.true_j) <= 0.15, (r.est, r.true_j)
+
+
+def test_shingle_zipchain_matches_python_reference(spark):
+    """word_shingles / word_ngrams_raw (zip_with-chain forms) must equal
+    the straightforward Python sliding-window reference on adversarial
+    token layouts: empty text, 1..n-1 tokens, exact n, repeats, long
+    runs, multi-whitespace."""
+    from pyspark.sql import functions as F
+
+    from light_etl_windows_container_poc_spark.functions.texts import (
+        word_ngrams_raw, word_shingles)
+
+    texts = ["", " ", "a", "a b", "a b c", "a  b\tc", "a b c d e",
+             "x x x x x x", "a b a b a b a b", " lead", "trail ",
+             " ".join(f"t{i % 7}" for i in range(200))]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    got = {r.id: (list(r.sh), list(r.bg)) for r in
+           df.select("id", word_shingles(F.col("text"), 3).alias("sh"),
+                     word_ngrams_raw(F.col("text"), 2).alias("bg"))
+           .collect()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        ref_sh = list(dict.fromkeys(  # array_distinct keeps first-seen order
+            " ".join(toks[j:j + 3]) for j in range(max(len(toks) - 2, 0))))
+        ref_bg = [" ".join(toks[j:j + 2])
+                  for j in range(max(len(toks) - 1, 0))]
+        assert got[i] == (ref_sh, ref_bg), f"text={t!r}"
