@@ -32,6 +32,8 @@ HEADLINE = [
     "dedup_embedding",       # blocked-GEMM exact near-dup (r2 default)
     "ann_bruteforce",        # broadcast-query exact top-k
     "text_quality",          # per-row text metrics
+    "knn_graph",             # block-GEMM top-k for EVERY row
+    "curate_corpus",         # composed 5-stage curation pipeline
 ]
 
 
