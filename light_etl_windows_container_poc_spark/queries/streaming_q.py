@@ -190,3 +190,42 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("session_start"),
                        "n_events")
             .orderBy("user_id", "session_start"))
+
+
+# --------------------------------------------------------------------------
+# STREAM-STREAM time-bounded join (watermarked): clicks within 10 minutes
+# after a view by the same user. Both sides buffer watermark-bounded
+# state; the time-range condition lets Spark evict rows once the other
+# side's watermark passes v_ts + 10 min. On the bounded availableNow
+# input the inner join emits exactly the batch-SQL result.
+# --------------------------------------------------------------------------
+@query("stream_stream_join", oracle="""
+SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+ORDER BY v.user_id, v_id, c_id
+""")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_stream(spark, sf_dir)
+    views = (src.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("v_ts"),
+                     F.col("event_id").alias("v_id"))
+             .withWatermark("v_ts", "1 hour"))
+    clicks = (_events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("event_id").alias("c_id"))
+              .withWatermark("c_ts", "1 hour"))
+    j = views.join(
+        clicks,
+        F.expr("user_id = c_user AND c_ts >= v_ts "
+               "AND c_ts <= v_ts + interval 10 minutes"))
+    out = _run_to_table(j, "append")
+    return (out.select("user_id", "v_id", "c_id",
+                       (F.unix_micros("c_ts") - F.unix_micros("v_ts"))
+                       .alias("gap_us"))
+            .orderBy("user_id", "v_id", "c_id"))
