@@ -564,3 +564,58 @@ def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("streak").cast("long").alias("longest_streak"),
                  F.count(F.lit(1)).alias("n_streaks"))
             .orderBy("user_id", "event_type"))
+
+
+# --------------------------------------------------------------------------
+# time-hierarchy rollup: week → day → hour subtotals in ONE aggregation
+# pass (ROLLUP over derived calendar keys), grouping() disambiguates the
+# subtotal levels — the hypertable-style multi-granularity rollup
+# --------------------------------------------------------------------------
+@query("time_rollup", oracle="""
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
+       CASE WHEN GROUPING(date_trunc('day', ts)) = 0
+            THEN strftime(date_trunc('day', ts), '%Y-%m-%d') END AS day,
+       CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+            THEN strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') END
+         AS hr,
+       CAST(GROUPING(date_trunc('day', ts)) * 2
+            + GROUPING(date_trunc('hour', ts)) AS INT) AS lvl,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY ROLLUP (date_trunc('week', ts), date_trunc('day', ts),
+                 date_trunc('hour', ts))
+HAVING GROUPING(date_trunc('week', ts)) = 0
+ORDER BY wk, lvl, day NULLS FIRST, hr NULLS FIRST
+""")
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy subtotals (week/day/hour) from one ROLLUP scan:
+    Spark expands each input row once per grouping level and partial-
+    aggregates map-side, so the shuffle carries only group cardinality ×
+    levels — the same single-pass shape TimescaleDB's hierarchical
+    continuous aggregates serve. `lvl` encodes the subtotal depth
+    (0=hour, 1=day, 3=week); the grand total is excluded so every row
+    anchors to a week."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    wk = F.date_trunc("week", F.col("ts"))
+    day = F.date_trunc("day", F.col("ts"))
+    hr = F.date_trunc("hour", F.col("ts"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    rolled = (ev.select(wk.alias("wk0"), day.alias("day0"), hr.alias("hr0"),
+                        cents.alias("c"))
+              .rollup("wk0", "day0", "hr0")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("c").cast("long").alias("cents"),
+                   F.grouping("wk0").alias("g_wk"),
+                   (F.grouping("day0") * 2
+                    + F.grouping("hr0")).cast("int").alias("lvl"))
+              .filter(F.col("g_wk") == 0))
+    return (rolled.select(
+        F.date_format("wk0", "yyyy-MM-dd").alias("wk"),
+        F.when(F.col("lvl").isin(0, 1), F.date_format("day0", "yyyy-MM-dd"))
+        .alias("day"),
+        F.when(F.col("lvl") == 0,
+               F.date_format("hr0", "yyyy-MM-dd HH:mm:ss")).alias("hr"),
+        "lvl", "n", "cents")
+        .orderBy("wk", "lvl", F.col("day").asc_nulls_first(),
+                 F.col("hr").asc_nulls_first()))
