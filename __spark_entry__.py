@@ -28,10 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, _SMOKE_SF_DIR)
 
 
-# The round-1 correctness run certified only the first 50 registered
-# queries (driver budget), leaving 74 registered-but-unchecked. Order the
-# dict so NOT-yet-certified entries run first: whatever budget the driver
-# has, it certifies new surface before re-certifying known-good rows.
+# The driver certifies ~50 queries per round (budget). Order the dict so
+# NOT-yet-certified entries run first, then the one red row from r2, then
+# previously-certified rows oldest-certification-first: whatever budget the
+# driver has, it certifies new surface before re-certifying known-good rows.
 _R01_CERTIFIED = [
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
@@ -51,13 +51,38 @@ _R01_CERTIFIED = [
     "etl_enrich_metadata",
 ]
 
+# CORRECTNESS_r02.json keys (round-2 driver run). 49 green; the one red row
+# (etl_quality_profile, oracle HUGEINT output since cast to BIGINT) is pulled
+# forward for re-certification.
+_R02_CERTIFIED = [
+    "interval_join", "etl_pattern_route", "etl_processing_stats",
+    "etl_file_stats", "etl_quality_profile", "etl_validate_rows",
+    "etl_json_extract", "etl_scd2_merge", "etl_snapshot_diff", "src_excel",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding", "ann_bruteforce", "ann_lsh", "text_token_count",
+    "text_quality", "text_langid", "text_fingerprint", "dedup_clusters",
+    "ann_ivf", "text_tfidf", "text_clean_pii", "corpus_report",
+    "split_train_test", "dedup_keep_one", "stream_window_agg", "stream_dedup",
+    "stream_static_join", "stream_stateful", "stream_session_window",
+    "stream_stream_join", "explode_wordcount", "regex_funcs", "null_funcs",
+    "window_percent_rank", "agg_stats_moments", "agg_median", "text_chunk",
+    "agg_filter", "agg_misc", "agg_histogram", "sample_stratified",
+    "inverted_index", "doc_cooccur", "embed_centroid", "funnel",
+    "cohort_retention",
+]
+
+_RECERTIFY = ["etl_quality_profile"]  # red in r2: must re-run under budget
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    certified = set(_R01_CERTIFIED)
+    certified = set(_R01_CERTIFIED) | set(_R02_CERTIFIED)
     head = [n for n in QUERIES if n not in certified]
-    tail = [n for n in _R01_CERTIFIED if n in QUERIES]
-    return {n: QUERIES[n] for n in (*head, *tail)}
+    redo = [n for n in _RECERTIFY if n in QUERIES]
+    tail_r1 = [n for n in _R01_CERTIFIED if n in QUERIES]
+    tail_r2 = [n for n in _R02_CERTIFIED
+               if n in QUERIES and n not in _RECERTIFY]
+    return {n: QUERIES[n] for n in (*head, *redo, *tail_r1, *tail_r2)}
 
 
 def oracle_sql() -> dict[str, str]:

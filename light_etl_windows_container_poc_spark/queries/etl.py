@@ -205,16 +205,16 @@ def etl_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query("etl_quality_profile", oracle="""
 SELECT 'etype' AS col_name,
-       sum(CASE WHEN etype IS NULL THEN 1 ELSE 0 END) AS null_count,
-       sum(CASE WHEN etype = '' THEN 1 ELSE 0 END) AS blank_count,
+       CAST(sum(CASE WHEN etype IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+       CAST(sum(CASE WHEN etype = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank_count,
        count(DISTINCT etype) AS distinct_count
 FROM (SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS etype,
              CASE WHEN value < 5 THEN '' ELSE CAST(user_id AS VARCHAR) END AS uid
       FROM events) t
 UNION ALL
 SELECT 'uid',
-       sum(CASE WHEN uid IS NULL THEN 1 ELSE 0 END),
-       sum(CASE WHEN uid = '' THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN uid IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN uid = '' THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT uid)
 FROM (SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS etype,
              CASE WHEN value < 5 THEN '' ELSE CAST(user_id AS VARCHAR) END AS uid
