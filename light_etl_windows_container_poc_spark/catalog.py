@@ -32,19 +32,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _fix_nanos(df: DataFrame) -> DataFrame:
-    """Re-type nanosecond timestamps read as long (see nanosAsLong below)
-    back to TIMESTAMP, truncating to microseconds (Spark's native precision,
-    and the same truncation DuckDB's epoch_us applies)."""
+def _fix_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize physical timestamp encodings to plain TIMESTAMP (LTZ).
+
+    The test warehouse has shipped ``ts`` two ways across generations:
+    parquet TIMESTAMP(NANOS) (Spark 4 rejects it; read as int64 via
+    nanosAsLong and re-typed here, truncating to micros — the same
+    truncation DuckDB's epoch_us applies) and parquet timestamp[us] with
+    isAdjustedToUTC=false, which Spark 4's NTZ inference surfaces as
+    TIMESTAMP_NTZ. Queries do epoch arithmetic (``cast(ts as long)``),
+    which NTZ forbids — so NTZ casts to TIMESTAMP here. With the session
+    pinned to UTC (session.py) the naive value IS the UTC wall clock, the
+    exact semantics the DuckDB oracle applies to naive timestamps."""
     from pyspark.sql import functions as F  # local import keeps module light
 
     for field in df.schema.fields:
         meta = field.metadata or {}
-        if meta.get("__is_nanos__") or (field.name == "ts" and field.dataType.simpleString() == "bigint"):
+        kind = field.dataType.simpleString()
+        if meta.get("__is_nanos__") or (field.name == "ts" and kind == "bigint"):
             # integer division: epoch nanos (~1.7e18) exceed double's 2^53
             # mantissa — a float divide here silently drifts by ±1 µs
             df = df.withColumn(field.name,
                                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
@@ -54,7 +65,7 @@ def load_tables(spark: SparkSession, sf_dir: str,
 
     Spark 4 rejects parquet TIMESTAMP(NANOS) outright; the events table
     carries one. ``nanosAsLong`` (runtime-settable) reads it as int64 and
-    ``_fix_nanos`` converts back to a proper TIMESTAMP column, so callers
+    ``_fix_timestamps`` converts back to a proper TIMESTAMP column, so callers
     always see the logical schema regardless of physical encoding.
     """
     from .session import ensure_package_on_executors, tune_caller_session
@@ -76,7 +87,8 @@ def load_tables(spark: SparkSession, sf_dir: str,
     for name in names:
         key = (sf_dir, name)
         if key not in cache:
-            cache[key] = _fix_nanos(spark.read.parquet(table_path(sf_dir, name)))
+            cache[key] = _fix_timestamps(
+                spark.read.parquet(table_path(sf_dir, name)))
         out[name] = cache[key]
     return out
 

@@ -147,8 +147,32 @@ def cosine_topk_pandas(corpus: DataFrame, queries: DataFrame, id_col: str,
             .select("q_id", "n_id", "sim", "rank"))
 
 
+def _auto_n_blocks(df: DataFrame, vec_col: str,
+                   target_block_bytes: int = 8 << 20) -> int:
+    """Derive the GEMM block count from the DATA, not a constant.
+
+    A block is one `collect_list` row: corpus_bytes / n_blocks packed into
+    a single array cell. A static n_blocks therefore grows block size
+    linearly with the corpus and eventually OOMs an executor. One cheap
+    aggregate (count + first vector length — parquet-scan-only, no shuffle)
+    sizes blocks to ``target_block_bytes`` (~8 MB: big enough that the
+    numpy GEMM amortizes, far under task memory). Floored so the block
+    grid still fans out to ~2× the cluster's cores when the corpus is
+    small. Block count does NOT affect results — candidates are exhaustive
+    over the grid — so callers stay bit-identical at any derived value."""
+    row = df.select(F.count(F.lit(1)).alias("n"),
+                    F.first(F.size(F.col(vec_col))).alias("dim")).first()
+    n_rows, dim = row["n"] or 0, row["dim"] or 0
+    row_bytes = dim * 8 + 32  # double elements + array/struct overhead
+    from_mem = -(-(n_rows * row_bytes) // target_block_bytes)  # ceil
+    par = df.sparkSession.sparkContext.defaultParallelism
+    from_par = math.isqrt(max(2 * par - 1, 0)) + 1  # ceil(sqrt(2·par))
+    return max(from_mem, from_par, 1)
+
+
 def cosine_pairs_scaled(df: DataFrame, id_col: str, vec_col: str,
-                        threshold: float, n_blocks: int = 16) -> DataFrame:
+                        threshold: float,
+                        n_blocks: int | None = None) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold with the SCALE-SAFE plan:
     block-GEMM candidate generation (`cosine_pairs_blocked`, slightly
     relaxed threshold to absorb numpy-vs-fold ulp skew) followed by an
@@ -156,7 +180,10 @@ def cosine_pairs_scaled(df: DataFrame, id_col: str, vec_col: str,
     expression `cosine_pairs` uses — so the result is bit-identical to the
     naive all-pairs theta-join, but the O(n²) work happens inside numpy
     GEMMs over ~MB blocks instead of a BroadcastNestedLoopJoin, and the
-    final interpreted folds run only on candidates (≈ output size)."""
+    final interpreted folds run only on candidates (≈ output size).
+
+    ``n_blocks=None`` (default) derives the block count from corpus size
+    (`_auto_n_blocks`) so block memory stays bounded at any scale."""
     cand = (cosine_pairs_blocked(df, id_col, vec_col,
                                  threshold - 1e-9, n_blocks=n_blocks)
             .select("a_id", "b_id"))
@@ -279,14 +306,20 @@ def kmeans_lite(corpus: DataFrame, id_col: str, vec_col: str,
 
 def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                  vec_col: str, k: int = 5, n_clusters: int = 8,
-                 nprobe: int = 3) -> DataFrame:
+                 nprobe: int = 3,
+                 train_sample_fraction: float | None = None) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus to kmeans_lite centroids;
     each query probes its ``nprobe`` nearest centroids and ranks only those
     clusters' vectors. Corpus assignment is a map-only pass against
-    broadcast centroids — the scan never shuffles on data size."""
+    broadcast centroids — the scan never shuffles on data size.
+
+    ``train_sample_fraction`` bounds the k-means TRAINING input (and its
+    persisted footprint) to a sample — at 100 TB centroid quality needs
+    only a sample while the later full-corpus assignment stays exact."""
     centroids = [(int(r["cluster"]), [float(x) for x in r["cv"]])
-                 for r in kmeans_lite(corpus, id_col, vec_col,
-                                      k=n_clusters).collect()]
+                 for r in kmeans_lite(corpus, id_col, vec_col, k=n_clusters,
+                                      sample_fraction=train_sample_fraction
+                                      ).collect()]
     # literal-centroid assignment: the corpus scan is map-only (a windowed
     # argmin here would shuffle k×corpus rows for nothing)
     c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
@@ -307,7 +340,8 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
 
 def knn_graph_topk(corpus: DataFrame, id_col: str, vec_col: str,
-                   k: int = 3, n_blocks: int = 8, pad: int = 3) -> DataFrame:
+                   k: int = 3, n_blocks: int | None = None,
+                   pad: int = 3) -> DataFrame:
     """Top-k cosine neighbors for EVERY corpus row — the kNN-graph builder
     (near-dup clustering, label propagation, and diversity sampling all
     start from this graph).
@@ -320,12 +354,18 @@ def knn_graph_topk(corpus: DataFrame, id_col: str, vec_col: str,
     identical to `cosine_pairs` / DuckDB's list kernel) and re-ranked, so
     the result matches the naive all-pairs ranking exactly; ``pad``
     absorbs any ulp-level GEMM-vs-fold rank flips at each cell's cut line.
+    ``n_blocks=None`` derives the block count from corpus bytes
+    (`_auto_n_blocks`) — every per-cell true-top-k is a superset of the
+    global top-k restricted to that cell, so the result is invariant to
+    the derived value.
     """
     import numpy as np
 
     from ..session import ensure_package_on_executors
 
     ensure_package_on_executors(corpus.sparkSession)
+    if n_blocks is None:
+        n_blocks = _auto_n_blocks(corpus, vec_col)
     b = corpus.select(F.col(id_col).alias("id"),
                       to_double(F.col(vec_col)).alias("v"),
                       (F.col(id_col) % n_blocks).alias("blk"))
@@ -380,7 +420,7 @@ def knn_graph_topk(corpus: DataFrame, id_col: str, vec_col: str,
 
 
 def cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
-                         threshold: float, n_blocks: int = 16,
+                         threshold: float, n_blocks: int | None = None,
                          ) -> DataFrame:
     """Exact all-pairs cosine via BLOCK-MATRIX multiply — the form that
     survives corpus scale. Vectors are packed into ``n_blocks`` row-blocks
@@ -390,12 +430,17 @@ def cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
     expression folds. Same pair set as `cosine_pairs`; sims may differ in
     the last ulp (numpy pairwise summation vs left fold) → rows-only
     outside, equality asserted in tests with tolerance.
+
+    ``n_blocks=None`` derives the count from corpus bytes so a block stays
+    ~8 MB regardless of scale (`_auto_n_blocks`).
     """
     import numpy as np
 
     from ..session import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
+    if n_blocks is None:
+        n_blocks = _auto_n_blocks(df, vec_col)
     b = df.select(F.col(id_col).alias("id"),
                   to_double(F.col(vec_col)).alias("v"),
                   (F.col(id_col) % n_blocks).alias("blk"))

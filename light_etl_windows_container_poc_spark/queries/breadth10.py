@@ -120,16 +120,14 @@ FROM top t, tot
 ORDER BY t.cnt DESC, t.key
 """)
 def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     k = li.groupBy(F.col("l_orderkey").alias("key")) \
         .agg(F.count(F.lit(1)).alias("cnt"))
     tot = li.agg(F.count(F.lit(1)).alias("total_rows"),
                  F.count_distinct("l_orderkey").alias("n_keys"))
-    top = (k.withColumn("rn", F.row_number().over(
-        W.partitionBy().orderBy(F.desc("cnt"), "key")))
-        .filter(F.col("rn") <= 20).drop("rn"))
+    # distributed top-k: |distinct keys| can be billions at 100 TB; a global
+    # window would single-partition it. orderBy+limit → TakeOrderedAndProject.
+    top = k.orderBy(F.desc("cnt"), "key").limit(20)
     return (top.crossJoin(F.broadcast(tot))
             .select("key", "cnt",
                     F.expr("CAST(cnt * 1000 div total_rows AS BIGINT)")

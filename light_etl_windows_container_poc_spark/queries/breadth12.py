@@ -274,7 +274,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_graph_topk
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    topk = knn_graph_topk(emb, "vec_id", "embedding", k=3, n_blocks=8)
+    topk = knn_graph_topk(emb, "vec_id", "embedding", k=3)
     return (topk.select("q_id", "n_id",
                         F.round(F.col("sim") * 1_000_000).cast("long")
                         .alias("sim_micro"), "rank")

@@ -16,7 +16,7 @@ queries/tpch.py `_units`):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
@@ -227,9 +227,10 @@ def doc_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (docs.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
          .distinct().persist())
     f = d.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    top = (f.withColumn("rn", F.row_number().over(
-        W.partitionBy().orderBy(F.desc("df"), "word")))
-        .filter(F.col("rn") <= 30).drop("rn"))
+    # distributed top-k (TakeOrderedAndProject): the vocabulary relation is
+    # |vocab| rows — a global row_number() window would drag all of it to one
+    # partition. orderBy+limit takes per-partition top-30 then merges.
+    top = f.orderBy(F.desc("df"), "word").limit(30)
     dd = d.join(F.broadcast(top), "word")
     a = dd.select(F.col("doc_id"), F.col("word").alias("w1"),
                   F.col("df").alias("df1"))

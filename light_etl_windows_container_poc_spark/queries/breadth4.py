@@ -92,9 +92,12 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sequence packing (concat-and-chunk): docs ordered by id are concatenated
 # into a token stream cut every 512 words; each doc reports its stream
 # offset / bin. The oracle uses one global window; the Spark side gets the
-# IDENTICAL numbers from a two-phase cumulative sum — within-bucket window
-# + broadcast bucket base offsets — so no single-partition window ever
-# touches the full corpus.
+# IDENTICAL numbers from a THREE-level cumulative sum — within-bucket
+# window (corpus rows, partitioned by bucket) + within-superbucket window
+# over bucket totals (corpus/1e3 rows, partitioned by superbucket) + one
+# global window over superbucket totals (corpus/1e6 rows). Every relation
+# a single partition ever sees is ≥1e6× smaller than the corpus: 100B
+# docs → 100k superbucket rows through the one global window.
 # --------------------------------------------------------------------------
 @query("pack_sequences", oracle="""
 WITH t AS (
@@ -121,13 +124,22 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id",
                     F.size(words(F.col("text"))).cast("long").alias("n_words"),
                     (F.col("doc_id") / 1000).cast("long").alias("bucket"))
-    # phase 1: per-bucket totals → cumulative base offset per bucket
-    # (bucket relation is ~corpus/1000 rows; its window is cheap)
-    bw = W.partitionBy().orderBy("bucket") \
+    # phase 1: per-bucket totals → cumulative base offset per bucket,
+    # computed hierarchically so no window's partition scales with corpus
+    bsums = (t.groupBy("bucket").agg(F.sum("n_words").alias("bsum"))
+             .withColumn("sb", F.expr("bucket div 1000")))
+    sw = W.partitionBy("sb").orderBy("bucket") \
         .rowsBetween(W.unboundedPreceding, W.currentRow)
-    bases = (t.groupBy("bucket").agg(F.sum("n_words").alias("bsum"))
-             .withColumn("base", F.sum("bsum").over(bw) - F.col("bsum"))
-             .select("bucket", "base"))
+    within_sb = F.sum("bsum").over(sw) - F.col("bsum")
+    ssums = bsums.groupBy("sb").agg(F.sum("bsum").alias("ssum"))
+    gw = W.partitionBy().orderBy("sb") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    sbases = ssums.withColumn("sbase", F.sum("ssum").over(gw) - F.col("ssum")) \
+        .select("sb", "sbase")
+    bases = (bsums.withColumn("within", within_sb)
+             .join(F.broadcast(sbases), "sb")
+             .select("bucket",
+                     (F.col("sbase") + F.col("within")).alias("base")))
     # phase 2: within-bucket running sum + broadcast base
     ww = W.partitionBy("bucket").orderBy("doc_id") \
         .rowsBetween(W.unboundedPreceding, W.currentRow)

@@ -142,5 +142,5 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return (cosine_pairs_blocked(emb, "vec_id", "embedding",
-                                 threshold=0.45, n_blocks=8)
+                                 threshold=0.45)
             .orderBy("a_id", "b_id"))

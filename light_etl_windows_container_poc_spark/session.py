@@ -58,6 +58,14 @@ def tune_caller_session(spark: SparkSession) -> None:
                            str(max(cores, 16)))
     except Exception:
         pass
+    # Timestamp semantics contract: the warehouse's naive (NTZ-encoded)
+    # timestamps are UTC wall clock, and every query renders/epochs them
+    # under that assumption (matching the DuckDB oracle's naive handling).
+    # Pin the session tz so a caller session on a non-UTC host agrees.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
 
 # Session timezone is pinned to UTC so timestamp semantics match the
 # DuckDB oracle (naive-UTC) and are cluster-location-independent.

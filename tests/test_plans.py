@@ -107,6 +107,20 @@ def test_cooccur_topk_broadcasts(spark, sf_dir):
     assert_broadcast_join(QUERIES["doc_cooccur"](spark, sf_dir), 1)
 
 
+def test_global_topk_is_take_ordered_not_window(spark, sf_dir):
+    """doc_cooccur's top-30 vocabulary and skew_profile's top-20 keys rank
+    a relation that scales with the corpus (|vocab| / |distinct keys|): a
+    global row_number() window would single-partition it. Both must plan
+    the distributed TakeOrderedAndProject instead."""
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+
+    for name in ("doc_cooccur", "skew_profile"):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+        # no partition-less Window over the ranked relation
+        assert "Window [row_number()" not in plan, name
+
+
 def test_embed_centroid_partial_aggregates(spark, sf_dir):
     # posexplode → partial agg map-side → ONE exchange on (label, pos)
     df = QUERIES["embed_centroid"](spark, sf_dir)
@@ -114,12 +128,25 @@ def test_embed_centroid_partial_aggregates(spark, sf_dir):
 
 
 def test_pack_sequences_no_global_window_over_corpus(spark, sf_dir):
-    # the two-phase cumsum must keep the big window partitioned by bucket;
-    # only the tiny bucket-base window may be single-partition
+    """The hierarchical cumsum's windows: per-doc (partitioned by bucket)
+    and per-bucket (partitioned by superbucket) both carry a partition
+    spec; the ONE unpartitioned window ranks only superbucket totals —
+    a corpus/1e6 relation (100B docs → 100k rows), reduced by two
+    aggregations before it reaches the single partition."""
+    import re
+
     plan = QUERIES["pack_sequences"](spark, sf_dir)._jdf.queryExecution() \
         .executedPlan().toString()
-    # the per-doc running sum window must carry a partition spec
-    assert "Window [" in plan or "Window" in plan
+    # windowspecdefinition(partCols..., order...) — a global window has no
+    # partition columns before the first ASC/DESC ordering clause
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    global_specs = [s for s in specs
+                    if s.split(",")[0].strip().endswith(("ASC NULLS FIRST",
+                                                         "DESC NULLS LAST"))]
+    partitioned = [s for s in specs if s not in global_specs]
+    assert len(global_specs) <= 1, plan   # only the superbucket ranking
+    assert len(partitioned) >= 2, plan    # doc-level + bucket-level cumsums
     assert_broadcast_join(QUERIES["pack_sequences"](spark, sf_dir), 1)
 
 

@@ -64,9 +64,12 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     q = emb.filter(F.col("vec_id") % 100 == 0)
     truth = {(r.q_id, r.n_id)
              for r in ann_bruteforce_topk(emb, q, "vec_id", "embedding", k=5).collect()}
+    # sampled training (the 100 TB path): recall must hold when k-means
+    # trains on half the corpus instead of persisting all of it
     approx = {(r.q_id, r.n_id)
               for r in ann_ivf_topk(emb, q, "vec_id", "embedding", k=5,
-                                    n_clusters=4, nprobe=2).collect()}
+                                    n_clusters=4, nprobe=2,
+                                    train_sample_fraction=0.5).collect()}
     recall = len(truth & approx) / len(truth)
     # uniform-random vectors barely cluster (centroids ≈ 0) — the worst
     # case for IVF, like LSH; nprobe/n_clusters = 1/2 of the space still
