@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -44,6 +45,10 @@ def main() -> None:
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if warm_dir == sf_dir or not os.path.isdir(warm_dir):
         warm_dir = None
+    # n≥3 timed runs per query, median reported: single-sample times on
+    # sub-second queries swing ±25% from JIT/GC noise (seen round-over-
+    # round), which medians suppress
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     spark = get_spark("bench")
     results: dict[str, float] = {}
     total = 0.0
@@ -54,13 +59,16 @@ def main() -> None:
         if warm_dir:
             fn(spark, warm_dir).collect()
             spark.catalog.clearCache()
-        df = fn(spark, sf_dir)
-        t0 = time.time()
-        df.collect()
-        dt = time.time() - t0
-        results[name] = round(dt, 3)
-        total += dt
-        spark.catalog.clearCache()
+        times = []
+        for _ in range(repeats):
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            df.collect()
+            times.append(time.time() - t0)
+            spark.catalog.clearCache()
+        med = statistics.median(times)
+        results[name] = round(med, 3)
+        total += med
     # full-suite wall: every registered query once, no warm — the
     # round-over-round regression tripwire for the non-headline surface
     suite_total, suite_n = 0.0, 0

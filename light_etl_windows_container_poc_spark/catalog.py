@@ -76,6 +76,14 @@ def load_tables(spark: SparkSession, sf_dir: str,
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # older/newer Spark without the knob: reader may handle nanos
+    try:
+        # read timestamp[us] (isAdjustedToUTC=false) as plain TIMESTAMP at
+        # the SCAN, not via a post-scan cast: a cast projection on top of
+        # an NTZ column blocks parquet predicate pushdown on that column
+        # (measured: q1/q6 shipdate filters stopped reaching PushedFilters)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass  # _fix_timestamps below still normalizes NTZ if inference is on
     # Parquet file-listing + footer read costs ~50-100ms per table; over a
     # 124-query suite that is seconds of pure overhead. Reuse the (lazy,
     # immutable) scan plans per session — but only for the read-only test
