@@ -97,24 +97,53 @@ def read_csv_auto(spark: SparkSession, path: str,
     return binary.select("path", "content").mapInPandas(parse, target)
 
 
+def parse_workbook(raw: bytes, path: str = "<bytes>",
+                   sheet_name: int | str = 0,
+                   skiprows: int | None = None, nrows: int | None = None,
+                   usecols: str | None = None) -> pd.DataFrame:
+    """Format-sniffing workbook decode: zip magic → SpreadsheetML
+    (.xlsx/.xlsm, `sources/xlsx.py`); OLE2 magic → BIFF8
+    (.xls, `sources/xls_biff.py`); anything else raises naming the file."""
+    from .xls_biff import CFB_MAGIC, parse_xls
+    from .xlsx import parse_xlsx
+
+    if raw[:4] == b"PK\x03\x04":
+        return parse_xlsx(raw, sheet_name=sheet_name, skiprows=skiprows,
+                          nrows=nrows, usecols=usecols)
+    if raw[:8] == CFB_MAGIC:
+        return parse_xls(raw, sheet_name=sheet_name, skiprows=skiprows,
+                         nrows=nrows, usecols=usecols)
+    raise ValueError(f"{path}: not an Excel workbook "
+                     "(neither zip/.xlsx nor OLE2/.xls magic; "
+                     ".xlsb is unsupported)")
+
+
 def read_excel(spark: SparkSession, path: str, schema_ddl: str,
                sheet_name: int | str = 0,
                skiprows: int | None = None,
                nrows: int | None = None,
                usecols: str | None = None,
-               include_source_path: bool = True) -> DataFrame:
+               include_source_path: bool = True,
+               on_error: str = "raise") -> DataFrame:
     """Excel reader (sheet / skiprows / nrows / usecols — the reference
     fileserver's read_excel_with_params surface, `fileserver.py:201-254`).
 
-    Fully functional in-image: each workbook decodes on an executor with
-    the dependency-free SpreadsheetML parser (`sources/xlsx.py` — zipfile
-    + xml.etree, no openpyxl). Distributed shape: binaryFile listing +
-    mapInPandas, one workbook per task, Arrow-batched output. Legacy
-    binary .xls/.xlsb files are not zip archives and raise a clear
-    NotImplementedError naming the file.
+    Fully functional in-image for every format the reference accepts
+    (`fileserver.py:41-44`): .xlsx/.xlsm via the dependency-free
+    SpreadsheetML parser (`sources/xlsx.py`), legacy binary .xls via the
+    BIFF8 parser (`sources/xls_biff.py`) — no openpyxl/xlrd. Distributed
+    shape: binaryFile listing + mapInPandas, one workbook per task,
+    Arrow-batched output.
+
+    ``on_error='quarantine'`` drops undecodable files from the output
+    instead of failing the job; pair with `excel_ingest_log` for the
+    per-file audit trail (the distributed version of the reference
+    watcher's per-file try/except logging).
     """
     from ..session import ensure_package_on_executors
 
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, got {on_error}")
     ensure_package_on_executors(spark)
     binary = (spark.read.format("binaryFile")
               .option("pathGlobFilter", "*.xls*")
@@ -123,22 +152,18 @@ def read_excel(spark: SparkSession, path: str, schema_ddl: str,
     target = spark.createDataFrame([], out_ddl).schema
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zipfile
-
-        from .xlsx import parse_xlsx
-
         for pdf in batches:
             for _, row in pdf.iterrows():
                 try:
-                    parsed = parse_xlsx(bytes(row["content"]),
-                                        sheet_name=sheet_name,
-                                        skiprows=skiprows, nrows=nrows,
-                                        usecols=usecols)
-                except zipfile.BadZipFile as e:
-                    raise NotImplementedError(
-                        f"{row['path']}: not an .xlsx (zip) archive — legacy "
-                        "binary .xls/.xlsb needs xlrd/pyxlsb, absent from "
-                        "this image") from e
+                    parsed = parse_workbook(bytes(row["content"]),
+                                            path=row["path"],
+                                            sheet_name=sheet_name,
+                                            skiprows=skiprows, nrows=nrows,
+                                            usecols=usecols)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue  # quarantined: excel_ingest_log carries why
                 out = pd.DataFrame()
                 for fld in target.fields:
                     if fld.name == "source_path":
@@ -150,6 +175,42 @@ def read_excel(spark: SparkSession, path: str, schema_ddl: str,
                 yield out
 
     return binary.select("path", "content").mapInPandas(parse, target)
+
+
+def excel_ingest_log(spark: SparkSession, path: str,
+                     sheet_name: int | str = 0) -> DataFrame:
+    """Per-file ingest audit: (path, status, n_rows, error) for every
+    workbook under ``path`` — 'ok' or 'quarantined' with the decode error.
+    The reference logs this per file in the watcher loop
+    (`pattern_based_cleaner_watcher.py` error path); here it is a
+    DataFrame a pipeline can sink next to the data."""
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    binary = (spark.read.format("binaryFile")
+              .option("pathGlobFilter", "*.xls*")
+              .option("recursiveFileLookup", "true").load(path))
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "status": [], "n_rows": [], "error": []}
+            for _, row in pdf.iterrows():
+                out["path"].append(row["path"])
+                try:
+                    parsed = parse_workbook(bytes(row["content"]),
+                                            path=row["path"],
+                                            sheet_name=sheet_name)
+                    out["status"].append("ok")
+                    out["n_rows"].append(len(parsed))
+                    out["error"].append(None)
+                except Exception as e:  # noqa: BLE001 — audit must not fail
+                    out["status"].append("quarantined")
+                    out["n_rows"].append(0)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return binary.select("path", "content").mapInPandas(
+        audit, "path string, status string, n_rows long, error string")
 
 
 def read_json_records(spark: SparkSession, records: list[dict],
@@ -187,11 +248,14 @@ def list_excel_sheets(spark: SparkSession, path: str) -> DataFrame:
               .option("recursiveFileLookup", "true").load(path))
 
     def sheets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .xls_biff import CFB_MAGIC, list_xls_sheet_names
         from .xlsx import list_sheet_names
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                names = list_sheet_names(bytes(row["content"]))
+                raw = bytes(row["content"])
+                names = list_xls_sheet_names(raw) \
+                    if raw[:8] == CFB_MAGIC else list_sheet_names(raw)
                 yield pd.DataFrame({"path": [row["path"]] * len(names),
                                     "sheet_name": names})
 

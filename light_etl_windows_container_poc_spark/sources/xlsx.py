@@ -155,15 +155,15 @@ def parse_xlsx_rows(raw: bytes, sheet_name: int | str = 0) -> list[list]:
     return [[r.get(i) for i in range(width)] for r in rows]
 
 
-def parse_xlsx(raw: bytes, sheet_name: int | str = 0,
-               skiprows: int | None = None, nrows: int | None = None,
-               usecols: str | None = None) -> pd.DataFrame:
-    """pandas.read_excel-shaped parse: first (post-skiprows) row is the
-    header, remaining rows are data; ``nrows`` caps DATA rows; ``usecols``
-    is an Excel-letter spec applied before the header is read — the same
-    parameter surface as the reference fileserver's read_excel_with_params
-    (`fileserver.py:201-254`)."""
-    grid = parse_xlsx_rows(raw, sheet_name)
+def grid_to_frame(grid: list[list], skiprows: int | None = None,
+                  nrows: int | None = None,
+                  usecols: str | None = None) -> pd.DataFrame:
+    """pandas.read_excel-shaped framing of a raw cell grid: first
+    (post-skiprows) row is the header, remaining rows are data; ``nrows``
+    caps DATA rows; ``usecols`` is an Excel-letter spec applied before the
+    header is read — the parameter surface of the reference fileserver's
+    read_excel_with_params (`fileserver.py:201-254`). Shared by the .xlsx
+    and legacy .xls (`xls_biff`) codecs."""
     if skiprows:
         grid = grid[skiprows:]
     if not grid:
@@ -178,6 +178,16 @@ def parse_xlsx(raw: bytes, sheet_name: int | str = 0,
     cols = [str(h) if h is not None else f"Unnamed: {i}"
             for i, h in enumerate(header)]
     return pd.DataFrame(data, columns=cols)
+
+
+def parse_xlsx(raw: bytes, sheet_name: int | str = 0,
+               skiprows: int | None = None, nrows: int | None = None,
+               usecols: str | None = None) -> pd.DataFrame:
+    """pandas.read_excel-shaped parse of an .xlsx/.xlsm workbook (both are
+    the same zip-of-SpreadsheetML container; .xlsm merely adds a macro
+    part this reader ignores)."""
+    return grid_to_frame(parse_xlsx_rows(raw, sheet_name),
+                         skiprows=skiprows, nrows=nrows, usecols=usecols)
 
 
 # -- minimal writer (tests / oracle-query fixtures) -------------------------
