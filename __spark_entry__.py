@@ -71,18 +71,58 @@ _R02_CERTIFIED = [
     "cohort_retention",
 ]
 
-_RECERTIFY = ["etl_quality_profile"]  # red in r2: must re-run under budget
+# CORRECTNESS_r03.json keys (round-3 driver run): all 50 green.
+_R03_CERTIFIED = [
+    "gap_fill_daily", "zscore_outliers", "pagerank_words", "contamination",
+    "pack_sequences", "window_range_value", "mm_media_meta", "mm_features",
+    "mm_frame_sample", "mm_decode_real", "fuzzy_join_parts", "window_share",
+    "join_semi", "rolling_uniques", "session_window_agg", "hash_funcs",
+    "sketch_hll_mergeable", "grouped_ols", "sketch_approx_percentile",
+    "cdc_apply", "impute_forward_fill", "impute_group_mean",
+    "dedup_embedding_blocked", "boilerplate_shingles", "text_rarity",
+    "window_moving_avg", "safe_casts", "array_set_ops", "skew_profile",
+    "text_repetition", "quality_gopher_rules", "domain_cap",
+    "boilerplate_strip", "text_bigram_lm", "embed_quantize", "knn_graph",
+    "embed_standardize", "curate_corpus", "impute_linear_interp",
+    "event_streaks", "time_rollup", "etl_quality_profile",
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+    "q10_returned_items", "q14_promo_effect",
+]
+
+# Queries whose CODE (or transitively their operators) changed in round 4:
+# re-certify even if a past round was green. The dedup/ANN rows ride on the
+# multiprobe generalization + _auto_n_blocks memoization in
+# operators/similarity.py; the minhash rows on the banding refactor.
+_RECERTIFY = [
+    "ann_lsh", "ann_ivf", "dedup_minhash_lsh", "dedup_embedding",
+    "dedup_embedding_blocked", "knn_graph", "src_excel",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    certified = set(_R01_CERTIFIED) | set(_R02_CERTIFIED)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Certify-first ordering under the driver's ~50-query budget: never-
+    certified queries first (the round-4 additions), then rows whose code
+    changed this round, then previously-certified rows oldest-round-first.
+    """
+    certified = (set(_R01_CERTIFIED) | set(_R02_CERTIFIED)
+                 | set(_R03_CERTIFIED))
     head = [n for n in QUERIES if n not in certified]
-    redo = [n for n in _RECERTIFY if n in QUERIES]
-    tail_r1 = [n for n in _R01_CERTIFIED if n in QUERIES]
-    tail_r2 = [n for n in _R02_CERTIFIED
-               if n in QUERIES and n not in _RECERTIFY]
-    return {n: QUERIES[n] for n in (*head, *redo, *tail_r1, *tail_r2)}
+    redo = [n for n in _RECERTIFY if n in QUERIES and n in certified]
+    seen = set(head) | set(redo)
+
+    def tail(round_list: list[str]) -> list[str]:
+        out = [n for n in round_list if n in QUERIES and n not in seen]
+        seen.update(out)
+        return out
+
+    tail_r1 = tail(_R01_CERTIFIED)
+    tail_r2 = tail(_R02_CERTIFIED)
+    tail_r3 = tail(_R03_CERTIFIED)
+    return {n: QUERIES[n]
+            for n in (*head, *redo, *tail_r1, *tail_r2, *tail_r3)}
 
 
 def oracle_sql() -> dict[str, str]:

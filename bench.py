@@ -70,18 +70,25 @@ def main() -> None:
         results[name] = round(med, 3)
         total += med
     # full-suite wall: every registered query once, no warm — the
-    # round-over-round regression tripwire for the non-headline surface
+    # round-over-round regression tripwire for the non-headline surface.
+    # Per-query timings feed the tripwire's attribution: a total alone can
+    # regress 1.6× without saying which of 141 queries moved.
     suite_total, suite_n = 0.0, 0
+    suite_times: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SUITE") != "1":
         t0 = time.time()
         for name, fn in QUERIES.items():
+            q0 = time.time()
             try:
                 fn(spark, sf_dir).collect()
                 suite_n += 1
             except Exception:
                 pass  # bench must still emit its one JSON line
+            suite_times[name] = round(time.time() - q0, 3)
             spark.catalog.clearCache()
         suite_total = time.time() - t0
+    slowest = dict(sorted(suite_times.items(),
+                          key=lambda kv: kv[1], reverse=True)[:10])
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -94,6 +101,7 @@ def main() -> None:
         "queries": results,
         "full_suite_sec": round(suite_total, 3),
         "full_suite_queries": suite_n,
+        "full_suite_slowest": slowest,
         "sf": sf_val,
     }))
 

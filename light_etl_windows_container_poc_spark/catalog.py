@@ -72,18 +72,28 @@ def load_tables(spark: SparkSession, sf_dir: str,
 
     ensure_package_on_executors(spark)  # caller-owned sessions included
     tune_caller_session(spark)
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # older/newer Spark without the knob: reader may handle nanos
-    try:
-        # read timestamp[us] (isAdjustedToUTC=false) as plain TIMESTAMP at
-        # the SCAN, not via a post-scan cast: a cast projection on top of
-        # an NTZ column blocks parquet predicate pushdown on that column
-        # (measured: q1/q6 shipdate filters stopped reaching PushedFilters)
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    except Exception:
-        pass  # _fix_timestamps below still normalizes NTZ if inference is on
+    # SESSION-WIDE timestamp-read semantics, deliberately not scoped
+    # per-read: Spark 4.1 has no per-read ParquetOptions key for either
+    # conf, and snapshot-and-restore is unsafe because physical planning
+    # re-reads the session conf at action time — a scan whose schema was
+    # inferred with NTZ off but executed with NTZ on can fail schema
+    # clipping. Policy (same as tune_caller_session): override only while
+    # the conf holds Spark's DEFAULT, so an explicit caller/cluster
+    # setting always wins and the engine's effect is deterministic.
+    for key, default, want in (
+            # nanos-encoded parquet TIMESTAMP(9) reads as int64 (Spark 4
+            # rejects it otherwise); _fix_timestamps re-types to TIMESTAMP
+            ("spark.sql.legacy.parquet.nanosAsLong", "false", "true"),
+            # read timestamp[us] (isAdjustedToUTC=false) as plain TIMESTAMP
+            # at the SCAN, not via a post-scan cast: a cast projection on
+            # an NTZ column blocks parquet predicate pushdown (measured:
+            # q1/q6 shipdate filters stopped reaching PushedFilters)
+            ("spark.sql.parquet.inferTimestampNTZ.enabled", "true", "false")):
+        try:
+            if spark.conf.get(key, default) == default:
+                spark.conf.set(key, want)
+        except Exception:
+            pass  # knob absent: _fix_timestamps still normalizes post-scan
     # Parquet file-listing + footer read costs ~50-100ms per table; over a
     # 124-query suite that is seconds of pure overhead. Reuse the (lazy,
     # immutable) scan plans per session — but only for the read-only test

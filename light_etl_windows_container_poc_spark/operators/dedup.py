@@ -82,6 +82,32 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("a_id", "b_id", "jaccard"))
 
 
+def minhash_band_candidates(sigs: DataFrame, bands: int,
+                            rows: int) -> DataFrame:
+    """LSH banding over a (doc, sig) signature table → candidate pairs
+    (a_id < b_id): pairs whose signatures agree on EVERY row of at least
+    one band (modulo xxhash64 band-key collisions, which can only ADD
+    candidates, never drop one — so band-equality ⇒ candidacy is exact).
+
+    Factored out of `minhash_lsh_pairs` so the banding join can be
+    cross-checked independently (queries/invariants.py compares it against
+    a brute-force all-pairs band-equality scan on a sample)."""
+    band_arr = F.array(*[
+        F.xxhash64(F.concat_ws("_", *[
+            F.element_at("sig", b * rows + r + 1).cast("string")
+            for r in range(rows)]))
+        for b in range(bands)])
+    # band join carries ONLY (doc, band, band_hash); shuffling the 128-long
+    # signature arrays through the join + dropDuplicates measured ~2× slower
+    banded = sigs.select("doc", F.posexplode(band_arr).alias("band", "band_hash"))
+    left = banded.withColumnRenamed("doc", "a_id")
+    right = banded.withColumnRenamed("doc", "b_id")
+    return (left.join(right, ["band", "band_hash"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"]))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 128, bands: int = 32,
                       n: int = 3, threshold: float = 0.8,
@@ -104,20 +130,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                     minhash_signature(F.col(text_col), num_hashes, n, seed)
                     .alias("sig")))
     sigs = sigs.persist()  # reused: banding + per-pair verification
-    band_arr = F.array(*[
-        F.xxhash64(F.concat_ws("_", *[
-            F.element_at("sig", b * rows + r + 1).cast("string")
-            for r in range(rows)]))
-        for b in range(bands)])
-    # band join carries ONLY (doc, band, band_hash); shuffling the 128-long
-    # signature arrays through the join + dropDuplicates measured ~2× slower
-    banded = sigs.select("doc", F.posexplode(band_arr).alias("band", "band_hash"))
-    left = banded.withColumnRenamed("doc", "a_id")
-    right = banded.withColumnRenamed("doc", "b_id")
-    cand = (left.join(right, ["band", "band_hash"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id")
-            .dropDuplicates(["a_id", "b_id"]))
+    cand = minhash_band_candidates(sigs, bands, rows)
     sig_a = sigs.select(F.col("doc").alias("a_id"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("doc").alias("b_id"), F.col("sig").alias("sig_b"))
     return (cand.join(sig_a, "a_id").join(sig_b, "b_id")

@@ -92,13 +92,15 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     q = _prep(queries, id_col, vec_col, "q_id", "qv", "nq").withColumn(
         "qb", hyperplane_sign_bits(F.col("qv"), planes))
     # multiprobe: also visit buckets differing in ≤ `multiprobe` sign bits
-    probes = [F.col("qb")]
-    if multiprobe >= 1:
-        probes += [F.col("qb").bitwiseXOR(F.lit(1 << i))
-                   for i in range(num_planes)]
-    if multiprobe >= 2:
-        probes += [F.col("qb").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-                   for i in range(num_planes) for j in range(i + 1, num_planes)]
+    # (any depth — sum of C(num_planes, d) XOR masks, plan-time literals)
+    from itertools import combinations
+
+    masks = [0]
+    for d in range(1, multiprobe + 1):
+        masks += [sum(1 << i for i in bits)
+                  for bits in combinations(range(num_planes), d)]
+    probes = [F.col("qb").bitwiseXOR(F.lit(m)) if m else F.col("qb")
+              for m in masks]
     q_probed = (q.select("q_id", "qv", "nq",
                          F.explode(F.array(*probes)).alias("bucket")))
     scored = (c.join(F.broadcast(q_probed), "bucket")
@@ -160,9 +162,23 @@ def _auto_n_blocks(df: DataFrame, vec_col: str,
     grid still fans out to ~2× the cluster's cores when the corpus is
     small. Block count does NOT affect results — candidates are exhaustive
     over the grid — so callers stay bit-identical at any derived value."""
-    row = df.select(F.count(F.lit(1)).alias("n"),
-                    F.first(F.size(F.col(vec_col))).alias("dim")).first()
-    n_rows, dim = row["n"] or 0, row["dim"] or 0
+    # memoized per DataFrame object: composed operators (scaled = blocked
+    # candidates + re-score) pass the same df down, and the estimate is a
+    # plan-construction-time scan we should pay at most once
+    memo = df.__dict__.setdefault("_letl_block_est", {})
+    if vec_col in memo:
+        n_rows, dim = memo[vec_col]
+    else:
+        # two tiny jobs instead of one full-column scan: count() needs no
+        # columns (parquet answers it from row-group metadata), and the
+        # dim probe early-stops at the first non-null vector (ignoring
+        # nulls — a null first row would undersize every block)
+        n_rows = df.count()
+        dim_row = (df.filter(F.col(vec_col).isNotNull())
+                   .select(F.size(F.col(vec_col)).alias("dim"))
+                   .limit(1).collect())
+        dim = dim_row[0]["dim"] if dim_row else 0
+        memo[vec_col] = (n_rows, dim)
     row_bytes = dim * 8 + 32  # double elements + array/struct overhead
     from_mem = -(-(n_rows * row_bytes) // target_block_bytes)  # ceil
     par = df.sparkSession.sparkContext.defaultParallelism

@@ -24,3 +24,4 @@ from . import breadth9  # noqa: F401,E402
 from . import breadth10  # noqa: F401,E402
 from . import breadth11  # noqa: F401,E402
 from . import breadth12  # noqa: F401,E402
+from . import invariants  # noqa: F401,E402

@@ -45,8 +45,11 @@ def write_processing_log(spark: SparkSession, warehouse_dir: str,
 def write_jdbc(df: DataFrame, url: str, table: str,
                mode: str = "append", **options) -> None:
     """JDBC sink (Postgres parity, reference `database_postgres.py:10-44`).
-    Requires the JDBC driver jar on the cluster classpath — absent in this
-    image, so the call surfaces Spark's own clear driver-not-found error."""
+    Requires the target database's JDBC driver jar on the cluster
+    classpath (pass ``driver=...`` when the jar doesn't auto-register).
+    Round-trip tested in-image against embedded Apache Derby
+    (tests/test_db_sink.py); for Postgres itself ship postgresql.jar via
+    ``spark.jars`` exactly as the reference ships psycopg2."""
     df.write.mode(mode).format("jdbc").option("url", url) \
         .option("dbtable", table).options(**options).save()
 

@@ -15,8 +15,8 @@ records; the subset a data table needs is:
 
 Out of scope (raise cleanly): BIFF5 and earlier, encrypted workbooks
 (FILEPASS), ``.xlsb``. `build_xls_bytes` is a minimal writer used by
-tests and the `src_excel` oracle query to construct real legacy
-workbooks in-image.
+`tests/test_xls_biff.py` and the `src_excel_xls` oracle query to
+construct real legacy workbooks in-image.
 """
 
 from __future__ import annotations
@@ -41,6 +41,13 @@ class _Cfb:
         if raw[:8] != CFB_MAGIC:
             raise ValueError("not an OLE2/CFB file (bad magic)")
         (self.sector_shift,) = struct.unpack_from("<H", raw, 30)
+        # v3 = 512-byte sectors (shift 9), v4 = 4096 (shift 12); anything
+        # else is corrupt. _sector handles both via (n+1)<<shift — the
+        # header always occupies exactly one sector.
+        if self.sector_shift not in (9, 12):
+            raise ValueError(
+                f"corrupt CFB header: sector shift {self.sector_shift} "
+                "(expected 9 for v3 or 12 for v4)")
         (self.mini_shift,) = struct.unpack_from("<H", raw, 32)
         (self.n_fat,) = struct.unpack_from("<I", raw, 44)
         (self.dir_start,) = struct.unpack_from("<I", raw, 48)
@@ -89,7 +96,9 @@ class _Cfb:
             self.minifat = ()
 
     def _sector(self, n: int) -> bytes:
-        off = 512 + n * self.ssz
+        # sector 0 starts one full sector past the header: offset 512 for
+        # v3, 4096 for v4 (the v4 header is zero-padded to sector size)
+        off = (n + 1) * self.ssz
         return self.raw[off:off + self.ssz]
 
     def _read_chain(self, start: int) -> bytes:
@@ -155,15 +164,18 @@ def _read_unicode(buf: bytes, off: int, cch: int) -> tuple[str, int]:
     cb_ext = struct.unpack_from("<I", buf, off + consumed)[0] if ext else 0
     if ext:
         consumed += 4
-    if grbit & 0x01:
-        raw = buf[off + consumed:off + consumed + 2 * cch]
-        text = raw.decode("utf-16-le")
-        consumed += 2 * cch
-    else:
-        raw = buf[off + consumed:off + consumed + cch]
-        text = raw.decode("latin-1")
-        consumed += cch
-    consumed += n_rt * 4 + cb_ext
+    nbytes = 2 * cch if grbit & 0x01 else cch
+    raw = buf[off + consumed:off + consumed + nbytes]
+    if len(raw) < nbytes:
+        # a LABEL / STRING record whose text spills into a CONTINUE
+        # record (cell string > 8224-byte record cap): raise rather than
+        # silently truncate to the first fragment. (SST strings, the only
+        # place Excel routinely continues, ARE merged — _parse_sst.)
+        raise ValueError(
+            f"string record truncated: need {nbytes} bytes, have "
+            f"{len(raw)} (CONTINUE-spanning LABEL/STRING unsupported)")
+    text = raw.decode("utf-16-le" if grbit & 0x01 else "latin-1")
+    consumed += nbytes + n_rt * 4 + cb_ext
     return text, consumed
 
 
@@ -181,6 +193,9 @@ def _parse_sst(payload: bytes, continues: list[bytes]) -> list[str]:
 
     def advance_chunk():
         nonlocal ci, off
+        if ci + 1 >= len(chunks):
+            raise ValueError("corrupt SST: string data exhausted before "
+                             f"{n_unique} strings were read")
         ci += 1
         off = 0
 
@@ -206,6 +221,12 @@ def _parse_sst(payload: bytes, continues: list[bytes]) -> list[str]:
                 advance_chunk()
                 wide = bool(read(1)[0] & 0x01)  # re-specified grbit
             take = min(need, remaining() // (2 if wide else 1))
+            if take == 0:
+                # remaining()==1 with wide chars: a chunk may not end
+                # mid-character — without this a truncated workbook spins
+                # here forever (need never decreases)
+                raise ValueError("corrupt SST: partial character at "
+                                 "CONTINUE boundary")
             raw = read(take * (2 if wide else 1))
             text += raw.decode("utf-16-le" if wide else "latin-1")
             need -= take
@@ -424,8 +445,19 @@ def build_xls_bytes(sheets: dict[str, list[list]]) -> bytes:
         body.append(_rec(_EOF, b""))
         sheet_bodies.append(b"".join(body))
 
-    sst_payload = struct.pack("<II", n_refs, len(strings)) + \
-        b"".join(_ustr(s) for s in strings)
+    # SST with CONTINUE spill: records cap at 8224 payload bytes, so the
+    # string blobs pack greedily into chunks, split only at STRING
+    # boundaries (a mid-string split would need a grbit restart; readers
+    # including ours handle boundary-between-strings with no restart)
+    _REC_CAP = 8224
+    sst_chunks: list[bytes] = [struct.pack("<II", n_refs, len(strings))]
+    for s in strings:
+        blob = _ustr(s)
+        if len(blob) + 8 > _REC_CAP:
+            raise ValueError("single string exceeds BIFF record capacity")
+        if len(sst_chunks[-1]) + len(blob) > _REC_CAP:
+            sst_chunks.append(b"")
+        sst_chunks[-1] += blob
 
     # globals size depends on BOUNDSHEET offsets which depend on globals
     # size — fixed-point in two passes (record sizes don't change)
@@ -436,7 +468,8 @@ def build_xls_bytes(sheets: dict[str, list[list]]) -> bytes:
             globals_recs.append(_rec(_BOUNDSHEET, struct.pack(
                 "<IH", offsets[i], 0) + _shortstr(name)))
         if strings or n_refs:
-            globals_recs.append(_rec(_SST, sst_payload))
+            globals_recs.append(_rec(_SST, sst_chunks[0]))
+            globals_recs.extend(_rec(_CONTINUE, c) for c in sst_chunks[1:])
         globals_recs.append(_rec(_EOF, b""))
         glen = sum(len(r) for r in globals_recs)
         pos = glen

@@ -50,3 +50,29 @@ def test_write_dbapi_appends(spark, tmp_path):
     write_dbapi(small, connect, "t")   # append-always contract
     with sqlite3.connect(db) as conn:
         assert conn.execute("SELECT count(*) FROM t").fetchone() == (20,)
+
+
+def test_write_jdbc_derby_round_trip(spark, tmp_path):
+    """REAL JDBC round trip: the image ships Apache Derby's embedded
+    driver on Spark's classpath, so write_jdbc exercises the actual
+    Spark JDBC write path (table auto-create on append + batched insert)
+    against a real SQL database, then reads the rows back via the JDBC
+    source — the closest in-image analog to the reference's Postgres
+    append (database_postgres.py:10-44)."""
+    from light_etl_windows_container_poc_spark.sinks import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    df = (spark.range(0, 300)
+          .select(F.col("id").alias("user_id"),
+                  F.concat(F.lit("u"), F.col("id")).alias("name"),
+                  (F.col("id") * 1.5).alias("score"))
+          .repartition(3))
+    write_jdbc(df, url, "dim_users", mode="append", driver=driver)
+    write_jdbc(df.limit(10), url, "dim_users", mode="append", driver=driver)
+
+    back = (spark.read.format("jdbc").option("url", url)
+            .option("dbtable", "dim_users").option("driver", driver).load())
+    assert back.count() == 310
+    row = back.filter(F.col("user_id") == 42).collect()[0]
+    assert (row.name, row.score) == ("u42", 63.0)

@@ -55,7 +55,8 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
                    if not n.startswith(("src_", "mm_", "stream_"))
                    # deliberate Arrow-batched Python paths (documented):
                    and n not in ("dedup_embedding_blocked", "grouped_ols",
-                                 "dedup_embedding", "knn_graph")]
+                                 "dedup_embedding", "knn_graph",
+                                 "dedup_blocked_invariance")]
     for name in jvm_queries:
         assert_no_python_udf(QUERIES[name](spark, sf_dir))
 

@@ -60,12 +60,15 @@ def test_read_excel_sheet_skiprows_nrows_usecols(spark, tmp_path):
     assert sorted((r.a, r.b) for r in df.collect()) == [("x", 1.0), ("y", 2.0)]
 
 
-def test_read_excel_legacy_xls_raises_clearly(spark, tmp_path):
-    (tmp_path / "legacy.xls").write_bytes(b"\xd0\xcf\x11\xe0 not a zip")
+def test_read_excel_unrecognized_magic_raises_clearly(spark, tmp_path):
+    # neither zip nor full OLE2 magic (only 4 of 8 bytes match): the
+    # format sniffer must name the file and the supported formats.
+    # (Valid .xls decode is covered positively in test_xls_biff.py.)
+    (tmp_path / "mystery.xls").write_bytes(b"\xd0\xcf\x11\xe0 not a zip")
     df = read_excel(spark, str(tmp_path), "a string, b double")
     with pytest.raises(Exception) as ei:
         df.collect()
-    assert "xls" in str(ei.value)
+    assert "not an Excel workbook" in str(ei.value)
 
 
 def test_read_json_records(spark):
