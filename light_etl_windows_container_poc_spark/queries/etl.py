@@ -373,6 +373,47 @@ def src_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Binary .xlsb leg: the reference accepts BIFF12 uploads
+# (fileserver.py:43); the workbook is built with the in-repo BIFF12
+# writer and read back through the same distributed read_excel path
+# (zip-with-workbook.bin dispatch → sources/xlsb_biff12.py).
+# --------------------------------------------------------------------------
+@query("src_excel_xlsb", oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+ORDER BY n_nationkey
+""")
+def src_excel_xlsb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.files import read_excel
+    from ..sources.xlsb_biff12 import build_xlsb_bytes
+
+    nation = load_tables(spark, sf_dir, ("nation",))["nation"]
+    rows = nation.orderBy("n_nationkey").collect()  # 25 rows at any SF
+    grid = [["nation export (biff12)", None, None, None],
+            ["n_nationkey", "n_name", "junk", "n_regionkey"]]
+    grid += [[int(r.n_nationkey), r.n_name, "x", int(r.n_regionkey)]
+             for r in rows]
+    book = build_xlsb_bytes({"meta": [["ignore me"]], "nation": grid})
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_xlsb_{tag}")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "nation.xlsb"), "wb") as fh:
+        fh.write(book)
+    df = read_excel(
+        spark, out_dir,
+        "n_nationkey long, n_name string, n_regionkey long",
+        sheet_name="nation", skiprows=1, usecols="A:B,D",
+        include_source_path=False)
+    return df.orderBy("n_nationkey")
+
+
+# --------------------------------------------------------------------------
 # Legacy .xls leg of the same round trip: the reference accepts binary
 # BIFF .xls uploads (fileserver.py:41-44) and reads them through
 # pandas+xlrd (fileserver.py:131-172); here the workbook is BUILT with the

@@ -18,9 +18,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# reference config/pattern_config.yaml:48-52
+# reference config/pattern_config.yaml:48-52; extension set mirrors
+# fileserver.py:41-44 ({csv, xlsx, xls, xlsm, xlsb} — all decodable here)
 ENCODING_FALLBACKS = ("utf-8", "utf-8-sig", "latin1", "cp1252")
-SUPPORTED_EXTENSIONS = (".csv", ".xlsx", ".xls", ".xlsm")
+SUPPORTED_EXTENSIONS = (".csv", ".xlsx", ".xls", ".xlsm", ".xlsb")
 
 
 def _coerce_to_field(s: "pd.Series", fld) -> "pd.Series":
@@ -97,25 +98,44 @@ def read_csv_auto(spark: SparkSession, path: str,
     return binary.select("path", "content").mapInPandas(parse, target)
 
 
+def _zip_is_biff12(raw: bytes) -> bool:
+    """A .xlsb is a zip like .xlsx; the workbook part's extension is the
+    only discriminator (binary .bin vs XML)."""
+    import io
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            return "xl/workbook.bin" in zf.namelist()
+    except zipfile.BadZipFile:
+        return False
+
+
 def parse_workbook(raw: bytes, path: str = "<bytes>",
                    sheet_name: int | str = 0,
                    skiprows: int | None = None, nrows: int | None = None,
                    usecols: str | None = None) -> pd.DataFrame:
     """Format-sniffing workbook decode: zip magic → SpreadsheetML
-    (.xlsx/.xlsm, `sources/xlsx.py`); OLE2 magic → BIFF8
-    (.xls, `sources/xls_biff.py`); anything else raises naming the file."""
+    (.xlsx/.xlsm, `sources/xlsx.py`) or BIFF12 (.xlsb,
+    `sources/xlsb_biff12.py`, keyed on xl/workbook.bin); OLE2 magic →
+    BIFF8 (.xls, `sources/xls_biff.py`); anything else raises naming the
+    file. Covers every format the reference accepts (fileserver.py:41-44:
+    .xlsx/.xls/.xlsm/.xlsb)."""
     from .xls_biff import CFB_MAGIC, parse_xls
+    from .xlsb_biff12 import parse_xlsb
     from .xlsx import parse_xlsx
 
     if raw[:4] == b"PK\x03\x04":
+        if _zip_is_biff12(raw):
+            return parse_xlsb(raw, sheet_name=sheet_name, skiprows=skiprows,
+                              nrows=nrows, usecols=usecols)
         return parse_xlsx(raw, sheet_name=sheet_name, skiprows=skiprows,
                           nrows=nrows, usecols=usecols)
     if raw[:8] == CFB_MAGIC:
         return parse_xls(raw, sheet_name=sheet_name, skiprows=skiprows,
                          nrows=nrows, usecols=usecols)
     raise ValueError(f"{path}: not an Excel workbook "
-                     "(neither zip/.xlsx nor OLE2/.xls magic; "
-                     ".xlsb is unsupported)")
+                     "(neither zip/.xlsx/.xlsb nor OLE2/.xls magic)")
 
 
 def read_excel(spark: SparkSession, path: str, schema_ddl: str,
@@ -131,9 +151,10 @@ def read_excel(spark: SparkSession, path: str, schema_ddl: str,
     Fully functional in-image for every format the reference accepts
     (`fileserver.py:41-44`): .xlsx/.xlsm via the dependency-free
     SpreadsheetML parser (`sources/xlsx.py`), legacy binary .xls via the
-    BIFF8 parser (`sources/xls_biff.py`) — no openpyxl/xlrd. Distributed
-    shape: binaryFile listing + mapInPandas, one workbook per task,
-    Arrow-batched output.
+    BIFF8 parser (`sources/xls_biff.py`), binary .xlsb via the BIFF12
+    parser (`sources/xlsb_biff12.py`) — no openpyxl/xlrd/pyxlsb.
+    Distributed shape: binaryFile listing + mapInPandas, one workbook per
+    task, Arrow-batched output.
 
     ``on_error='quarantine'`` drops undecodable files from the output
     instead of failing the job; pair with `excel_ingest_log` for the
@@ -249,13 +270,18 @@ def list_excel_sheets(spark: SparkSession, path: str) -> DataFrame:
 
     def sheets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .xls_biff import CFB_MAGIC, list_xls_sheet_names
+        from .xlsb_biff12 import list_xlsb_sheet_names
         from .xlsx import list_sheet_names
 
         for pdf in batches:
             for _, row in pdf.iterrows():
                 raw = bytes(row["content"])
-                names = list_xls_sheet_names(raw) \
-                    if raw[:8] == CFB_MAGIC else list_sheet_names(raw)
+                if raw[:8] == CFB_MAGIC:
+                    names = list_xls_sheet_names(raw)
+                elif _zip_is_biff12(raw):
+                    names = list_xlsb_sheet_names(raw)
+                else:
+                    names = list_sheet_names(raw)
                 yield pd.DataFrame({"path": [row["path"]] * len(names),
                                     "sheet_name": names})
 
