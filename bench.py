@@ -89,6 +89,20 @@ def main() -> None:
         suite_total = time.time() - t0
     slowest = dict(sorted(suite_times.items(),
                           key=lambda kv: kv[1], reverse=True)[:10])
+    # round-over-round comparability: round 4 added 12 certification
+    # queries (invariant twins + the xls/xlsb oracle legs), so the
+    # all-queries total is no longer comparable to BENCH_r03's 141-query
+    # number — emit the round-3 subset alongside
+    _R4_ADDED = {
+        "src_excel_xls", "src_excel_xlsb", "minhash_band_containment",
+        "simhash_pigeonhole", "sketch_hll_bounds",
+        "sketch_hll_merge_consistent", "sketch_pct_bounds",
+        "ann_ivf_fullprobe_exact", "ann_lsh_recall_floor",
+        "dedup_blocked_invariance", "pagerank_invariants",
+        "approx_distinct_bounds",
+    }
+    suite_r3_subset = round(sum(t for n, t in suite_times.items()
+                                if n not in _R4_ADDED), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -102,6 +116,7 @@ def main() -> None:
         "full_suite_sec": round(suite_total, 3),
         "full_suite_queries": suite_n,
         "full_suite_slowest": slowest,
+        "suite_r3_subset_sec": suite_r3_subset,
         "sf": sf_val,
     }))
 

@@ -174,37 +174,58 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
-# --------------------------------------------------------------------------
-# PageRank over the top-term co-occurrence graph — iterative DataFrame
-# joins with lineage cut per round (rows-only: float fixpoint has no SQL
-# twin; invariants asserted in tests/test_graph.py)
-# --------------------------------------------------------------------------
-@query("pagerank_words")
-def pagerank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.texts import words
-    from ..operators.graph import pagerank
+def word_cooccur_edges(docs: DataFrame, top_k: int = 30,
+                       min_pairs: int = 20) -> DataFrame:
+    """Symmetric co-occurrence edges over the corpus's ``top_k``
+    document-frequency words (the graph both pagerank_words and
+    pagerank_invariants rank).
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    Two passes over the text total: one TakeOrdered job for the top set
+    (embedded as a literal so co-occurrence needs NO self-join — per doc,
+    intersect with the ≤top_k-element array and emit ordered pairs,
+    map-only until the pair count), then ONE pass for the pair counts.
+    Both edge directions come from a single array-explode of the counted
+    pairs — a union of two selects would recompute the whole
+    explode+aggregate lineage once per branch."""
+    from ..functions.texts import words
+
     w = F.array_distinct(words(F.col("text")))
-    # global top-30 words by document frequency via TakeOrdered (one job);
-    # 30 rows → embed as a literal so co-occurrence needs NO self-join:
-    # per doc, intersect with the top set and emit ordered pairs from the
-    # (≤30-element) array — map-only until the final pair count
     top = [r["word"] for r in
            (docs.select(F.explode(w).alias("word"))
             .groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-            .orderBy(F.desc("df"), "word").limit(30).collect())]
+            .orderBy(F.desc("df"), "word").limit(top_k).collect())]
     tw = F.array_sort(F.array_intersect(w, F.array(*[F.lit(t) for t in top])))
+    # bind tw as a PROJECTED COLUMN before the nested lambdas: a lambda
+    # body that references the tw expression tree re-evaluates the whole
+    # split+intersect+sort once per outer array element (~top_k× per doc
+    # — measured 6× this pass's cost); a bound attribute evaluates once
+    twc = F.col("tw")
     pair_arr = F.flatten(F.transform(
-        tw, lambda x: F.filter(F.transform(tw, lambda y: F.struct(
+        twc, lambda x: F.filter(F.transform(twc, lambda y: F.struct(
             x.alias("w1"), y.alias("w2"))), lambda s: s.w1 < s.w2)))
-    pairs = (docs.select(F.explode(pair_arr).alias("p"))
+    pairs = (docs.select(tw.alias("tw"))
+             .select(F.explode(pair_arr).alias("p"))
              .groupBy("p").agg(F.count(F.lit(1)).alias("n_pair"))
-             .filter(F.col("n_pair") >= 20)
-             .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
-    edges = (pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
-             .union(pairs.select(F.col("w2").alias("src"),
-                                 F.col("w1").alias("dst"))))
+             .filter(F.col("n_pair") >= min_pairs))
+    return (pairs.select(F.explode(F.array(
+        F.struct(F.col("p.w1").alias("src"), F.col("p.w2").alias("dst")),
+        F.struct(F.col("p.w2").alias("src"), F.col("p.w1").alias("dst"))))
+        .alias("e"))
+        .select("e.src", "e.dst"))
+
+
+# --------------------------------------------------------------------------
+# PageRank over the top-term co-occurrence graph — iterative DataFrame
+# joins with lineage cut per round (rows-only: float fixpoint has no SQL
+# twin; invariants asserted in tests/test_graph.py and driver-certified
+# by pagerank_invariants)
+# --------------------------------------------------------------------------
+@query("pagerank_words")
+def pagerank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    edges = word_cooccur_edges(docs)
     return (pagerank(edges, iterations=6, dangling_correction=False,
                      eager_checkpoint=False)
             .orderBy(F.desc("pr"), "node"))

@@ -22,9 +22,9 @@ from ..catalog import load_tables
 from .registry import query
 
 
-def _sym_diff_count(a: DataFrame, b: DataFrame) -> "F.Column":
-    """Symmetric-difference cardinality of two (a_id, b_id) pair sets,
-    as a 1×1 DataFrame-producing aggregate expression input."""
+def _sym_diff_count(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Rows in exactly one of two (a_id, b_id) pair sets — count it to
+    get the symmetric-difference cardinality."""
     return (a.join(b, ["a_id", "b_id"], "left_anti")
             .unionAll(b.join(a, ["a_id", "b_id"], "left_anti")))
 
@@ -38,7 +38,7 @@ def _sym_diff_count(a: DataFrame, b: DataFrame) -> "F.Column":
 @query("minhash_band_containment", oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(0 AS BIGINT) AS missed_pairs
-FROM documents WHERE doc_id % 5 = 0
+FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2500
 """)
 def minhash_band_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.texts import minhash_signature
@@ -46,7 +46,7 @@ def minhash_band_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bands, rows = 32, 4
     docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
-            .filter(F.col("doc_id") % 5 == 0))
+            .filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 2500)))
     nparts = spark.sparkContext.defaultParallelism
     sigs = (docs.repartition(nparts, "doc_id")
             .select(F.col("doc_id").alias("doc"),
@@ -79,13 +79,13 @@ def minhash_band_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("simhash_pigeonhole", oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(0 AS BIGINT) AS missed_pairs
-FROM documents WHERE doc_id % 5 = 0
+FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2500
 """)
 def simhash_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash64, simhash_pairs
 
     docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
-            .filter(F.col("doc_id") % 5 == 0))
+            .filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 2500)))
     found = simhash_pairs(docs, "doc_id", "text", max_hamming=3) \
         .select("a_id", "b_id")
     fps = simhash64(docs, "doc_id", "text").persist()
@@ -245,12 +245,13 @@ def ann_lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_blocked_invariance", oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(0 AS BIGINT) AS pair_set_diff
-FROM embeddings
+FROM embeddings WHERE vec_id < 1000
 """)
 def dedup_blocked_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_pairs_blocked, cosine_pairs_scaled
 
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = (load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+           .filter(F.col("vec_id") < 1000))
     blocked = (cosine_pairs_blocked(emb, "vec_id", "embedding", threshold=0.45)
                .select("a_id", "b_id"))
     exact = (cosine_pairs_scaled(emb, "vec_id", "embedding", threshold=0.45)
@@ -292,26 +293,11 @@ SELECT CAST(count(*) AS BIGINT) AS n_nodes,
 FROM nodes
 """)
 def pagerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.texts import words
     from ..operators.graph import pagerank
+    from .breadth3 import word_cooccur_edges
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    w = F.array_distinct(words(F.col("text")))
-    top = [r["word"] for r in
-           (docs.select(F.explode(w).alias("word"))
-            .groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-            .orderBy(F.desc("df"), "word").limit(30).collect())]
-    tw = F.array_sort(F.array_intersect(w, F.array(*[F.lit(t) for t in top])))
-    pair_arr = F.flatten(F.transform(
-        tw, lambda x: F.filter(F.transform(tw, lambda y: F.struct(
-            x.alias("w1"), y.alias("w2"))), lambda s: s.w1 < s.w2)))
-    pairs = (docs.select(F.explode(pair_arr).alias("p"))
-             .groupBy("p").agg(F.count(F.lit(1)).alias("n_pair"))
-             .filter(F.col("n_pair") >= 20)
-             .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
-    edges = (pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
-             .union(pairs.select(F.col("w2").alias("src"),
-                                 F.col("w1").alias("dst"))))
+    edges = word_cooccur_edges(docs)
     pr = pagerank(edges, iterations=6, dangling_correction=False,
                   eager_checkpoint=False)
     return pr.agg(
