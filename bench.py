@@ -89,7 +89,7 @@ def main() -> None:
         suite_total = time.time() - t0
     slowest = dict(sorted(suite_times.items(),
                           key=lambda kv: kv[1], reverse=True)[:10])
-    # round-over-round comparability: round 4 added 12 certification
+    # round-over-round comparability: round 4 added 13 certification
     # queries (invariant twins + the xls/xlsb oracle legs), so the
     # all-queries total is no longer comparable to BENCH_r03's 141-query
     # number — emit the round-3 subset alongside
@@ -99,7 +99,7 @@ def main() -> None:
         "sketch_hll_merge_consistent", "sketch_pct_bounds",
         "ann_ivf_fullprobe_exact", "ann_lsh_recall_floor",
         "dedup_blocked_invariance", "pagerank_invariants",
-        "approx_distinct_bounds",
+        "approx_distinct_bounds", "stream_stateful_final",
     }
     suite_r3_subset = round(sum(t for n, t in suite_times.items()
                                 if n not in _R4_ADDED), 3)

@@ -54,8 +54,11 @@ _FEATURE_SCHEMA = ("id long, media_type string, width int, height int, "
 
 def _fake_features(raw: bytes, dim: int = 16) -> list[float]:
     """Deterministic pseudo-features from content bytes (test double for
-    the real decoder: same shape, stable values)."""
-    h = hashlib.sha256(raw).digest()
+    the real decoder: same shape, stable values). Hashes the lowercase
+    HEX of the bytes, not the bytes: still a pure content function, but
+    any SQL engine can replicate it (sha256 over VARCHAR is portable;
+    over BLOB it isn't) — the mm_features driver oracle depends on it."""
+    h = hashlib.sha256(raw.hex().encode("ascii")).digest()
     return [h[i % len(h)] / 255.0 for i in range(dim)]
 
 

@@ -66,10 +66,41 @@ def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Arrow-batched decode + featurize (fake decoder: content-hash features —
-# deterministic, so the driver's rows-only check is stable)
+# Arrow-batched decode + featurize. The fake decoder is a pure function
+# of the content bytes (sha256 over their hex), so the ENTIRE output —
+# dimensions, frame count, and the first feature — is SQL-replayable:
+# the oracle rebuilds the binary column relationally and recomputes the
+# digest byte via sha256(VARCHAR). round(h0/255*1000) never lands on a
+# .5 boundary (200·h0/51 = x.5 has no integer solution), so the
+# float32→double path can't flip the rounding.
 # --------------------------------------------------------------------------
-@query("mm_features")
+@query("mm_features", oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 6 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+              WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+              WHEN 4 THEN 'audio/mp3' ELSE 'video/webm' END AS media_type,
+         CASE doc_id % 6 WHEN 0 THEN 'ffd8ff' WHEN 1 THEN '89504e47'
+              WHEN 2 THEN '47494638' WHEN 3 THEN '52494646'
+              WHEN 4 THEN '494433' ELSE '1a45dfa3' END
+           || lower(hex(encode(text))) AS content_hex,
+         CAST(CASE WHEN doc_id % 6 IN (0, 4) THEN 3 ELSE 4 END
+              + octet_length(encode(text)) AS BIGINT) AS len
+  FROM documents
+), h AS (
+  SELECT doc_id, media_type, len, sha256(content_hex) AS sha
+  FROM m
+)
+SELECT doc_id AS id, media_type,
+       CAST(len % 1920 AS INT) AS width,
+       CAST(len % 1080 AS INT) AS height,
+       CAST(1 AS INT) AS n_frames,
+       CAST(round(((strpos('0123456789abcdef', substring(sha, 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substring(sha, 2, 1)) - 1)
+                  / 255.0 * 1000) AS BIGINT) AS f0_milli
+FROM h
+ORDER BY id
+""")
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_and_featurize, sniff_media_type
 
@@ -84,9 +115,26 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# frame sampling shape (fake decoder: byte-slice frames)
+# frame sampling shape (fake decoder: byte-slice frames). The slice
+# geometry is pure length arithmetic — frames = min(max(len//100, 1), 8),
+# each 100 bytes except a sub-100-byte file's single short frame — so the
+# oracle replays it with a generate_series join.
 # --------------------------------------------------------------------------
-@query("mm_frame_sample")
+@query("mm_frame_sample", oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 6 IN (0, 4) THEN 3 ELSE 4 END
+              + octet_length(encode(text)) AS BIGINT) AS len
+  FROM documents
+)
+SELECT m.doc_id AS id,
+       CAST(t.i AS INT) AS frame_idx,
+       CAST(CASE WHEN m.len < 100 THEN m.len ELSE 100 END AS INT)
+         AS frame_len
+FROM m JOIN generate_series(0, 7) t(i)
+  ON t.i < least(greatest(m.len // 100, 1), 8)
+ORDER BY id, frame_idx
+""")
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import sample_frames
 

@@ -148,6 +148,33 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# invariant twin of stream_stateful with a real SQL oracle: the per-user
+# FINAL state of the custom stateful operator must equal the batch
+# aggregate — max(running_max) is the stream-end max (monotone state) and
+# Σ batch_rows proves every event hit the operator exactly once (fresh
+# checkpoint per run). Certifies applyInPandasWithState end-to-end with
+# a driver-hashable row per user.
+# --------------------------------------------------------------------------
+@query("stream_stateful_final", oracle="""
+SELECT user_id,
+       max(value) AS final_max,
+       count(*) AS events_processed
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""")
+def stream_stateful_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import stateful_running_max
+
+    stream = _events_stream(spark, sf_dir)
+    out = _run_to_table(stateful_running_max(stream), "update")
+    return (out.groupBy("user_id")
+            .agg(F.max("running_max").alias("final_max"),
+                 F.sum("batch_rows").alias("events_processed"))
+            .orderBy("user_id"))
+
+
+# --------------------------------------------------------------------------
 # streaming SESSION windows (session_window + watermark): gap-merged
 # sessions per user, run as a real stream. On a bounded availableNow input
 # the update-mode output equals batch gap-sessionization exactly, so the
