@@ -506,3 +506,49 @@ def cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
             })
 
     return grid.mapInPandas(gemm, "a_id long, b_id long, sim double")
+
+
+def semdedup(df: DataFrame, id_col: str, vec_col: str,
+             threshold: float = 0.45, n_clusters: int | None = None,
+             train_sample_fraction: float | None = None) -> DataFrame:
+    """Semantic deduplication (SemDeDup-style): coarse k-means clusters,
+    exact within-cluster cosine pairs ≥ threshold, connected components,
+    keep the min-id representative per duplicate group.
+
+    Returns (``id_col``, cluster, keep) for EVERY input row — keep=0 rows
+    are the semantic duplicates a curation pass drops.
+
+    Scale shape: candidate generation is an equi-self-join on the cluster
+    id, never corpus-wide all-pairs; ``n_clusters=None`` derives k from
+    the corpus so the EXPECTED cluster stays ~256 vectors (within-cluster
+    work is then linear-ish in n at fixed cluster size). Cross-cluster
+    near-dups are deliberately missed — that is SemDeDup's documented
+    recall trade; `cosine_pairs_scaled` is the exact alternative."""
+    from .dedup import connected_components
+
+    if n_clusters is None:
+        n_rows = df.count()
+        n_clusters = max(8, min(4096, -(-n_rows // 256)))
+    centroids_df = kmeans_lite(df, id_col, vec_col, k=n_clusters,
+                               sample_fraction=train_sample_fraction)
+    centroids = [(int(r["cluster"]), [float(x) for x in r["cv"]])
+                 for r in centroids_df.collect()]
+    c = _prep(df, id_col, vec_col, "vid", "v", "nv").withColumn(
+        "cluster", _nearest_cluster_expr(F.col("v"), centroids))
+    c = c.persist()  # reused: pair join (twice) + final keep join
+    a = c.select("cluster", F.col("vid").alias("a_id"),
+                 F.col("v").alias("va"), F.col("nv").alias("na"))
+    b = c.select("cluster", F.col("vid").alias("b_id"),
+                 F.col("v").alias("vb"), F.col("nv").alias("nb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (a.join(b, "cluster")
+             .filter(F.col("a_id") < F.col("b_id"))
+             .withColumn("sim", sim)
+             .filter(F.col("sim") >= threshold)
+             .select("a_id", "b_id"))
+    comp = connected_components(pairs)  # (node, component=min id)
+    keep = F.when(F.col("component").isNull()
+                  | (F.col("node") == F.col("component")), 1).otherwise(0)
+    return (c.join(comp, c.vid == comp.node, "left")
+            .select(F.col("vid").alias(id_col), "cluster",
+                    keep.cast("int").alias("keep")))

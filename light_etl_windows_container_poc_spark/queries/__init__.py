@@ -25,3 +25,4 @@ from . import breadth10  # noqa: F401,E402
 from . import breadth11  # noqa: F401,E402
 from . import breadth12  # noqa: F401,E402
 from . import invariants  # noqa: F401,E402
+from . import curation  # noqa: F401,E402

@@ -391,17 +391,21 @@ def _rec(rt: int, payload: bytes) -> bytes:
 
 
 def _ustr(s: str) -> bytes:
-    """16-bit-length XLUnicodeString (SST / LABEL form)."""
+    """16-bit-length XLUnicodeString (SST / LABEL form). cch counts
+    UTF-16 CODE UNITS, not characters — an astral-plane char is a
+    surrogate pair and counts twice (hypothesis-caught)."""
     if all(ord(ch) < 256 for ch in s):
         return struct.pack("<HB", len(s), 0) + s.encode("latin-1")
-    return struct.pack("<HB", len(s), 1) + s.encode("utf-16-le")
+    enc = s.encode("utf-16-le")
+    return struct.pack("<HB", len(enc) // 2, 1) + enc
 
 
 def _shortstr(s: str) -> bytes:
-    """8-bit-length string (BOUNDSHEET sheet name)."""
+    """8-bit-length string (BOUNDSHEET sheet name); cch = UTF-16 units."""
     if all(ord(ch) < 256 for ch in s):
         return struct.pack("<BB", len(s), 0) + s.encode("latin-1")
-    return struct.pack("<BB", len(s), 1) + s.encode("utf-16-le")
+    enc = s.encode("utf-16-le")
+    return struct.pack("<BB", len(enc) // 2, 1) + enc
 
 
 def _bof(dt: int) -> bytes:

@@ -229,7 +229,9 @@ def _rec(rt: int, payload: bytes) -> bytes:
 
 
 def _wstr(s: str) -> bytes:
-    return struct.pack("<I", len(s)) + s.encode("utf-16-le")
+    # cch counts UTF-16 CODE UNITS (surrogate pairs = 2), not characters
+    enc = s.encode("utf-16-le")
+    return struct.pack("<I", len(enc) // 2) + enc
 
 
 def build_xlsb_bytes(sheets: dict[str, list[list]]) -> bytes:

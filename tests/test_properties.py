@@ -91,3 +91,61 @@ def test_shingle_zipchain_matches_python_reference(spark):
         ref_bg = [" ".join(toks[j:j + 2])
                   for j in range(max(len(toks) - 1, 0))]
         assert got[i] == (ref_sh, ref_bg), f"text={t!r}"
+
+
+# ---------------------------------------------------------------------------
+# binary workbook codecs: round-trip fidelity for ANY grid (the curated
+# tests cover known record shapes; these sweep arbitrary cell content)
+# ---------------------------------------------------------------------------
+
+_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2 ** 40), max_value=2 ** 40),
+    st.floats(allow_nan=False, allow_infinity=False, width=64,
+              min_value=-1e12, max_value=1e12),
+    st.text(max_size=25),
+)
+_grid = st.lists(st.lists(_cell, min_size=1, max_size=6),
+                 min_size=1, max_size=12)
+
+
+def _norm_cell(v):
+    # writers canonicalize: floats that are exact integers come back as
+    # ints (both codecs apply the same int-collapse the readers do)
+    if isinstance(v, float) and v.is_integer() and abs(v) < 2 ** 53:
+        return int(v)
+    return v
+
+
+def _norm_grid(grid):
+    # a workbook stores a sparse cell map: fully-empty trailing rows and
+    # columns are unrepresentable, and row widths are ragged-normalized
+    cells = {(r, c): _norm_cell(v)
+             for r, row in enumerate(grid) for c, v in enumerate(row)
+             if v is not None}  # empty strings are real cells and round-trip
+    if not cells:
+        return []
+    n_rows = max(r for r, _ in cells) + 1
+    width = max(c for _, c in cells) + 1
+    return [[cells.get((r, c)) for c in range(width)] for r in range(n_rows)]
+
+
+@given(_grid)
+@settings(max_examples=60, deadline=None)
+def test_xls_biff8_round_trip_any_grid(grid):
+    from light_etl_windows_container_poc_spark.sources.xls_biff import (
+        build_xls_bytes, parse_xls_rows)
+
+    got = parse_xls_rows(build_xls_bytes({"s": grid}))
+    assert got == _norm_grid(grid)
+
+
+@given(_grid)
+@settings(max_examples=60, deadline=None)
+def test_xlsb_biff12_round_trip_any_grid(grid):
+    from light_etl_windows_container_poc_spark.sources.xlsb_biff12 import (
+        build_xlsb_bytes, parse_xlsb_rows)
+
+    got = parse_xlsb_rows(build_xlsb_bytes({"s": grid}))
+    assert got == _norm_grid(grid)

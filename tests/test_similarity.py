@@ -75,3 +75,19 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     # case for IVF, like LSH; nprobe/n_clusters = 1/2 of the space still
     # recovers a solid fraction. Real clustered embeddings do far better.
     assert recall >= 0.3, f"IVF recall {recall}"
+
+
+def test_semdedup_keeps_one_per_duplicate_group(spark):
+    from light_etl_windows_container_poc_spark.operators.similarity import \
+        semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),   # near-dup pair
+        (3, [0.0, 1.0, 0.0]),                             # unique
+        (4, [0.0, 0.0, 1.0]), (5, [0.0, 0.01, 0.999]),   # near-dup pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.keep
+           for r in semdedup(df, "vec_id", "embedding",
+                             threshold=0.95, n_clusters=2).collect()}
+    assert out == {1: 1, 2: 0, 3: 1, 4: 1, 5: 0}  # min id survives
