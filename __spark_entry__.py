@@ -98,6 +98,7 @@ _RECERTIFY = [
     "ann_lsh", "ann_ivf", "dedup_minhash_lsh", "dedup_embedding",
     "dedup_embedding_blocked", "knn_graph", "src_excel",
     "mm_features", "mm_frame_sample", "pagerank_words",
+    "dedup_clusters", "dedup_keep_one", "curate_corpus",
 ]
 
 

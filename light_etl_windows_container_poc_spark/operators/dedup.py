@@ -212,7 +212,10 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
                               F.least(F.col("label"),
                                       F.coalesce(F.col("nmin"), F.col("label")))
                               .alias("label")))
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence count below is the round's ONE
+        # action and materializes it — eager=True ran a second full job
+        # per round just to fill the checkpoint (measured 2 jobs/round)
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label")).limit(1).count())

@@ -56,7 +56,8 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
                    # deliberate Arrow-batched Python paths (documented):
                    and n not in ("dedup_embedding_blocked", "grouped_ols",
                                  "dedup_embedding", "knn_graph",
-                                 "dedup_blocked_invariance")]
+                                 "dedup_blocked_invariance",
+                                 "semdedup_soundness")]
     for name in jvm_queries:
         assert_no_python_udf(QUERIES[name](spark, sf_dir))
 
