@@ -89,7 +89,7 @@ def main() -> None:
         suite_total = time.time() - t0
     slowest = dict(sorted(suite_times.items(),
                           key=lambda kv: kv[1], reverse=True)[:10])
-    # round-over-round comparability: round 4 added 17 certification
+    # round-over-round comparability: round 4 added 19 certification
     # queries (invariant twins + the xls/xlsb oracle legs), so the
     # all-queries total is no longer comparable to BENCH_r03's 141-query
     # number — emit the round-3 subset alongside
@@ -101,7 +101,7 @@ def main() -> None:
         "dedup_blocked_invariance", "pagerank_invariants",
         "approx_distinct_bounds", "stream_stateful_final",
         "semdedup_keep", "semdedup_soundness", "domain_temperature_sample",
-        "dsir_weights",
+        "dsir_weights", "graph_triangles", "kmeans_inertia_monotone",
     }
     suite_r3_subset = round(sum(t for n, t in suite_times.items()
                                 if n not in _R4_ADDED), 3)

@@ -174,11 +174,11 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
-def word_cooccur_edges(docs: DataFrame, top_k: int = 30,
+def word_cooccur_pairs(docs: DataFrame, top_k: int = 30,
                        min_pairs: int = 20) -> DataFrame:
-    """Symmetric co-occurrence edges over the corpus's ``top_k``
-    document-frequency words (the graph both pagerank_words and
-    pagerank_invariants rank).
+    """Unique ordered co-occurrence pairs (w1 < w2) over the corpus's
+    ``top_k`` document-frequency words — the undirected-graph form
+    `triangle_count` consumes; `word_cooccur_edges` symmetrizes it.
 
     Two passes over the text total: one TakeOrdered job for the top set
     (embedded as a literal so co-occurrence needs NO self-join — per doc,
@@ -203,13 +203,22 @@ def word_cooccur_edges(docs: DataFrame, top_k: int = 30,
     pair_arr = F.flatten(F.transform(
         twc, lambda x: F.filter(F.transform(twc, lambda y: F.struct(
             x.alias("w1"), y.alias("w2"))), lambda s: s.w1 < s.w2)))
-    pairs = (docs.select(tw.alias("tw"))
-             .select(F.explode(pair_arr).alias("p"))
-             .groupBy("p").agg(F.count(F.lit(1)).alias("n_pair"))
-             .filter(F.col("n_pair") >= min_pairs))
+    return (docs.select(tw.alias("tw"))
+            .select(F.explode(pair_arr).alias("p"))
+            .groupBy("p").agg(F.count(F.lit(1)).alias("n_pair"))
+            .filter(F.col("n_pair") >= min_pairs)
+            .select(F.col("p.w1").alias("a_id"), F.col("p.w2").alias("b_id")))
+
+
+def word_cooccur_edges(docs: DataFrame, top_k: int = 30,
+                       min_pairs: int = 20) -> DataFrame:
+    """Both directions of `word_cooccur_pairs` via one array-explode (a
+    union of two selects would recompute the explode+aggregate lineage
+    once per branch)."""
+    pairs = word_cooccur_pairs(docs, top_k=top_k, min_pairs=min_pairs)
     return (pairs.select(F.explode(F.array(
-        F.struct(F.col("p.w1").alias("src"), F.col("p.w2").alias("dst")),
-        F.struct(F.col("p.w2").alias("src"), F.col("p.w1").alias("dst"))))
+        F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+        F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))))
         .alias("e"))
         .select("e.src", "e.dst"))
 
@@ -229,3 +238,39 @@ def pagerank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pagerank(edges, iterations=6, dangling_correction=False,
                      eager_checkpoint=False)
             .orderBy(F.desc("pr"), "node"))
+
+
+# --------------------------------------------------------------------------
+# exact global triangle count on the co-occurrence graph — the classic
+# wedge-close join shape, integer-exact in both engines (the oracle
+# replays the edge construction relationally, as pagerank_invariants
+# does, then closes wedges with the same two equi-joins)
+# --------------------------------------------------------------------------
+@query("graph_triangles", oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+           string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS word
+  FROM documents
+), top30 AS (
+  SELECT word FROM tok GROUP BY word
+  ORDER BY count(*) DESC, word LIMIT 30
+), doc_top AS (
+  SELECT doc_id, word FROM tok WHERE word IN (SELECT word FROM top30)
+), pairs AS (
+  SELECT a.word AS u, b.word AS v
+  FROM doc_top a JOIN doc_top b
+    ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY a.word, b.word
+  HAVING count(*) >= 20
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM pairs ab
+JOIN pairs bc ON ab.v = bc.u
+JOIN pairs ac ON ac.u = ab.u AND ac.v = bc.v
+""")
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return triangle_count(word_cooccur_pairs(docs))

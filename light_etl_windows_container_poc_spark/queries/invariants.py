@@ -332,3 +332,39 @@ def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                      <= 0.05 * F.col("exact_orders")).cast("int")
                     .alias("within_5pct"))
             .orderBy("l_returnflag"))
+
+
+# --------------------------------------------------------------------------
+# Lloyd's-iteration invariant for kmeans_lite (the IVF coarse quantizer):
+# one more iteration can only LOWER total inertia (Σ min squared distance
+# to a centroid) up to float tolerance. Certifies the k-means loop the
+# rows-only ann_ivf path rides on.
+# --------------------------------------------------------------------------
+@query("kmeans_inertia_monotone", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(1 AS INT) AS inertia_non_increasing
+FROM embeddings
+""")
+def kmeans_inertia_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, to_double
+    from ..operators.similarity import kmeans_lite
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+    def inertia(iters: int):
+        cents = [[float(x) for x in r["cv"]]
+                 for r in kmeans_lite(emb, "vec_id", "embedding",
+                                      k=8, iterations=iters).collect()]
+        v = to_double(F.col("embedding"))
+        dists = [dot(v, v)
+                 - 2 * dot(v, F.array(*[F.lit(x) for x in c]))
+                 + F.lit(sum(x * x for x in c))
+                 for c in cents]
+        return emb.agg(F.sum(F.least(*dists)).alias("inertia"),
+                       F.count(F.lit(1)).alias("n")).first()
+
+    one, two = inertia(1), inertia(2)
+    ok = int(two["inertia"] <= one["inertia"] * (1 + 1e-9))
+    return emb.sparkSession.createDataFrame(
+        [(int(one["n"]), ok)],
+        "n_vectors bigint, inertia_non_increasing int")
