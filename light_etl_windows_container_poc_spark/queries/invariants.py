@@ -1,6 +1,6 @@
 """Driver-hashable invariant queries for the hash/seed-dependent ops.
 
-The 12 rows-only queries (minhash/simhash/LSH/IVF candidates, sketches,
+The rows-only queries (minhash/simhash/LSH/IVF candidates, sketches,
 pagerank, blocked GEMM) can't oracle their VALUES in SQL — but each obeys
 invariants whose violation counts ARE integers DuckDB can predict
 (usually zero) alongside genuinely data-dependent columns (counts, exact
