@@ -89,22 +89,17 @@ def main() -> None:
         suite_total = time.time() - t0
     slowest = dict(sorted(suite_times.items(),
                           key=lambda kv: kv[1], reverse=True)[:10])
-    # round-over-round comparability: round 4 added 19 certification
-    # queries (invariant twins + the xls/xlsb oracle legs), so the
-    # all-queries total is no longer comparable to BENCH_r03's 141-query
-    # number — emit the round-3 subset alongside
-    _R4_ADDED = {
-        "src_excel_xls", "src_excel_xlsb", "minhash_band_containment",
-        "simhash_pigeonhole", "sketch_hll_bounds",
-        "sketch_hll_merge_consistent", "sketch_pct_bounds",
-        "ann_ivf_fullprobe_exact", "ann_lsh_recall_floor",
-        "dedup_blocked_invariance", "pagerank_invariants",
-        "approx_distinct_bounds", "stream_stateful_final",
-        "semdedup_keep", "semdedup_soundness", "domain_temperature_sample",
-        "dsir_weights", "graph_triangles", "kmeans_inertia_monotone",
-    }
+    # round-over-round comparability: rounds 4+ keep adding certification
+    # queries, so the all-queries total is no longer comparable to
+    # BENCH_r03's 141-query number. WHITELIST the round-3 population (the
+    # union of the per-round certified lists in __spark_entry__, which is
+    # exactly the 141 queries that existed at round 3) — a blacklist of
+    # additions would silently absorb every future round's new queries.
+    import __spark_entry__ as _ent
+    r3_names = (set(_ent._R01_CERTIFIED) | set(_ent._R02_CERTIFIED)
+                | set(_ent._R03_CERTIFIED))
     suite_r3_subset = round(sum(t for n, t in suite_times.items()
-                                if n not in _R4_ADDED), 3)
+                                if n in r3_names), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)

@@ -93,6 +93,10 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     dominating because every join key is the wedge's middle or closing
     vertex pair, never a raw high-degree vertex alone."""
     e = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    # persisted because the plan reads e three times (wedge twice +
+    # closing edge) and `pairs` may carry an expensive upstream; like
+    # pagerank's weighted-edge cache it lives until the session clears
+    # it — the lazy result still needs it at action time
     e = e.persist()
     wedge = (e.alias("ab")
              .join(e.alias("bc"), F.col("ab.v") == F.col("bc.u"))

@@ -535,7 +535,12 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str,
                  for r in centroids_df.collect()]
     c = _prep(df, id_col, vec_col, "vid", "v", "nv").withColumn(
         "cluster", _nearest_cluster_expr(F.col("v"), centroids))
-    c = c.persist()  # reused: pair join (twice) + final keep join
+    # persisted for the pair join's two sides + the final keep join; the
+    # cache lives until the session clears it (the result is lazy, so
+    # unpersisting here would recompute the assignment per downstream
+    # action instead) — long-lived pipelines should clearCache() or
+    # unpersist via df.sparkSession.catalog between corpora
+    c = c.persist()
     a = c.select("cluster", F.col("vid").alias("a_id"),
                  F.col("v").alias("va"), F.col("nv").alias("na"))
     b = c.select("cluster", F.col("vid").alias("b_id"),

@@ -240,14 +240,12 @@ def pagerank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("pr"), "node"))
 
 
-# --------------------------------------------------------------------------
-# exact global triangle count on the co-occurrence graph — the classic
-# wedge-close join shape, integer-exact in both engines (the oracle
-# replays the edge construction relationally, as pagerank_invariants
-# does, then closes wedges with the same two equi-joins)
-# --------------------------------------------------------------------------
-@query("graph_triangles", oracle="""
-WITH tok AS (
+# SQL replay of `word_cooccur_pairs` (tokenize → top-30 by document
+# frequency → co-occurring pairs with support ≥ 20) — interpolated into
+# every oracle that certifies the co-occurrence graph so the relational
+# twins can never drift apart (graph_triangles here,
+# pagerank_invariants in queries/invariants.py).
+COOCCUR_PAIRS_CTES = """tok AS (
   SELECT doc_id, unnest(list_distinct(list_filter(
            string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS word
   FROM documents
@@ -257,17 +255,27 @@ WITH tok AS (
 ), doc_top AS (
   SELECT doc_id, word FROM tok WHERE word IN (SELECT word FROM top30)
 ), pairs AS (
-  SELECT a.word AS u, b.word AS v
+  SELECT a.word AS w1, b.word AS w2
   FROM doc_top a JOIN doc_top b
     ON a.doc_id = b.doc_id AND a.word < b.word
   GROUP BY a.word, b.word
   HAVING count(*) >= 20
-)
+)"""
+
+
+# --------------------------------------------------------------------------
+# exact global triangle count on the co-occurrence graph — the classic
+# wedge-close join shape, integer-exact in both engines (the oracle
+# replays the edge construction relationally, as pagerank_invariants
+# does, then closes wedges with the same two equi-joins)
+# --------------------------------------------------------------------------
+@query("graph_triangles", oracle=f"""
+WITH {COOCCUR_PAIRS_CTES}
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
        CAST(count(*) AS BIGINT) AS n_triangles
 FROM pairs ab
-JOIN pairs bc ON ab.v = bc.u
-JOIN pairs ac ON ac.u = ab.u AND ac.v = bc.v
+JOIN pairs bc ON ab.w2 = bc.w1
+JOIN pairs ac ON ac.w1 = ab.w1 AND ac.w2 = bc.w2
 """)
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count

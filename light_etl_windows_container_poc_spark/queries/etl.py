@@ -330,127 +330,77 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_custkey"))
 
 
+
+_NATION_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+def _nation_excel_roundtrip(spark: SparkSession, sf_dir: str,
+                            build_fn, ext: str, title: str) -> DataFrame:
+    """Shared round-trip body for the three Excel-format oracle legs:
+    build a REAL workbook from the nation table with the given
+    dependency-free writer, write it as a .{ext} file, and read it back
+    through the distributed binaryFile+mapInPandas reader exercising
+    sheet selection, skiprows, and usecols."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.files import read_excel
+
+    nation = load_tables(spark, sf_dir, ("nation",))["nation"]
+    rows = nation.orderBy("n_nationkey").collect()  # 25 rows at any SF
+    grid = [[title, None, None, None],             # skiprows target
+            ["n_nationkey", "n_name", "junk", "n_regionkey"]]
+    grid += [[int(r.n_nationkey), r.n_name, "x", int(r.n_regionkey)]
+             for r in rows]
+    book = build_fn({"meta": [["ignore me"]], "nation": grid})
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"spark_graft_{ext}_{tag}")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"nation.{ext}"), "wb") as fh:
+        fh.write(book)
+    df = read_excel(
+        spark, out_dir,
+        "n_nationkey long, n_name string, n_regionkey long",
+        sheet_name="nation", skiprows=1, usecols="A:B,D",
+        include_source_path=False)
+    return df.orderBy("n_nationkey")
+
+
 # --------------------------------------------------------------------------
 # Excel source end-to-end (reference fileserver.py:131-254 read_excel /
-# read_excel_with_params): build a REAL .xlsx from the nation table with
-# the dependency-free writer, read it back through the distributed
-# binaryFile+mapInPandas reader exercising sheet/skiprows/usecols, and
-# oracle-check the round trip against the original table.
+# read_excel_with_params), one oracle leg per accepted binary format
+# (fileserver.py:41-44): .xlsx via the SpreadsheetML writer, .xlsb via
+# the BIFF12 writer, legacy .xls via the BIFF8 writer — each built
+# in-repo, decoded by magic-byte dispatch on executors, hash-checked
+# against the nation table.
 # --------------------------------------------------------------------------
-@query("src_excel", oracle="""
-SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
-       n_name,
-       CAST(n_regionkey AS BIGINT) AS n_regionkey
-FROM nation
-ORDER BY n_nationkey
-""")
+@query("src_excel", oracle=_NATION_ORACLE)
 def src_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
-    from ..sources.files import read_excel
     from ..sources.xlsx import build_xlsx_bytes
 
-    nation = load_tables(spark, sf_dir, ("nation",))["nation"]
-    rows = nation.orderBy("n_nationkey").collect()  # 25 rows at any SF
-    grid = [["nation export", None, None, None],   # skiprows target
-            ["n_nationkey", "n_name", "junk", "n_regionkey"]]
-    grid += [[int(r.n_nationkey), r.n_name, "x", int(r.n_regionkey)]
-             for r in rows]
-    book = build_xlsx_bytes({"meta": [["ignore me"]], "nation": grid})
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_xlsx_{tag}")
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "nation.xlsx"), "wb") as fh:
-        fh.write(book)
-    df = read_excel(
-        spark, out_dir,
-        "n_nationkey long, n_name string, n_regionkey long",
-        sheet_name="nation", skiprows=1, usecols="A:B,D",
-        include_source_path=False)
-    return df.orderBy("n_nationkey")
+    return _nation_excel_roundtrip(spark, sf_dir, build_xlsx_bytes,
+                                   "xlsx", "nation export")
 
 
-# --------------------------------------------------------------------------
-# Binary .xlsb leg: the reference accepts BIFF12 uploads
-# (fileserver.py:43); the workbook is built with the in-repo BIFF12
-# writer and read back through the same distributed read_excel path
-# (zip-with-workbook.bin dispatch → sources/xlsb_biff12.py).
-# --------------------------------------------------------------------------
-@query("src_excel_xlsb", oracle="""
-SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
-       n_name,
-       CAST(n_regionkey AS BIGINT) AS n_regionkey
-FROM nation
-ORDER BY n_nationkey
-""")
+@query("src_excel_xlsb", oracle=_NATION_ORACLE)
 def src_excel_xlsb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
-    from ..sources.files import read_excel
     from ..sources.xlsb_biff12 import build_xlsb_bytes
 
-    nation = load_tables(spark, sf_dir, ("nation",))["nation"]
-    rows = nation.orderBy("n_nationkey").collect()  # 25 rows at any SF
-    grid = [["nation export (biff12)", None, None, None],
-            ["n_nationkey", "n_name", "junk", "n_regionkey"]]
-    grid += [[int(r.n_nationkey), r.n_name, "x", int(r.n_regionkey)]
-             for r in rows]
-    book = build_xlsb_bytes({"meta": [["ignore me"]], "nation": grid})
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_xlsb_{tag}")
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "nation.xlsb"), "wb") as fh:
-        fh.write(book)
-    df = read_excel(
-        spark, out_dir,
-        "n_nationkey long, n_name string, n_regionkey long",
-        sheet_name="nation", skiprows=1, usecols="A:B,D",
-        include_source_path=False)
-    return df.orderBy("n_nationkey")
+    return _nation_excel_roundtrip(spark, sf_dir, build_xlsb_bytes,
+                                   "xlsb", "nation export (biff12)")
 
 
-# --------------------------------------------------------------------------
-# Legacy .xls leg of the same round trip: the reference accepts binary
-# BIFF .xls uploads (fileserver.py:41-44) and reads them through
-# pandas+xlrd (fileserver.py:131-172); here the workbook is BUILT with the
-# in-repo BIFF8 writer and read back through the same distributed
-# read_excel path (magic-byte dispatch → sources/xls_biff.py), so the
-# driver hash-checks the whole legacy codec, not just the zip one.
-# --------------------------------------------------------------------------
-@query("src_excel_xls", oracle="""
-SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
-       n_name,
-       CAST(n_regionkey AS BIGINT) AS n_regionkey
-FROM nation
-ORDER BY n_nationkey
-""")
+@query("src_excel_xls", oracle=_NATION_ORACLE)
 def src_excel_xls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
-    from ..sources.files import read_excel
     from ..sources.xls_biff import build_xls_bytes
 
-    nation = load_tables(spark, sf_dir, ("nation",))["nation"]
-    rows = nation.orderBy("n_nationkey").collect()  # 25 rows at any SF
-    grid = [["nation export (legacy)", None, None, None],
-            ["n_nationkey", "n_name", "junk", "n_regionkey"]]
-    grid += [[int(r.n_nationkey), r.n_name, "x", int(r.n_regionkey)]
-             for r in rows]
-    book = build_xls_bytes({"meta": [["ignore me"]], "nation": grid})
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_xls_{tag}")
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "nation.xls"), "wb") as fh:
-        fh.write(book)
-    df = read_excel(
-        spark, out_dir,
-        "n_nationkey long, n_name string, n_regionkey long",
-        sheet_name="nation", skiprows=1, usecols="A:B,D",
-        include_source_path=False)
-    return df.orderBy("n_nationkey")
+    return _nation_excel_roundtrip(spark, sf_dir, build_xls_bytes,
+                                   "xls", "nation export (legacy)")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from .breadth3 import COOCCUR_PAIRS_CTES
 from .registry import query
 
 
@@ -101,14 +102,16 @@ def simhash_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # HLL sketch accuracy + merge consistency: the estimate must land within
-# ±5% of the exact distinct (lgConfigK=12 ⇒ ~1.6% RSE), and the union of
+# ±8% of the exact distinct (lgConfigK=12 ⇒ ~1.6% RSE, so 8% is ~5σ —
+# wide enough that a regenerated warehouse cannot flake the row, tight
+# enough that a broken sketch still fails), and the union of
 # per-day sketches must estimate EXACTLY what the one-shot global sketch
 # estimates (same registers either way — merge loses nothing).
 # --------------------------------------------------------------------------
 @query("sketch_hll_bounds", oracle="""
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-       CAST(1 AS INT) AS within_5pct
+       CAST(1 AS INT) AS within_bounds
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -123,8 +126,8 @@ def sketch_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact.join(est, "event_type")
             .select("event_type", "exact_users",
                     (F.abs(F.col("est") - F.col("exact_users"))
-                     <= 0.05 * F.col("exact_users")).cast("int")
-                    .alias("within_5pct"))
+                     <= 0.08 * F.col("exact_users")).cast("int")
+                    .alias("within_bounds"))
             .orderBy("event_type"))
 
 
@@ -268,23 +271,9 @@ def dedup_blocked_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rank at (1-d)/n. The node count is SQL-computable by replaying the
 # edge construction relationally.
 # --------------------------------------------------------------------------
-@query("pagerank_invariants", oracle="""
-WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(list_filter(
-           string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS word
-  FROM documents
-), top30 AS (
-  SELECT word FROM tok GROUP BY word
-  ORDER BY count(*) DESC, word LIMIT 30
-), doc_top AS (
-  SELECT doc_id, word FROM tok WHERE word IN (SELECT word FROM top30)
-), pairs AS (
-  SELECT a.word AS w1, b.word AS w2
-  FROM doc_top a JOIN doc_top b
-    ON a.doc_id = b.doc_id AND a.word < b.word
-  GROUP BY a.word, b.word
-  HAVING count(*) >= 20
-), nodes AS (
+@query("pagerank_invariants", oracle=f"""
+WITH {COOCCUR_PAIRS_CTES},
+nodes AS (
   SELECT w1 AS w FROM pairs UNION SELECT w2 FROM pairs
 )
 SELECT CAST(count(*) AS BIGINT) AS n_nodes,
@@ -309,13 +298,14 @@ def pagerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# approx_count_distinct (HLL++) error bound, per group: rsd=0.02 ⇒ ±5%
-# covers >2σ; exact distincts are the data-dependent oracle columns.
+# approx_count_distinct (HLL++) error bound, per group: rsd=0.02 ⇒ ±8%
+# is 4σ (regeneration-proof, still fails a broken sketch); exact
+# distincts are the data-dependent oracle columns.
 # --------------------------------------------------------------------------
 @query("approx_distinct_bounds", oracle="""
 SELECT l_returnflag,
        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-       CAST(1 AS INT) AS within_5pct
+       CAST(1 AS INT) AS within_bounds
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -329,8 +319,8 @@ def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ex.join(apx, "l_returnflag")
             .select("l_returnflag", "exact_orders",
                     (F.abs(F.col("apx") - F.col("exact_orders"))
-                     <= 0.05 * F.col("exact_orders")).cast("int")
-                    .alias("within_5pct"))
+                     <= 0.08 * F.col("exact_orders")).cast("int")
+                    .alias("within_bounds"))
             .orderBy("l_returnflag"))
 
 
@@ -343,13 +333,16 @@ def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("kmeans_inertia_monotone", oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(1 AS INT) AS inertia_non_increasing
-FROM embeddings
+FROM embeddings WHERE vec_id < 1000
 """)
 def kmeans_inertia_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot, to_double
     from ..operators.similarity import kmeans_lite
 
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # certification harness: population-capped (predicate mirrored in the
+    # oracle) so two full k-means trainings stay cheap at any SF
+    emb = (load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+           .filter(F.col("vec_id") < 1000))
 
     def inertia(iters: int):
         cents = [[float(x) for x in r["cv"]]

@@ -23,7 +23,6 @@ workbooks (those are CFB-wrapped, caught by the OLE2 magic path).
 from __future__ import annotations
 
 import io
-import re
 import struct
 import zipfile
 
@@ -125,13 +124,19 @@ def _sheet_parts(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
                 rel, off = _wide_str(payload, 8)
             name, _ = _wide_str(payload, off)
             sheets.append((name, rel))
+    # real XML parse (not a regex): attribute order and quoting vary by
+    # producer, and a silently-empty rel map would mis-route sheets to
+    # positional part names (same approach as the xlsx codec)
+    import xml.etree.ElementTree as ET
+
     rel_map: dict[str, str] = {}
     try:
-        rels = zf.read("xl/_rels/workbook.bin.rels").decode("utf-8")
-        for m in re.finditer(
-                r'Id="([^"]+)"[^>]*Target="([^"]+)"', rels):
-            rel_map[m.group(1)] = "xl/" + m.group(2).lstrip("/")
-    except KeyError:
+        root = ET.fromstring(zf.read("xl/_rels/workbook.bin.rels"))
+        for rel_el in root:
+            rid, target = rel_el.get("Id"), rel_el.get("Target")
+            if rid and target:
+                rel_map[rid] = "xl/" + target.lstrip("/")
+    except (KeyError, ET.ParseError):
         pass
     out = []
     for i, (name, rel) in enumerate(sheets):

@@ -30,3 +30,24 @@ def test_pagerank_dangling_mass_redistributed(spark):
     pr = pagerank(_edges(spark, [("a", "b")]), iterations=6)
     total = pr.agg(F.sum("pr")).collect()[0][0]
     assert math.isclose(total, 1.0, rel_tol=1e-9)
+
+
+def test_triangle_count_known_graph(spark):
+    from light_etl_windows_container_poc_spark.operators.graph import \
+        triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge (adds none)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((4, 9))
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (7, 4)
+
+
+def test_triangle_count_no_triangles(spark):
+    from light_etl_windows_container_poc_spark.operators.graph import \
+        triangle_count
+
+    df = spark.createDataFrame([(1, 2), (3, 4)], "a_id long, b_id long")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (2, 0)

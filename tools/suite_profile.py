@@ -1,15 +1,14 @@
-"""Profile the full 141-query suite with per-query wall times.
+"""Profile the full registered query suite with per-query wall times.
 
 Usage:
     python tools/suite_profile.py [--sf-dir DIR] [--out FILE]
+                                  [--only a,b] [--repeat N]
 
 Prints every query's wall time sorted descending plus the total, and
-optionally writes the raw dict as JSON for A/B diffing. Environment
-knobs for attribution experiments:
-
-  SPARK_GRAFT_AB_NTZ=infer   leave inferTimestampNTZ at its default
-                             (catalog then casts NTZ->TIMESTAMP post-scan)
-  SPARK_GRAFT_AB_NOCACHE=1   bypass the catalog's per-session scan cache
+optionally writes the raw dict as JSON. For A/B attribution, run it
+twice — e.g. from a scratch worktree at an older commit vs HEAD on the
+same warehouse (the round-4 regression attribution in SURVEY §6 was
+produced exactly that way) — and diff the two JSON outputs.
 """
 
 from __future__ import annotations
