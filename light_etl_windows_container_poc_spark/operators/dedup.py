@@ -223,6 +223,10 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
         if changed == 0:
             converged = True
             break
+    # the returned labels are already materialized (the convergence count
+    # is an action on the lazily-checkpointed relation), so the edge cache
+    # can be released here — nothing pins it past the call
+    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "

@@ -28,10 +28,14 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     into a persisted weighted-edge relation up front. The only action per
     round is the eager checkpoint that cuts lineage (iterative joins
     otherwise compound planning time); ``eager_checkpoint=False`` defers
-    materialization so all rounds fuse into the final action — measured
-    ~3× faster for few-iteration runs on small graphs (one job instead of
-    one per round), at the cost of re-running every round if a partition
-    is lost mid-computation. Partitioning is sized to the rank
+    materialization so rounds 1..n-1 fuse into the FINAL round's
+    checkpoint — measured ~3× faster for few-iteration runs on small
+    graphs (one job instead of one per round), at the cost of re-running
+    every round if a partition is lost mid-job. The final round always
+    checkpoints eagerly so the returned DataFrame is materialized and
+    every internal cache (edge list, node set, weighted edges) is
+    RELEASED before return — a long-lived curation session never
+    accumulates pinned graph caches. Partitioning is sized to the rank
     relation (≥1 partition per ~100k nodes): a 30-node graph must not pay
     32-partition shuffle scheduling, a 1e9-node graph still spreads.
     """
@@ -41,13 +45,13 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     # setup actions (node count, weighted-edge materialization) and the
     # per-round joins never recompute it
     edges = edges.select("src", "dst").persist()
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
-             .distinct().persist())
-    n = nodes.count()
+    nodes_cached = (edges.select(F.col("src").alias("node"))
+                    .union(edges.select(F.col("dst").alias("node")))
+                    .distinct().persist())
+    n = nodes_cached.count()
     nparts = max(1, min(spark.sparkContext.defaultParallelism,
                         n // 100_000 + 1))
-    nodes = nodes.coalesce(nparts)
+    nodes = nodes_cached.coalesce(nparts)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     w_edges = (edges.join(outdeg, "src")
                .select("src", "dst",
@@ -56,7 +60,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     w_edges.count()
     edges.unpersist()
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (w_edges.join(pr.withColumnRenamed("node", "src"), "src")
                    .groupBy("dst")
                    .agg(F.sum(F.col("pr") * F.col("w")).alias("mass")))
@@ -70,13 +74,19 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
             new_pr = (new_pr.crossJoin(F.broadcast(lost))
                       .select("node", (F.col("mass") + F.col("lost"))
                               .alias("mass")))
+        # final round is ALWAYS eager: with eager_checkpoint=False the
+        # lazy rounds fuse into this one job, the result is materialized,
+        # and the caches below can be released instead of living forever
         pr = (new_pr.select("node",
                             (F.lit((1.0 - damping) / n)
                              + F.lit(damping) * F.col("mass")).alias("pr"))
               .coalesce(nparts)
-              .localCheckpoint(eager=eager_checkpoint))
-    if eager_checkpoint:
-        w_edges.unpersist()
+              .localCheckpoint(eager=eager_checkpoint
+                               or it == iterations - 1))
+    if iterations == 0:
+        pr = pr.localCheckpoint(eager=True)
+    w_edges.unpersist()
+    nodes_cached.unpersist()
     return pr
 
 
@@ -84,19 +94,37 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     """Global triangle count over an undirected edge list of UNIQUE
     ordered pairs (a < b) → a 1-row (n_edges, n_triangles).
 
-    The standard distributed shape: with every edge stored only in its
-    (lo, hi) orientation, each triangle {a<b<c} is counted exactly once
-    by joining (a,b)+(b,c) wedges against the closing edge (a,c) — two
-    equi-joins, no orientation blowup, no post-division. Shuffle volume
-    is Σ deg² (the wedge count), the known cost of exact triangle
-    counting; a degree-ordered orientation keeps hot vertices from
-    dominating because every join key is the wedge's middle or closing
-    vertex pair, never a raw high-degree vertex alone."""
-    e = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    The standard distributed shape: edges are re-oriented along the
+    (degree, id) total order — every edge points from its lower-degree
+    endpoint to the higher (id breaks ties), so each triangle is counted
+    exactly once by joining u→v, v→w wedges against the closing edge
+    u→w. Two equi-joins, no orientation blowup, no post-division. The
+    degree orientation is what makes the wedge count survive skew: a
+    hub of degree d has out-degree O(√m) under this order (every
+    out-neighbor has degree ≥ its own), so wedge volume is O(m^1.5)
+    instead of Σ deg² — an id-ordered orientation would let one low-id
+    hub generate O(d²) wedges. Costs one degree aggregation + one
+    broadcast-ready join up front; counting is orientation-invariant so
+    results are identical.
+
+    The result is computed eagerly (it is one row) so the edge cache the
+    plan reads three times can be released before returning — no pinned
+    caches outlive the call."""
+    deg = (pairs.select(F.col("a_id").alias("x"))
+           .unionAll(pairs.select(F.col("b_id").alias("x")))
+           .groupBy("x").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("x").alias("a_id"), F.col("d").alias("da"))
+    db = deg.select(F.col("x").alias("b_id"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | \
+        ((F.col("da") == F.col("db")) & (F.col("a_id") < F.col("b_id")))
+    e = (pairs.select("a_id", "b_id").join(da, "a_id").join(db, "b_id")
+         .select(F.when(a_first, F.col("a_id")).otherwise(F.col("b_id"))
+                 .alias("u"),
+                 F.when(a_first, F.col("b_id")).otherwise(F.col("a_id"))
+                 .alias("v")))
     # persisted because the plan reads e three times (wedge twice +
-    # closing edge) and `pairs` may carry an expensive upstream; like
-    # pagerank's weighted-edge cache it lives until the session clears
-    # it — the lazy result still needs it at action time
+    # closing edge) and `pairs` may carry an expensive upstream; released
+    # below once the 1-row result is materialized
     e = e.persist()
     wedge = (e.alias("ab")
              .join(e.alias("bc"), F.col("ab.v") == F.col("bc.u"))
@@ -104,5 +132,8 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
                      F.col("bc.v").alias("c")))
     closing = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = wedge.join(closing, ["a", "c"])
-    return (e.agg(F.count(F.lit(1)).alias("n_edges"))
-            .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles"))))
+    out = (e.agg(F.count(F.lit(1)).alias("n_edges"))
+           .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+           .localCheckpoint(eager=True))
+    e.unpersist()
+    return out

@@ -241,12 +241,93 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
             .dropDuplicates(["a_id", "b_id"]))
 
 
+# Above this k, nearest-centroid assignment switches from the literal
+# greatest-chain expression to the numpy-argmax mapInPandas path: a k-branch
+# chain embeds k·dim literals in the plan and, once the generated method
+# passes the JVM's 64KB bytecode limit, falls back to INTERPRETED evaluation
+# of k dot-folds PER ROW — at k=4096/dim=64 that is ~260k literals and a
+# plan Catalyst takes minutes to even analyze. 64 is comfortably inside the
+# codegen envelope (measured: the k=64 chain still whole-stage-codegens).
+LITERAL_ASSIGN_MAX_K = 64
+
+
+def assign_nearest_cluster(df: DataFrame, vec_col: str,
+                           centroids: list[tuple[int, list[float]]],
+                           out_col: str = "cluster",
+                           literal_k_max: int | None = None) -> DataFrame:
+    """Append the nearest-centroid id (cosine) as ``out_col``.
+
+    Both paths are MAP-ONLY — no join, no shuffle; assigning a 100 TB
+    corpus is a single scan either way. The plan differs by k:
+
+    - k ≤ ``literal_k_max`` (default `LITERAL_ASSIGN_MAX_K`): the
+      centroids are embedded as plan literals (`_nearest_cluster_expr`)
+      — whole-stage-codegen'd, zero Python.
+    - k above it: one Arrow-batched numpy argmax over the broadcast
+      k×dim centroid matrix (`_assign_clusters_gemm`) — the same GEMM
+      shape as `knn_graph_topk`; the per-row cost is a vectorized
+      matrix-vector product instead of k interpreted expression folds.
+
+    Tie-break matches across paths: lowest cluster id wins (the literal
+    chain maxes (sim, -cluster); the GEMM path argmaxes over centroids
+    sorted by cluster id, and numpy argmax takes the FIRST maximum)."""
+    if literal_k_max is None:
+        literal_k_max = LITERAL_ASSIGN_MAX_K
+    if len(centroids) <= literal_k_max:
+        return df.withColumn(
+            out_col, _nearest_cluster_expr(F.col(vec_col), centroids))
+    return _assign_clusters_gemm(df, vec_col, centroids, out_col)
+
+
+def _assign_clusters_gemm(df: DataFrame, vec_col: str,
+                          centroids: list[tuple[int, list[float]]],
+                          out_col: str) -> DataFrame:
+    """Large-k nearest-centroid assignment: numpy argmax against the
+    k×dim centroid matrix, Arrow-batched, all non-vector columns passed
+    through. The centroid matrix rides the serialized closure (k=4096 ×
+    dim=64 doubles ≈ 2 MB — well under task-broadcast comfort)."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    ordered = sorted(centroids)  # by cluster id → argmax ties break low
+    cl_ids = np.array([c for c, _ in ordered], dtype=np.int64)
+    pm = np.array([v for _, v in ordered], dtype=np.float64)
+    pn = np.sqrt((pm * pm).sum(axis=1))
+    pn[pn == 0.0] = 1.0  # same guard as _nearest_cluster_expr's `or 1.0`
+    pmn = (pm / pn[:, None]).T  # (dim, k), pre-normalized
+
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(out_col, IntegerType())])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out[out_col] = np.array([], dtype=np.int32)
+                yield out
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nv = np.sqrt((m * m).sum(axis=1))
+                sims = (m @ pmn) / nv[:, None]
+            out[out_col] = cl_ids[np.argmax(sims, axis=1)].astype(np.int32)
+            yield out
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def _nearest_cluster_expr(vec: "F.Column",
                           centroids: list[tuple[int, list[float]]]) -> "F.Column":
     """Nearest-centroid id as a PLAN-TIME expression over literal centroid
     arrays: k dot-folds per row, no join, no shuffle — assigning a 100 TB
     corpus is purely map-side. Ties break toward the LOWER cluster id (the
-    struct max sees (sim, -cluster))."""
+    struct max sees (sim, -cluster)). Scale guard: only sound at small k —
+    `assign_nearest_cluster` dispatches away from this above
+    `LITERAL_ASSIGN_MAX_K` branches (codegen bytecode cliff)."""
     v = to_double(vec)
     nv = F.sqrt(dot(v, v))
     best = None
@@ -304,8 +385,7 @@ def kmeans_lite(corpus: DataFrame, id_col: str, vec_col: str,
                  for i, row in enumerate(seeds.collect())]
 
     for _ in range(iterations):
-        assigned = c.withColumn("cluster",
-                                _nearest_cluster_expr(F.col("v"), centroids))
+        assigned = assign_nearest_cluster(c, "v", centroids)
         means = (assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
                  .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
                  .groupBy("cluster")
@@ -336,11 +416,11 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                  for r in kmeans_lite(corpus, id_col, vec_col, k=n_clusters,
                                       sample_fraction=train_sample_fraction
                                       ).collect()]
-    # literal-centroid assignment: the corpus scan is map-only (a windowed
-    # argmin here would shuffle k×corpus rows for nothing)
+    # map-only corpus assignment (a windowed argmin here would shuffle
+    # k×corpus rows for nothing); literal expression at the default k=8,
+    # GEMM argmax above LITERAL_ASSIGN_MAX_K
     c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
-    c_assigned = c.withColumn(
-        "cluster", _nearest_cluster_expr(F.col("nv"), centroids))
+    c_assigned = assign_nearest_cluster(c, "nv", centroids)
     q = _prep(queries, id_col, vec_col, "q_id", "qv", "nq")
     q_probes = (q.withColumn(
         "probes", _nprobe_clusters_expr(F.col("qv"), centroids, nprobe))
@@ -533,13 +613,10 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str,
                                sample_fraction=train_sample_fraction)
     centroids = [(int(r["cluster"]), [float(x) for x in r["cv"]])
                  for r in centroids_df.collect()]
-    c = _prep(df, id_col, vec_col, "vid", "v", "nv").withColumn(
-        "cluster", _nearest_cluster_expr(F.col("v"), centroids))
-    # persisted for the pair join's two sides + the final keep join; the
-    # cache lives until the session clears it (the result is lazy, so
-    # unpersisting here would recompute the assignment per downstream
-    # action instead) — long-lived pipelines should clearCache() or
-    # unpersist via df.sparkSession.catalog between corpora
+    c = assign_nearest_cluster(
+        _prep(df, id_col, vec_col, "vid", "v", "nv"), "v", centroids)
+    # persisted for the pair join's two sides + the final keep join;
+    # released below once the result is checkpointed
     c = c.persist()
     a = c.select("cluster", F.col("vid").alias("a_id"),
                  F.col("v").alias("va"), F.col("nv").alias("na"))
@@ -554,6 +631,15 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str,
     comp = connected_components(pairs)  # (node, component=min id)
     keep = F.when(F.col("component").isNull()
                   | (F.col("node") == F.col("component")), 1).otherwise(0)
-    return (c.join(comp, c.vid == comp.node, "left")
-            .select(F.col("vid").alias(id_col), "cluster",
-                    keep.cast("int").alias("keep")))
+    out = (c.join(comp, c.vid == comp.node, "left")
+           .select(F.col("vid").alias(id_col), "cluster",
+                   keep.cast("int").alias("keep")))
+    # epilogue: materialize the (3-narrow-column) result once so the
+    # vector-bearing assignment cache can be RELEASED now instead of
+    # pinning corpus-sized vectors for the session's lifetime. The
+    # operator is already multi-action (k-means training, CC convergence
+    # checks), so the one extra job here does not change its nature;
+    # callers get a checkpoint-backed DataFrame.
+    out = out.localCheckpoint(eager=True)
+    c.unpersist()
+    return out
