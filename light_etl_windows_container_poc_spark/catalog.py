@@ -80,6 +80,12 @@ def load_tables(spark: SparkSession, sf_dir: str,
     # clipping. Policy (same as tune_caller_session): override only while
     # the conf holds Spark's DEFAULT, so an explicit caller/cluster
     # setting always wins and the engine's effect is deterministic.
+    # Known limitation: `conf.get(key, default) == default` cannot tell an
+    # UNSET conf from one a caller explicitly set to the default value, so
+    # an explicit `nanosAsLong=false` (== default) is still overridden;
+    # distinguishing the two would need SQLConf internals the public conf
+    # API doesn't expose. Callers who need the default semantics set the
+    # conf to the non-default value and back, or read via a fresh session.
     for key, default, want in (
             # nanos-encoded parquet TIMESTAMP(9) reads as int64 (Spark 4
             # rejects it otherwise); _fix_timestamps re-types to TIMESTAMP

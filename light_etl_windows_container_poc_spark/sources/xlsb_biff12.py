@@ -72,6 +72,8 @@ def _read_records(data: bytes):
 def _wide_str(payload: bytes, off: int) -> tuple[str, int]:
     """XLWideString at ``off``: 4-byte cch + UTF-16LE chars. Returns
     (text, next offset)."""
+    if off + 4 > len(payload):
+        raise ValueError("corrupt BIFF12: string length header exceeds record")
     (cch,) = struct.unpack_from("<I", payload, off)
     end = off + 4 + 2 * cch
     if end > len(payload):
@@ -117,6 +119,8 @@ def _sheet_parts(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
     for rt, payload in _read_records(zf.read("xl/workbook.bin")):
         if rt == _BUNDLE_SH:
             # hsState (4) + iTabID (4) + strRelID (nullable) + strName
+            if len(payload) < 12:
+                raise ValueError("corrupt BIFF12: BundleSh record too short")
             (cch_rel,) = struct.unpack_from("<I", payload, 8)
             if cch_rel == 0xFFFFFFFF:
                 rel, off = "", 12
@@ -191,6 +195,10 @@ def parse_xlsb_rows(raw: bytes, sheet_name: int | str = 0) -> list[list]:
                     if v.is_integer() and abs(v) < 2 ** 53 else v
             elif rt == _CELL_ISST:
                 (isst,) = struct.unpack_from("<I", payload, 8)
+                if isst >= len(sst):
+                    raise ValueError(
+                        f"corrupt BIFF12: shared-string index {isst} out of "
+                        f"range (table has {len(sst)} strings)")
                 cells[row, col] = sst[isst]
             elif rt in (_CELL_ST, _FMLA_STRING):
                 cells[row, col], _ = _wide_str(payload, 8)
@@ -278,9 +286,17 @@ def build_xlsb_bytes(sheets: dict[str, list[list]]) -> bytes:
                 elif isinstance(v, (int, float)):
                     body.append(_rec(_CELL_REAL, cell_head(ci)
                                      + struct.pack("<d", float(v))))
-                else:
+                elif isinstance(v, str):
                     body.append(_rec(_CELL_ISST, cell_head(ci)
-                                     + struct.pack("<I", s_index[str(v)])))
+                                     + struct.pack("<I", s_index[v])))
+                else:
+                    # only str cells were registered in the SST counting
+                    # pass — anything else (datetime, bytes, …) must fail
+                    # loudly here, not as a KeyError into the string table
+                    raise TypeError(
+                        f"unsupported cell type {type(v).__name__} at "
+                        f"sheet {name!r} row {ri} col {ci}; supported: "
+                        "None, bool, int, float, str")
         sheet_parts[f"xl/worksheets/sheet{i + 1}.bin"] = b"".join(body)
 
     wb = b"".join(

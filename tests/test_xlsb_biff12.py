@@ -151,3 +151,63 @@ def test_list_excel_sheets_xlsb(spark, tmp_path):
         build_xlsb_bytes({"alpha": [["x"]], "beta": [["y"]]}))
     df = list_excel_sheets(spark, str(tmp_path))
     assert [r.sheet_name for r in df.collect()] == ["alpha", "beta"]
+
+
+# ---------------------------------------------------------------------------
+# diagnostic error paths (round-5 hardening)
+# ---------------------------------------------------------------------------
+
+def test_writer_rejects_unsupported_cell_type():
+    import datetime
+
+    with pytest.raises(TypeError, match="datetime.*row 0 col 1"):
+        build_xlsb_bytes({"s": [["ok", datetime.datetime(2024, 1, 1)]]})
+
+
+def test_out_of_range_sst_index_raises_valueerror():
+    raw = build_xlsb_bytes({"s": [["a"], ["x"]]})
+    # rewrite the lone BrtCellIsst payload to point past the 2-string table
+    import io
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    sheet = parts["xl/worksheets/sheet1.bin"]
+    body = b"".join(
+        _rec(rt, payload[:8] + struct.pack("<I", 99)
+             if rt == 7 else payload)
+        for rt, payload in _read_records(sheet))
+    parts["xl/worksheets/sheet1.bin"] = body
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for n, d in parts.items():
+            zf.writestr(n, d)
+    with pytest.raises(ValueError, match="shared-string index 99"):
+        parse_xlsb_rows(buf.getvalue())
+
+
+def test_truncated_bundlesh_raises_valueerror_not_struct_error():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.bin", _rec(156, b"\x00" * 9))  # BundleSh, short
+    with pytest.raises(ValueError, match="BundleSh"):
+        list_xlsb_sheet_names(buf.getvalue())
+
+
+def test_truncated_wide_str_raises_valueerror_not_struct_error():
+    import io
+    import zipfile
+
+    # BundleSh with null relID, then the sheet-name string's 4-byte length
+    # header truncated to 2 bytes — must hit _wide_str's bounds check,
+    # not struct.error
+    payload = struct.pack("<II", 0, 1) + struct.pack("<I", 0xFFFFFFFF) \
+        + b"\x07\x00"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.bin", _rec(156, payload))
+    with pytest.raises(ValueError, match="BIFF12"):
+        list_xlsb_sheet_names(buf.getvalue())
