@@ -90,15 +90,40 @@ _R03_CERTIFIED = [
     "q10_returned_items", "q14_promo_effect",
 ]
 
-# Queries whose CODE (or transitively their operators) changed in round 4:
-# re-certify even if a past round was green. The dedup/ANN rows ride on the
-# multiprobe generalization + _auto_n_blocks memoization in
-# operators/similarity.py; the minhash rows on the banding refactor.
-_RECERTIFY = [
+# CORRECTNESS_r04.json keys (round-4 driver run): all 50 green.
+_R04_CERTIFIED = [
+    "src_excel_xlsb", "src_excel_xls", "stream_stateful_final",
+    "graph_triangles", "minhash_band_containment", "simhash_pigeonhole",
+    "sketch_hll_bounds", "sketch_hll_merge_consistent", "sketch_pct_bounds",
+    "ann_ivf_fullprobe_exact", "ann_lsh_recall_floor",
+    "dedup_blocked_invariance", "pagerank_invariants",
+    "approx_distinct_bounds", "kmeans_inertia_monotone", "semdedup_keep",
+    "semdedup_soundness", "domain_temperature_sample", "dsir_weights",
     "ann_lsh", "ann_ivf", "dedup_minhash_lsh", "dedup_embedding",
-    "dedup_embedding_blocked", "knn_graph", "src_excel",
-    "mm_features", "mm_frame_sample", "pagerank_words",
-    "dedup_clusters", "dedup_keep_one", "curate_corpus",
+    "dedup_embedding_blocked", "knn_graph", "src_excel", "mm_features",
+    "mm_frame_sample", "pagerank_words", "dedup_clusters", "dedup_keep_one",
+    "curate_corpus", "q1_pricing_summary", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
+    "q7_volume_shipping", "q10_returned_items", "q14_promo_effect",
+    "q18_large_orders", "q19_discount_revenue", "topk_per_group",
+    "window_running", "window_lag_delta", "agg_rollup", "agg_cube",
+    "pivot_wide", "unpivot_long", "set_ops",
+]
+
+# Queries whose CODE (or transitively their operators) changed in round 5:
+# re-certify even if a past round was green. The semdedup/kmeans/IVF rows
+# ride on the dual-path centroid assignment (operators/similarity.py);
+# the graph rows on the degree-oriented triangle join + pagerank cache
+# epilogue; the dedup/curation rows on connected_components' cache
+# release; fuzzy_join_parts on PassJoin segment blocking; the Excel legs
+# on the BIFF12 diagnostics hardening.
+_RECERTIFY = [
+    "semdedup_keep", "semdedup_soundness", "ann_ivf",
+    "ann_ivf_fullprobe_exact", "kmeans_inertia_monotone",
+    "graph_triangles", "pagerank_words", "pagerank_invariants",
+    "dedup_clusters", "dedup_keep_one", "dedup_minhash_lsh",
+    "curate_corpus", "fuzzy_join_parts",
+    "src_excel", "src_excel_xls", "src_excel_xlsb",
 ]
 
 
@@ -106,25 +131,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Certify-first ordering under the driver's ~50-query budget: never-
-    certified queries first (the round-4 additions), then rows whose code
-    changed this round, then previously-certified rows oldest-round-first.
+    certified queries first (the round-5 additions), then rows whose code
+    changed this round, then previously-certified rows oldest-round-first
+    (most-recent certification wins: a row re-certified in r4 sits in the
+    r4 tail even if r1 also covered it).
     """
-    certified = (set(_R01_CERTIFIED) | set(_R02_CERTIFIED)
-                 | set(_R03_CERTIFIED))
+    rounds = [_R01_CERTIFIED, _R02_CERTIFIED, _R03_CERTIFIED,
+              _R04_CERTIFIED]
+    certified = set().union(*map(set, rounds))
     head = [n for n in QUERIES if n not in certified]
     redo = [n for n in _RECERTIFY if n in QUERIES and n in certified]
     seen = set(head) | set(redo)
-
-    def tail(round_list: list[str]) -> list[str]:
-        out = [n for n in round_list if n in QUERIES and n not in seen]
-        seen.update(out)
-        return out
-
-    tail_r1 = tail(_R01_CERTIFIED)
-    tail_r2 = tail(_R02_CERTIFIED)
-    tail_r3 = tail(_R03_CERTIFIED)
-    return {n: QUERIES[n]
-            for n in (*head, *redo, *tail_r1, *tail_r2, *tail_r3)}
+    # oldest-round-first, where a query's round is its LATEST green run
+    latest: dict[str, int] = {}
+    for i, round_list in enumerate(rounds):
+        for n in round_list:
+            latest[n] = i
+    tails: list[list[str]] = [[] for _ in rounds]
+    for i, round_list in enumerate(rounds):
+        for n in round_list:
+            if n in QUERIES and n not in seen and latest[n] == i:
+                tails[i].append(n)
+                seen.add(n)
+    ordered = [*head, *redo, *(n for t in tails for n in t)]
+    return {n: QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
