@@ -181,8 +181,23 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """`connected_components_stats` without the round count — see there."""
+    return connected_components_stats(pairs, max_iterations)[0]
+
+
+def connected_components_stats(pairs: DataFrame,
+                               max_iterations: int = 20,
+                               ) -> tuple[DataFrame, int]:
     """Connected components over a near-dup pair graph (a_id, b_id) →
-    (node, component) where component = min node id in the component.
+    ((node, component) where component = min node id, rounds_used).
+
+    ``rounds_used`` counts label-propagation rounds INCLUDING the final
+    no-change round that proves convergence — on clique-shaped dup graphs
+    it is exactly 2 (labels settle in one hop, one more round detects
+    fixpoint), which `cc_convergence` certifies against a relational
+    oracle; a value creeping toward ``max_iterations`` is the
+    early-warning signal that component diameters (and the round count at
+    100 TB) are growing.
 
     Iterative min-label propagation: each round every node takes the
     minimum label among itself and its neighbors. The label advances one
@@ -203,7 +218,9 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     converged = False
+    rounds_used = 0
     for _ in range(max_iterations):
+        rounds_used += 1
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("label").alias("nmin")))
         new_labels = (labels.join(neighbor_min, labels.node == neighbor_min.src,
@@ -232,7 +249,8 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
             f"connected_components did not converge in {max_iterations} "
             "iterations; components would be silently split. Raise "
             "max_iterations (component diameter exceeds it).")
-    return labels.select(F.col("node"), F.col("label").alias("component"))
+    return (labels.select(F.col("node"), F.col("label").alias("component")),
+            rounds_used)
 
 
 def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,

@@ -26,3 +26,4 @@ from . import breadth11  # noqa: F401,E402
 from . import breadth12  # noqa: F401,E402
 from . import invariants  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
+from . import breadth13  # noqa: F401,E402

@@ -37,7 +37,8 @@ def test_oracle_sql_is_registered_for_sql_expressible_ops():
                and not n.startswith(("dedup_minhash", "dedup_simhash", "ann_lsh",
                                      "ann_ivf", "agg_approx", "stream_", "mm_",
                                      "pagerank_", "sketch_"))
-               and n not in ("dedup_embedding_blocked", "semdedup_keep")}
+               and n not in ("dedup_embedding_blocked", "semdedup_keep",
+                             "embed_pca")}
     assert not missing, f"queries without oracle: {missing}"
 
 
