@@ -27,3 +27,4 @@ from . import breadth12  # noqa: F401,E402
 from . import invariants  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
 from . import breadth13  # noqa: F401,E402
+from . import breadth14  # noqa: F401,E402

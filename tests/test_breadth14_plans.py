@@ -1,0 +1,45 @@
+"""Plan-shape assertions for the round-5 second-wave queries
+(breadth14): the retrieval/mixing/quality passes must keep their
+documented scale properties, not just their oracle hashes."""
+
+from __future__ import annotations
+
+from light_etl_windows_container_poc_spark.plans import (
+    assert_broadcast_join, assert_no_python_udf, assert_single_shuffle,
+    formatted_plan)
+from light_etl_windows_container_poc_spark.queries import QUERIES
+
+
+def test_bm25_topk_is_take_ordered_and_stats_broadcast(spark, sf_dir):
+    """The scored relation scales with |matching docs|: top-k must be the
+    distributed TakeOrderedAndProject (the trailing rank window runs over
+    the 20-row limit result only), and the df/corpus-stats sides must
+    ride broadcasts, never shuffle the postings stream."""
+    df = QUERIES["bm25_search"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert_broadcast_join(df, min_count=2)
+    assert_no_python_udf(df)
+
+
+def test_mad_outliers_percentile_sides_broadcast(spark, sf_dir):
+    # both per-source percentile relations (|sources| rows) broadcast back
+    # onto the document stream — the docs never shuffle
+    assert_broadcast_join(QUERIES["mad_outliers"](spark, sf_dir),
+                          min_count=2)
+
+
+def test_zonemap_single_aggregation(spark, sf_dir):
+    # one map-side-combined agg + the output orderBy: two exchanges max
+    assert_single_shuffle(QUERIES["zonemap_stats"](spark, sf_dir),
+                          max_exchanges=2)
+
+
+def test_token_budget_mix_scalar_broadcast(spark, sf_dir):
+    assert_broadcast_join(QUERIES["token_budget_mix"](spark, sf_dir),
+                          min_count=1)
+
+
+def test_entropy_and_perplexity_stay_jvm_side(spark, sf_dir):
+    for name in ("text_word_entropy", "lm_perplexity_filter"):
+        assert_no_python_udf(QUERIES[name](spark, sf_dir))
