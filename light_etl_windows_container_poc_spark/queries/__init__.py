@@ -28,3 +28,4 @@ from . import invariants  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
 from . import breadth13  # noqa: F401,E402
 from . import breadth14  # noqa: F401,E402
+from . import breadth15  # noqa: F401,E402

@@ -9,9 +9,9 @@ Determinism contracts (all hash-certified):
 - transcendental terms (ln/exp) are micro-rounded PER TERM before any
   integer summation — the dsir_weights/quality_logistic_score contract —
   so cross-engine double-sum ordering can never flip a result;
-- integer division (``div``/``//``) is applied to non-negative values
-  only (floor vs truncate agree there); signed averages go through
-  double division of exact integers instead;
+- integer division (``div``/``//``) truncates toward zero in both
+  engines; signed averages still go through double division of exact
+  integers so no quotient-rounding convention is load-bearing;
 - percentiles use the linear-interpolation definition both engines share
   (the agg_median contract).
 """
@@ -279,9 +279,10 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop flag at a fixed ceiling. Same two count-aggregations as
     text_bigram_lm (unigram, bigram) joined back to the bigram stream;
     the per-doc reduction carries two BIGINTs of state. C(w1 w2) ≤ C(w1)
-    guarantees ln P ≤ 0, so the micro-rounded terms are summed (never
-    integer-divided — floor/truncate semantics differ on negatives;
-    the mean goes through exact-integer double division instead)."""
+    guarantees ln P ≤ 0; the mean of the (negative) micro-int sum goes
+    through exact-integer double division — one double op both engines
+    evaluate identically — rather than an integer div, keeping the
+    perplexity independent of any quotient-rounding convention."""
     from ..functions.texts import word_ngrams_raw
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]

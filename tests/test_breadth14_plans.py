@@ -43,3 +43,20 @@ def test_token_budget_mix_scalar_broadcast(spark, sf_dir):
 def test_entropy_and_perplexity_stay_jvm_side(spark, sf_dir):
     for name in ("text_word_entropy", "lm_perplexity_filter"):
         assert_no_python_udf(QUERIES[name](spark, sf_dir))
+
+
+def test_robust_scale_stats_broadcast(spark, sf_dir):
+    # the dim-row median/IQR relation broadcasts onto the cell stream
+    df = QUERIES["embed_robust_scale"](spark, sf_dir)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_python_udf(df)
+
+
+def test_ngram_novelty_no_doc_pair_join(spark, sf_dir):
+    # novelty joins postings on the bigram key — a nested-loop (doc-pair)
+    # plan would be the naive quadratic formulation
+    df = QUERIES["ngram_novelty"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert_no_python_udf(df)
