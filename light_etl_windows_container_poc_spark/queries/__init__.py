@@ -29,3 +29,4 @@ from . import curation  # noqa: F401,E402
 from . import breadth13  # noqa: F401,E402
 from . import breadth14  # noqa: F401,E402
 from . import breadth15  # noqa: F401,E402
+from . import breadth16  # noqa: F401,E402

@@ -52,6 +52,34 @@ def test_robust_scale_stats_broadcast(spark, sf_dir):
     assert_no_python_udf(df)
 
 
+def test_ohlc_single_exchange(spark, sf_dir):
+    """Both row_number windows and the bar aggregation share the
+    (event_type, bucket) keys: one shuffle of the events stream plus the
+    output orderBy — nothing else."""
+    assert_single_shuffle(QUERIES["ohlc_bars"](spark, sf_dir),
+                          max_exchanges=2)
+
+
+def test_rfm_windows_rank_aggregated_users_only(spark, sf_dir):
+    """The quintile windows are partition-less BY DESIGN but must sit
+    above the per-user aggregate (|users| rows), never the raw events:
+    the plan's window operators all consume the aggregated relation."""
+    df = QUERIES["user_rfm"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # the tree prints top-down (parents first): every Window node must
+    # appear ABOVE the per-user HashAggregate that reduces the events
+    # scan, i.e. the windows consume the aggregated relation
+    tree = plan.split("(1) Scan")[0]
+    assert "Window" in tree and "HashAggregate" in tree
+    assert tree.index("Window") < tree.index("HashAggregate")
+    assert_no_python_udf(df)
+
+
+def test_event_transitions_row_totals_broadcast(spark, sf_dir):
+    assert_broadcast_join(QUERIES["event_transitions"](spark, sf_dir),
+                          min_count=1)
+
+
 def test_ngram_novelty_no_doc_pair_join(spark, sf_dir):
     # novelty joins postings on the bigram key — a nested-loop (doc-pair)
     # plan would be the naive quadratic formulation
