@@ -80,6 +80,21 @@ def test_event_transitions_row_totals_broadcast(spark, sf_dir):
                           min_count=1)
 
 
+def test_dup_overlap_no_pair_relation(spark, sf_dir):
+    # pair counts come from the counts-squared identity — a materialized
+    # pair relation would show as a second self-join of the clique key
+    df = QUERIES["dup_source_overlap"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_budget_apply_fraction_broadcast_and_map_only_decision(spark, sf_dir):
+    df = QUERIES["budget_sample_apply"](spark, sf_dir)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_python_udf(df)
+
+
 def test_ngram_novelty_no_doc_pair_join(spark, sf_dir):
     # novelty joins postings on the bigram key — a nested-loop (doc-pair)
     # plan would be the naive quadratic formulation
