@@ -80,6 +80,16 @@ def test_event_transitions_row_totals_broadcast(spark, sf_dir):
                           min_count=1)
 
 
+def test_hybrid_rrf_both_leg_topk_distributed(spark, sf_dir):
+    """Both ranking legs cut to depth with TakeOrderedAndProject; the
+    query vector rides a broadcast; no Python in the plan."""
+    df = QUERIES["hybrid_rrf_search"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert_broadcast_join(df, min_count=2)
+    assert_no_python_udf(df)
+
+
 def test_dup_overlap_no_pair_relation(spark, sf_dir):
     # pair counts come from the counts-squared identity — a materialized
     # pair relation would show as a second self-join of the clique key
