@@ -100,6 +100,10 @@ def main() -> None:
                 | set(_ent._R03_CERTIFIED))
     suite_r3_subset = round(sum(t for n, t in suite_times.items()
                                 if n in r3_names), 3)
+    # same tripwire one generation later: the 160-query round-4 population
+    r4_names = r3_names | set(_ent._R04_CERTIFIED)
+    suite_r4_subset = round(sum(t for n, t in suite_times.items()
+                                if n in r4_names), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -114,6 +118,7 @@ def main() -> None:
         "full_suite_queries": suite_n,
         "full_suite_slowest": slowest,
         "suite_r3_subset_sec": suite_r3_subset,
+        "suite_r4_subset_sec": suite_r4_subset,
         "sf": sf_val,
     }))
 

@@ -32,3 +32,4 @@ from . import breadth15  # noqa: F401,E402
 from . import breadth16  # noqa: F401,E402
 from . import breadth17  # noqa: F401,E402
 from . import breadth18  # noqa: F401,E402
+from . import breadth19  # noqa: F401,E402

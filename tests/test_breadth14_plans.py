@@ -90,6 +90,14 @@ def test_hybrid_rrf_both_leg_topk_distributed(spark, sf_dir):
     assert_no_python_udf(df)
 
 
+def test_market_basket_supports_broadcast(spark, sf_dir):
+    # brand supports and the order-count scalar are broadcast; the only
+    # data-sized shuffle keys on the bounded basket (order key)
+    df = QUERIES["market_basket_lift"](spark, sf_dir)
+    assert_broadcast_join(df, min_count=2)
+    assert_no_python_udf(df)
+
+
 def test_dup_overlap_no_pair_relation(spark, sf_dir):
     # pair counts come from the counts-squared identity — a materialized
     # pair relation would show as a second self-join of the clique key
