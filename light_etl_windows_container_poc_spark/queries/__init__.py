@@ -33,3 +33,4 @@ from . import breadth16  # noqa: F401,E402
 from . import breadth17  # noqa: F401,E402
 from . import breadth18  # noqa: F401,E402
 from . import breadth19  # noqa: F401,E402
+from . import breadth20  # noqa: F401,E402

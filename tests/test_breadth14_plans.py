@@ -90,6 +90,20 @@ def test_hybrid_rrf_both_leg_topk_distributed(spark, sf_dir):
     assert_no_python_udf(df)
 
 
+def test_temporal_wave_stats_broadcast(spark, sf_dir):
+    # seasonality baseline / MAD relations are |types| rows → broadcasts
+    for name in ("seasonality_dow", "daily_anomaly_mad"):
+        assert_broadcast_join(QUERIES[name](spark, sf_dir), min_count=1)
+
+
+def test_attribution_windows_share_user_partitioning(spark, sf_dir):
+    # all three windows partition by user (then user+session): exactly
+    # one data-sized Exchange over events, plus the final agg exchange
+    df = QUERIES["first_touch_attribution"](spark, sf_dir)
+    assert_single_shuffle(df, max_exchanges=4)
+    assert_no_python_udf(df)
+
+
 def test_market_basket_supports_broadcast(spark, sf_dir):
     # brand supports and the order-count scalar are broadcast; the only
     # data-sized shuffle keys on the bounded basket (order key)
