@@ -34,3 +34,4 @@ from . import breadth17  # noqa: F401,E402
 from . import breadth18  # noqa: F401,E402
 from . import breadth19  # noqa: F401,E402
 from . import breadth20  # noqa: F401,E402
+from . import breadth21  # noqa: F401,E402

@@ -90,6 +90,18 @@ def test_hybrid_rrf_both_leg_topk_distributed(spark, sf_dir):
     assert_no_python_udf(df)
 
 
+def test_length_histogram_single_agg(spark, sf_dir):
+    assert_single_shuffle(QUERIES["length_histogram_log2"](spark, sf_dir),
+                          max_exchanges=2)
+
+
+def test_embed_outliers_centroid_and_mad_broadcast(spark, sf_dir):
+    # centroid (|labels|·dim), median, and MAD relations all broadcast
+    df = QUERIES["embed_outliers"](spark, sf_dir)
+    assert_broadcast_join(df, min_count=3)
+    assert_no_python_udf(df)
+
+
 def test_temporal_wave_stats_broadcast(spark, sf_dir):
     # seasonality baseline / MAD relations are |types| rows → broadcasts
     for name in ("seasonality_dow", "daily_anomaly_mad"):
