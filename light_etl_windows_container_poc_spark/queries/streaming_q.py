@@ -256,3 +256,67 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.unix_micros("c_ts") - F.unix_micros("v_ts"))
                        .alias("gap_us"))
             .orderBy("user_id", "v_id", "c_id"))
+
+
+# --------------------------------------------------------------------------
+# streaming OHLC bars: open/close via min_by/max_by on the total
+# (ts, event_id) order — the streaming twin of the batch `ohlc_bars`
+# query, hash-checked against the same relational truth. min_by/max_by
+# are commutative merges over the unique struct key, so micro-batch
+# boundaries can never change the result.
+# --------------------------------------------------------------------------
+@query("stream_ohlc_final", oracle="""
+WITH e AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+         ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, strftime(bucket, '%Y-%m-%d') AS bucket_day,
+       CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS volume_cents
+FROM r GROUP BY event_type, bucket
+ORDER BY event_type, bucket_day
+""")
+def stream_ohlc_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked daily windows; open = min_by(cents, (ts, event_id)),
+    close = max_by — deterministic because the struct key is unique, and
+    mergeable because min_by/max_by keep one (key, value) pair of state
+    per group regardless of arrival order. On the bounded stream the
+    final update-mode totals equal the batch bars exactly."""
+    stream = _events_stream(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    ordk = F.struct("ts", "event_id")
+    agg = (stream
+           .withWatermark("ts", "2 days")
+           .groupBy(F.window("ts", "1 day"), "event_type")
+           .agg(F.min_by(cents, ordk).alias("open_cents"),
+                F.max(cents).alias("high_cents"),
+                F.min(cents).alias("low_cents"),
+                F.max_by(cents, ordk).alias("close_cents"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(cents).alias("volume_cents")))
+    out = _run_to_table(agg, "update")
+    return (out.select("event_type",
+                       F.date_format("window.start", "yyyy-MM-dd")
+                       .alias("bucket_day"),
+                       F.col("open_cents").cast("long").alias("open_cents"),
+                       F.col("high_cents").cast("long").alias("high_cents"),
+                       F.col("low_cents").cast("long").alias("low_cents"),
+                       F.col("close_cents").cast("long").alias("close_cents"),
+                       F.col("n_events").cast("long").alias("n_events"),
+                       F.col("volume_cents").cast("long")
+                       .alias("volume_cents"))
+            .orderBy("event_type", "bucket_day"))
