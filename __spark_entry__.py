@@ -124,6 +124,11 @@ _RECERTIFY = [
     "dedup_clusters", "dedup_keep_one", "dedup_minhash_lsh",
     "curate_corpus", "fuzzy_join_parts",
     "src_excel", "src_excel_xls", "src_excel_xlsb",
+    # streaming_q.py gained stream_ohlc_final this round (existing
+    # functions untouched, full local gate green post-change) — still,
+    # refresh the two oldest r2-certified rows of that file under the
+    # driver's own hash
+    "stream_window_agg", "stream_stream_join",
 ]
 
 
