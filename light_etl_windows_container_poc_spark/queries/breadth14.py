@@ -152,9 +152,9 @@ g AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM per)
 SELECT source, n_docs, n_tokens,
        CAST({_MIX_BUDGET_TOKENS} // n_sources AS BIGINT) AS quota_tokens,
        CAST(least(1000000, ({_MIX_BUDGET_TOKENS} // n_sources) * 1000000
-                  // n_tokens) AS BIGINT) AS fraction_micro,
+                  // greatest(n_tokens, 1)) AS BIGINT) AS fraction_micro,
        CAST(({_MIX_BUDGET_TOKENS} // n_sources) * 1000
-            // n_tokens AS BIGINT) AS epochs_milli
+            // greatest(n_tokens, 1) AS BIGINT) AS epochs_milli
 FROM per CROSS JOIN g
 ORDER BY source
 """)
@@ -177,10 +177,10 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     quota.cast("long").alias("quota_tokens"),
                     F.least(F.lit(1_000_000).cast("long"),
                             F.expr(f"({_MIX_BUDGET_TOKENS} div n_sources)"
-                                   " * 1000000 div n_tokens"))
+                                   " * 1000000 div greatest(n_tokens, 1)"))
                     .cast("long").alias("fraction_micro"),
                     F.expr(f"({_MIX_BUDGET_TOKENS} div n_sources) * 1000"
-                           " div n_tokens")
+                           " div greatest(n_tokens, 1)")
                     .cast("long").alias("epochs_milli"))
             .orderBy("source"))
 

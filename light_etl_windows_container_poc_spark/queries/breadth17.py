@@ -126,7 +126,7 @@ g AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM per),
 fr AS (
   SELECT source,
          CAST(least(1000000, ({_MIX_BUDGET_TOKENS} // n_sources) * 1000000
-                    // n_tokens) AS BIGINT) AS fraction_micro
+                    // greatest(n_tokens, 1)) AS BIGINT) AS fraction_micro
   FROM per CROSS JOIN g
 )
 SELECT d.doc_id, d.source, d.n_tok,
@@ -154,7 +154,7 @@ def budget_sample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("source",
                   F.least(F.lit(1_000_000).cast("long"),
                           F.expr(f"({_MIX_BUDGET_TOKENS} div n_sources)"
-                                 " * 1000000 div n_tokens"))
+                                 " * 1000000 div greatest(n_tokens, 1)"))
                   .cast("long").alias("fraction_micro")))
     bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                      16, 10).cast("long") % 1_000_000)
