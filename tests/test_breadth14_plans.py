@@ -5,9 +5,46 @@ documented scale properties, not just their oracle hashes."""
 from __future__ import annotations
 
 from light_etl_windows_container_poc_spark.plans import (
-    assert_broadcast_join, assert_no_python_udf, assert_single_shuffle,
-    formatted_plan)
+    assert_broadcast_join, assert_no_python_udf, assert_reads_only_columns,
+    assert_single_shuffle, formatted_plan)
 from light_etl_windows_container_poc_spark.queries import QUERIES
+
+_DOC_COLS = {"doc_id", "text", "lang", "source", "n_chars"}
+_EVENT_COLS = {"event_id", "ts", "user_id", "event_type", "value", "props"}
+_LINEITEM_COLS = {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                  "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                  "l_returnflag", "l_linestatus", "l_shipdate"}
+
+
+def test_new_queries_prune_scan_columns(spark, sf_dir):
+    """Every wave's scan must request only the columns it uses — a 100 TB
+    scan that reads `text` for a zone map (or `props` for OHLC) is
+    wrong regardless of the result hash."""
+    cases = [
+        ("bm25_search", _DOC_COLS, {"doc_id", "text"}),
+        ("text_word_entropy", _DOC_COLS, {"doc_id", "text"}),
+        ("mad_outliers", _DOC_COLS, {"doc_id", "source", "n_chars"}),
+        ("token_budget_mix", _DOC_COLS, {"source", "text"}),
+        ("dup_source_overlap", _DOC_COLS, {"text", "source"}),
+        ("zonemap_stats", _LINEITEM_COLS,
+         {"l_orderkey", "l_shipdate", "l_extendedprice"}),
+        ("market_basket_lift", _LINEITEM_COLS,
+         {"l_orderkey", "l_partkey"}),
+        ("ohlc_bars", _EVENT_COLS,
+         {"event_type", "ts", "event_id", "value"}),
+        ("event_transitions", _EVENT_COLS,
+         {"user_id", "event_type", "ts", "event_id"}),
+        ("seasonality_dow", _EVENT_COLS, {"event_type", "ts", "value"}),
+        ("daily_anomaly_mad", _EVENT_COLS, {"event_type", "ts"}),
+        ("quantile_bands_daily", _EVENT_COLS, {"event_type", "ts", "value"}),
+        ("journey_trigrams", _EVENT_COLS,
+         {"user_id", "event_type", "ts", "event_id"}),
+        ("first_touch_attribution", _EVENT_COLS,
+         {"user_id", "event_type", "ts", "event_id"}),
+    ]
+    for name, table_cols, allowed in cases:
+        assert_reads_only_columns(QUERIES[name](spark, sf_dir),
+                                  table_cols, allowed)
 
 
 def test_bm25_topk_is_take_ordered_and_stats_broadcast(spark, sf_dir):
