@@ -37,3 +37,4 @@ from . import breadth20  # noqa: F401,E402
 from . import breadth21  # noqa: F401,E402
 from . import breadth22  # noqa: F401,E402
 from . import breadth23  # noqa: F401,E402
+from . import breadth24  # noqa: F401,E402

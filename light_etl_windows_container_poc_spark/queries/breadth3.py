@@ -175,7 +175,8 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def word_cooccur_pairs(docs: DataFrame, top_k: int = 30,
-                       min_pairs: int = 20) -> DataFrame:
+                       min_pairs: int = 20,
+                       keep_count: bool = False) -> DataFrame:
     """Unique ordered co-occurrence pairs (w1 < w2) over the corpus's
     ``top_k`` document-frequency words — the undirected-graph form
     `triangle_count` consumes; `word_cooccur_edges` symmetrizes it.
@@ -207,7 +208,9 @@ def word_cooccur_pairs(docs: DataFrame, top_k: int = 30,
             .select(F.explode(pair_arr).alias("p"))
             .groupBy("p").agg(F.count(F.lit(1)).alias("n_pair"))
             .filter(F.col("n_pair") >= min_pairs)
-            .select(F.col("p.w1").alias("a_id"), F.col("p.w2").alias("b_id")))
+            .select(F.col("p.w1").alias("a_id"), F.col("p.w2").alias("b_id"),
+                    *([F.col("n_pair").cast("long").alias("n_pair")]
+                      if keep_count else [])))
 
 
 def word_cooccur_edges(docs: DataFrame, top_k: int = 30,
