@@ -127,9 +127,12 @@ _RECERTIFY = [
     # blocking. The excel-leg diagnostics hardening and the untouched
     # streaming functions stay on the local gate (tools/check_oracle.py
     # green post-change) until the round-6 budget.
+    # (pagerank_words itself is rows-only — its hash twin
+    # pagerank_invariants carries the certification weight, so the
+    # rows-only original yields its slot to mm_resize_real.)
     "semdedup_keep", "semdedup_soundness", "ann_ivf",
     "ann_ivf_fullprobe_exact", "kmeans_inertia_monotone",
-    "graph_triangles", "pagerank_words", "pagerank_invariants",
+    "graph_triangles", "pagerank_invariants",
     "curate_corpus", "fuzzy_join_parts",
 ]
 

@@ -36,8 +36,9 @@ def build_wav_bytes(samples: list[int], sample_rate: int = 8000,
     return buf.getvalue()
 
 
-def decode_wav(raw: bytes) -> dict:
-    """Real RIFF/PCM decode: header metadata + samples + peak amplitude."""
+def decode_wav(raw: bytes, return_samples: bool = False) -> dict:
+    """Real RIFF/PCM decode: header metadata + samples + peak amplitude.
+    ``return_samples`` adds the decoded sample tuple for resampling ops."""
     with wave.open(io.BytesIO(raw), "rb") as w:
         channels = w.getnchannels()
         rate = w.getframerate()
@@ -47,13 +48,16 @@ def decode_wav(raw: bytes) -> dict:
     if width != 2:
         raise NotImplementedError(f"only 16-bit PCM supported, got {width*8}-bit")
     samples = struct.unpack(f"<{n * channels}h", frames)
-    return {
+    out = {
         "sample_rate": rate,
         "channels": channels,
         "n_samples": n,
         "duration_ms": n * 1000 // rate,
         "peak_abs": max((abs(s) for s in samples), default=0),
     }
+    if return_samples:
+        out["samples"] = samples
+    return out
 
 
 # -- PNG --------------------------------------------------------------------

@@ -201,3 +201,81 @@ def sample_frames(df: DataFrame, id_col: str = "id",
 
     return (df.select(id_col, content_col)
             .mapInPandas(run, "id long, frame_idx int, frame_bytes binary"))
+
+
+_RESIZE_SCHEMA = (
+    "id long, media_type string, width int, height int, pix_sum long, "
+    "mean_milli int, sample_rate int, n_samples int, peak_abs int")
+
+
+def resize_media_real(df: DataFrame, id_col: str = "id",
+                      content_col: str = "content", target_w: int = 4,
+                      target_h: int = 4, audio_decimate: int = 2) -> DataFrame:
+    """REAL media resizing with the stdlib codecs: PNG → nearest-neighbor
+    resample to (target_w, target_h) on the decoded pixel grid (numpy
+    integer-index gather — src = floor(dst·size/target)); WAV →
+    decimation resample (every ``audio_decimate``-th sample, rate
+    divided to match). Formats without an in-image pixel decode (JPEG,
+    GIF, video) pass through with NULL resize columns rather than
+    pretending.
+
+    Same distributed shape as the decodes: Arrow-batched mapInPandas,
+    one file per row, executor-side work only — at 100 TB the resize
+    cost rides the existing scan, no extra shuffle. Outputs are
+    integer-exact (pixel sum, milli mean, peak) so the transform is
+    oracle-checkable end-to-end.
+    """
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .media_codec import decode_png, decode_wav
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r[content_col])
+                out = {"id": r[id_col], "media_type": None, "width": None,
+                       "height": None, "pix_sum": None, "mean_milli": None,
+                       "sample_rate": None, "n_samples": None,
+                       "peak_abs": None}
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    meta = decode_png(raw)
+                    w, h, ch = meta["width"], meta["height"], meta["channels"]
+                    px = np.frombuffer(bytes(meta["pixels"]),
+                                       dtype=np.uint8).reshape(h, w * ch)
+                    # nearest-neighbor gather on the first channel plane
+                    gray = px[:, ::ch] if ch > 1 else px
+                    sx = (np.arange(target_w) * w) // target_w
+                    sy = (np.arange(target_h) * h) // target_h
+                    small = gray[np.ix_(sy, sx)]
+                    total = int(small.astype(np.int64).sum())
+                    out.update(media_type="image/png", width=target_w,
+                               height=target_h, pix_sum=total,
+                               mean_milli=total * 1000
+                               // (target_w * target_h * 255))
+                elif raw[:4] == b"RIFF":
+                    meta = decode_wav(raw, return_samples=True)
+                    sm = np.asarray(meta["samples"],
+                                    dtype=np.int64)[::audio_decimate]
+                    out.update(media_type="audio/wav",
+                               sample_rate=meta["sample_rate"]
+                               // audio_decimate,
+                               n_samples=int(sm.size),
+                               peak_abs=int(np.abs(sm).max()) if sm.size
+                               else 0)
+                elif raw[:2] == b"\xff\xd8":
+                    out["media_type"] = "image/jpeg"
+                elif raw[:3] == b"GIF":
+                    out["media_type"] = "image/gif"
+                else:
+                    out["media_type"] = "application/octet-stream"
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=[
+                "id", "media_type", "width", "height", "pix_sum",
+                "mean_milli", "sample_rate", "n_samples", "peak_abs"])
+
+    return df.select(id_col, content_col).mapInPandas(run, _RESIZE_SCHEMA)

@@ -229,3 +229,65 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (decode_media_real(corp, id_col="doc_id")
             .withColumnRenamed("id", "doc_id")
             .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# REAL resize on the same corpus: PNGs nearest-neighbor-resampled to 4×4
+# on the DECODED pixel grid (numpy index gather), WAVs decimated 2× on
+# the DECODED samples. Every output is integer-exact, and the fake
+# corpus's formulaic pixels/samples let the oracle replay the exact
+# nearest-neighbor geometry — src = (dst·size) // target — relationally:
+# the hash match certifies decode → resample → reduce end-to-end.
+# --------------------------------------------------------------------------
+@query("mm_resize_real", oracle="""
+WITH png AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 2 = 1
+),
+gx AS (SELECT doc_id, w, h, unnest(range(0, 4)) AS x2 FROM png),
+gxy AS (SELECT doc_id, w, h, x2, unnest(range(0, 4)) AS y2 FROM gx),
+pm AS (
+  SELECT doc_id,
+         CAST(sum((doc_id + 3 * ((x2 * w) // 4) + 7 * ((y2 * h) // 4))
+                  % 256) AS BIGINT) AS pix_sum
+  FROM gxy GROUP BY doc_id
+),
+wav AS (
+  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,
+         160 + doc_id % 50 AS n
+  FROM documents WHERE doc_id % 2 = 0
+),
+wi AS (SELECT doc_id, rate, n, unnest(range(0, n, 2)) AS i FROM wav),
+wp AS (
+  SELECT doc_id,
+         CAST(max(abs((doc_id * 131 + i * 7919) % 65521 - 32760)) AS BIGINT)
+           AS peak_abs,
+         CAST(count(*) AS BIGINT) AS n2
+  FROM wi GROUP BY doc_id
+)
+SELECT pm.doc_id, 'image/png' AS media_type,
+       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       pm.pix_sum, CAST(pm.pix_sum * 1000 // 4080 AS INT) AS mean_milli,
+       CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples,
+       CAST(NULL AS INT) AS peak_abs
+FROM pm
+UNION ALL
+SELECT wav.doc_id, 'audio/wav', NULL, NULL, NULL, NULL,
+       CAST(wav.rate // 2 AS INT), CAST(wp.n2 AS INT),
+       CAST(wp.peak_abs AS INT)
+FROM wav JOIN wp USING (doc_id)
+ORDER BY doc_id
+""")
+def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named fourth multimodal primitive (decode / featurize /
+    RESIZE / frame-sample): nearest-neighbor image resample + audio
+    decimation on genuinely decoded bytes, Arrow-batched mapInPandas,
+    integer-exact outputs. No extra shuffle — the resize rides the
+    binary scan exactly like the decode ops."""
+    from ..operators.multimodal import resize_media_real
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corp = _real_media_corpus(docs)
+    return (resize_media_real(corp, id_col="doc_id")
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
