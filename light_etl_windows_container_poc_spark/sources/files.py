@@ -306,6 +306,29 @@ def read_json_robust(spark: SparkSession, path: str, schema_ddl: str,
             .json(path))
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str,
+             schema_ddl: str | None = None,
+             mode: str = "PERMISSIVE",
+             corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """XML reader on Spark 4's built-in xml data source (the spark-xml
+    package folded into core): one DataFrame row per ``row_tag``
+    element. Schema explicit where known — like json/csv, inference is
+    an extra full scan. PERMISSIVE captures malformed fragments in
+    ``corrupt_col`` for quarantine routing, mirroring `read_json_robust`
+    (the reference's per-file try/except error path, distributed)."""
+    schema = schema_ddl
+    if schema_ddl and mode.upper() == "PERMISSIVE" \
+            and corrupt_col not in schema_ddl:
+        schema = f"{schema_ddl}, {corrupt_col} STRING"
+    r = (spark.read.format("xml")
+         .option("rowTag", row_tag)
+         .option("mode", mode)
+         .option("columnNameOfCorruptRecord", corrupt_col))
+    if schema:
+        r = r.schema(schema)
+    return r.load(path)
+
+
 def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     """Schema-evolution read: union the schemas of every file footer
     (``mergeSchema``) so columns added over time surface as nullable.

@@ -55,3 +55,34 @@ def test_parquet_schema_evolution(spark, tmp_path):
     rows = {r.id: r for r in df.collect()}
     assert rows[1].old_col == "x" and rows[1].new_col is None
     assert rows[2].new_col == 9.5 and rows[2].old_col is None
+
+
+def test_read_xml_explicit_schema_and_corrupt_capture(spark, tmp_path):
+    from light_etl_windows_container_poc_spark.sources.files import read_xml
+
+    p = tmp_path / "rows.xml"
+    p.write_text(
+        "<rows>"
+        "<row><id>1</id><name>alpha</name></row>"
+        "<row><id>2</id><name>beta</name></row>"
+        "<row><id>not-a-number</id><name>gamma</name></row>"
+        "</rows>")
+    df = read_xml(spark, str(p), row_tag="row",
+                  schema_ddl="id BIGINT, name STRING").cache()
+    try:
+        ok = {(r["id"], r["name"]) for r in
+              df.filter("_corrupt_record IS NULL").collect()}
+        assert ok == {(1, "alpha"), (2, "beta")}
+        bad = df.filter("_corrupt_record IS NOT NULL").collect()
+        assert len(bad) == 1 and "gamma" in bad[0]["_corrupt_record"]
+    finally:
+        df.unpersist()
+
+
+def test_read_xml_infers_when_no_schema(spark, tmp_path):
+    from light_etl_windows_container_poc_spark.sources.files import read_xml
+
+    p = tmp_path / "plain.xml"
+    p.write_text("<rows><row><id>7</id><v>x</v></row></rows>")
+    got = read_xml(spark, str(p), row_tag="row").collect()
+    assert len(got) == 1 and got[0]["id"] == 7 and got[0]["v"] == "x"
