@@ -1,0 +1,125 @@
+"""Excel as a first-class Spark data source (Spark 4 Python DataSource
+API): ``spark.read.format("excel").schema(ddl).option("sheet", ...)
+.load(path)``.
+
+Same dependency-free codecs as `read_excel` (SpreadsheetML / BIFF8 /
+BIFF12, covering the reference fileserver's accepted set,
+fileserver.py:41-44), exposed through the standard reader UX instead of
+the binaryFile+mapInPandas composition. Planning is driver-side file
+listing only; each workbook is ONE input partition, so a directory of
+files decodes in parallel across executors and a 100 TB lake of
+spreadsheets scales with the file count. Rows are yielded as tuples in
+schema order — Spark applies the user schema, so column pruning is the
+schema itself (list only the columns you need plus `usecols`).
+
+Register once per session:
+
+    from light_etl_windows_container_poc_spark.sources.excel_datasource \
+        import ExcelDataSource
+    spark.dataSource.register(ExcelDataSource)
+
+Executors must be able to import this package —
+`session.ensure_package_on_executors(spark)` (a no-op re-add on a real
+cluster where --py-files did it at submit).
+
+Options: ``sheet`` (index or name, default 0), ``skiprows``, ``nrows``,
+``usecols`` (Excel letter ranges, e.g. "A:C,E"), ``on_error``
+(raise | quarantine — quarantine skips undecodable workbooks).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition)
+from pyspark.sql.types import StructType
+
+_EXCEL_EXTS = (".xlsx", ".xlsm", ".xls", ".xlsb")
+
+
+class _WorkbookPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _list_workbooks(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    found: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        for fn in sorted(files):
+            if fn.lower().endswith(_EXCEL_EXTS):
+                found.append(os.path.join(root, fn))
+    if not found:
+        raise FileNotFoundError(f"no Excel workbooks under {path}")
+    return found
+
+
+class ExcelDataSourceReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("excel data source requires a load(path)")
+
+    def partitions(self) -> list[InputPartition]:
+        # one workbook per partition: decode parallelism == file count
+        return [_WorkbookPartition(p) for p in _list_workbooks(self.path)]
+
+    def read(self, partition: _WorkbookPartition) -> Iterator[tuple]:
+        # imports stay inside read(): executed on executors, where the
+        # package arrives via addPyFile / --py-files
+        from .files import parse_workbook
+
+        opts = self.options
+        sheet = opts.get("sheet", "0")
+        sheet = int(sheet) if str(sheet).lstrip("-").isdigit() else sheet
+        on_error = opts.get("on_error", "raise")
+        with open(partition.path, "rb") as fh:
+            raw = fh.read()
+        try:
+            pdf = parse_workbook(
+                raw, path=partition.path, sheet_name=sheet,
+                skiprows=int(opts["skiprows"]) if "skiprows" in opts
+                else None,
+                nrows=int(opts["nrows"]) if "nrows" in opts else None,
+                usecols=opts.get("usecols"))
+        except Exception:
+            if on_error == "quarantine":
+                return
+            raise
+        names = [f.name for f in self.schema.fields]
+        missing = [n for n in names
+                   if n != "source_path" and n not in pdf.columns]
+        if missing:
+            raise ValueError(
+                f"{partition.path}: schema columns {missing} not in "
+                f"workbook columns {list(pdf.columns)}")
+        for _, row in pdf.iterrows():
+            yield tuple(
+                partition.path if n == "source_path"
+                else (None if row[n] is None or row[n] != row[n]
+                      else (row[n].item() if hasattr(row[n], "item")
+                            else row[n]))
+                for n in names)
+
+
+class ExcelDataSource(DataSource):
+    """``format("excel")`` — schema must be supplied by the caller
+    (`.schema(ddl)`); add a `source_path string` field to get file
+    provenance per row."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "excel"
+
+    def schema(self) -> str:
+        raise ValueError(
+            "excel data source needs an explicit .schema(ddl) — header "
+            "inference would re-decode every workbook at plan time")
+
+    def reader(self, schema: StructType) -> ExcelDataSourceReader:
+        return ExcelDataSourceReader(schema, dict(self.options))

@@ -1,0 +1,77 @@
+"""The `format("excel")` Python DataSource (Spark 4 DataSource API):
+standard reader UX over the same dependency-free codecs as read_excel,
+one workbook per input partition."""
+
+from __future__ import annotations
+
+import pytest
+
+from light_etl_windows_container_poc_spark.session import \
+    ensure_package_on_executors
+from light_etl_windows_container_poc_spark.sources.excel_datasource import \
+    ExcelDataSource
+
+
+@pytest.fixture()
+def excel_spark(spark):
+    ensure_package_on_executors(spark)
+    spark.dataSource.register(ExcelDataSource)
+    return spark
+
+
+def _write_book(path, sheets):
+    from light_etl_windows_container_poc_spark.sources.xlsx import \
+        build_xlsx_bytes
+    path.write_bytes(build_xlsx_bytes(sheets))
+
+
+def test_format_excel_reads_directory_in_parallel(excel_spark, tmp_path):
+    _write_book(tmp_path / "a.xlsx", {"Sheet1": [
+        ["name", "qty"], ["Ana", 1.5], ["Bob", 2]]})
+    _write_book(tmp_path / "b.xlsx", {"Sheet1": [
+        ["name", "qty"], ["Cé", 3]]})
+    df = (excel_spark.read.format("excel")
+          .schema("name string, qty double, source_path string")
+          .load(str(tmp_path)))
+    rows = {r.name: (r.qty, r.source_path.rsplit("/", 1)[-1])
+            for r in df.collect()}
+    assert rows == {"Ana": (1.5, "a.xlsx"), "Bob": (2.0, "a.xlsx"),
+                    "Cé": (3.0, "b.xlsx")}
+    # one partition per workbook — decode parallelism == file count
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_format_excel_sheet_and_slicing_options(excel_spark, tmp_path):
+    _write_book(tmp_path / "m.xlsx", {
+        "meta": [["junk"]],
+        "data": [["title", None, None],
+                 ["a", "drop", "b"],
+                 ["x", "no", 1], ["y", "no", 2], ["z", "no", 3]]})
+    df = (excel_spark.read.format("excel")
+          .schema("a string, b double")
+          .option("sheet", "data").option("skiprows", 1)
+          .option("nrows", 2).option("usecols", "A,C")
+          .load(str(tmp_path / "m.xlsx")))
+    assert sorted((r.a, r.b) for r in df.collect()) == \
+        [("x", 1.0), ("y", 2.0)]
+
+
+def test_format_excel_quarantine_skips_bad_files(excel_spark, tmp_path):
+    _write_book(tmp_path / "good.xlsx", {"Sheet1": [["a"], ["v"]]})
+    (tmp_path / "bad.xlsx").write_bytes(b"PK\x03\x04 not a real workbook")
+    df = (excel_spark.read.format("excel").schema("a string")
+          .option("on_error", "quarantine").load(str(tmp_path)))
+    assert [r.a for r in df.collect()] == ["v"]
+    with pytest.raises(Exception):
+        (excel_spark.read.format("excel").schema("a string")
+         .load(str(tmp_path))).collect()
+
+
+def test_format_excel_requires_schema_and_names_missing_columns(
+        excel_spark, tmp_path):
+    _write_book(tmp_path / "s.xlsx", {"Sheet1": [["a"], ["v"]]})
+    with pytest.raises(Exception, match="explicit .schema"):
+        excel_spark.read.format("excel").load(str(tmp_path)).collect()
+    with pytest.raises(Exception, match="not in"):
+        (excel_spark.read.format("excel")
+         .schema("nope string").load(str(tmp_path))).collect()
