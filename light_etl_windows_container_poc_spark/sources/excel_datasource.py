@@ -33,7 +33,8 @@ import os
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 from pyspark.sql.types import StructType
 
 _EXCEL_EXTS = (".xlsx", ".xlsm", ".xls", ".xlsb")
@@ -110,7 +111,14 @@ class ExcelDataSourceReader(DataSourceReader):
 class ExcelDataSource(DataSource):
     """``format("excel")`` — schema must be supplied by the caller
     (`.schema(ddl)`); add a `source_path string` field to get file
-    provenance per row."""
+    provenance per row.
+
+    Also readable as a STREAM (``spark.readStream.format("excel")``):
+    each micro-batch picks up workbooks that are new or modified since
+    the last committed offset — the reference watcher's poll loop
+    (`pattern_based_cleaner_watcher.py:239-314`: NEW/MODIFIED by mtime,
+    empty-file skip) as a real Structured Streaming source, which the
+    built-in file source cannot do for Excel payloads."""
 
     @classmethod
     def name(cls) -> str:
@@ -123,3 +131,77 @@ class ExcelDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ExcelDataSourceReader:
         return ExcelDataSourceReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) \
+            -> "ExcelStreamReader":
+        return ExcelStreamReader(schema, dict(self.options))
+
+
+def _decode_rows(path: str, schema: StructType,
+                 options: dict) -> Iterator[tuple]:
+    """Shared decode → schema-ordered tuples (batch partitions and
+    stream batches emit identical rows for the same file)."""
+    reader = ExcelDataSourceReader.__new__(ExcelDataSourceReader)
+    reader.schema = schema
+    reader.options = options
+    reader.path = path
+    return reader.read(_WorkbookPartition(path))
+
+
+class ExcelStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are the seen-set: ``{"seen": {path: mtime_ns}}``. A file
+    is picked up when its path is unseen OR its mtime advanced (the
+    reference's NEW/MODIFIED detection); empty files are skipped like
+    the reference's empty-file guard. `readBetweenOffsets` replays a
+    committed range deterministically from the offset delta, which is
+    what checkpoint recovery requires. The seen-set lives in the offset
+    log — fine for directory-scale inputs like the reference's shared
+    drive; a lake-scale deployment would compact it into a state table
+    (`scale_discovery` has that shape).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("excel stream requires a load(path)")
+
+    def initialOffset(self) -> dict:
+        return {"seen": {}}
+
+    def _scan(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        if os.path.isdir(self.path):
+            for root, _dirs, files in os.walk(self.path):
+                for fn in sorted(files):
+                    if fn.lower().endswith(_EXCEL_EXTS):
+                        p = os.path.join(root, fn)
+                        st = os.stat(p)
+                        if st.st_size > 0:
+                            out[p] = st.st_mtime_ns
+        elif os.path.isfile(self.path):
+            st = os.stat(self.path)
+            if st.st_size > 0:
+                out[self.path] = st.st_mtime_ns
+        return out
+
+    def _new_files(self, start: dict, end: dict) -> list[str]:
+        seen = start.get("seen", {})
+        return [p for p, m in sorted(end.get("seen", {}).items())
+                if p not in seen or seen[p] < m]
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        end = {"seen": self._scan()}
+        rows: list[tuple] = []
+        for p in self._new_files(start, end):
+            rows.extend(_decode_rows(p, self.schema, self.options))
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict,
+                           end: dict) -> Iterator[tuple]:
+        for p in self._new_files(start, end):
+            yield from _decode_rows(p, self.schema, self.options)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-contained; nothing external to release

@@ -75,3 +75,36 @@ def test_format_excel_requires_schema_and_names_missing_columns(
     with pytest.raises(Exception, match="not in"):
         (excel_spark.read.format("excel")
          .schema("nope string").load(str(tmp_path))).collect()
+
+
+def test_stream_excel_picks_up_new_and_modified_files(
+        excel_spark, tmp_path):
+    import time
+
+    src = tmp_path / "drive"
+    src.mkdir()
+    _write_book(src / "first.xlsx", {"Sheet1": [["a"], ["one"]]})
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (excel_spark.readStream.format("excel")
+             .schema("a string, source_path string")
+             .load(str(src))
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    drain()
+    got = excel_spark.read.parquet(out)
+    assert [r.a for r in got.collect()] == ["one"]
+
+    # NEW file + MODIFIED file both arrive in the next run; the
+    # unchanged file is NOT re-read (offset seen-set semantics)
+    time.sleep(0.05)
+    _write_book(src / "second.xlsx", {"Sheet1": [["a"], ["two"]]})
+    _write_book(src / "first.xlsx", {"Sheet1": [["a"], ["one-v2"]]})
+    drain()
+    vals = sorted(r.a for r in excel_spark.read.parquet(out).collect())
+    assert vals == ["one", "one-v2", "two"]
