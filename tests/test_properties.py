@@ -149,3 +149,76 @@ def test_xlsb_biff12_round_trip_any_grid(grid):
 
     got = parse_xlsb_rows(build_xlsb_bytes({"s": grid}))
     assert got == _norm_grid(grid)
+
+
+@given(st.integers(min_value=4, max_value=64),
+       st.integers(min_value=4, max_value=64),
+       st.integers(min_value=0, max_value=2 ** 31))
+@settings(max_examples=60, deadline=None)
+def test_png_resize_geometry_any_dims(w, h, seed):
+    """Nearest-neighbor gather through the real PNG codec equals the
+    direct numpy reference for ANY source dims — build → decode →
+    unfilter → gather, no Spark session needed per example."""
+    import numpy as np
+
+    from light_etl_windows_container_poc_spark.operators.media_codec import (
+        build_png_bytes, decode_png)
+
+    rng = np.random.default_rng(seed)
+    grid = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    meta = decode_png(build_png_bytes(w, h, grid.tobytes()))
+    back = np.frombuffer(bytes(meta["pixels"]), dtype=np.uint8).reshape(h, w)
+    assert (back == grid).all()  # codec round-trip exact
+
+    sx = (np.arange(4) * w) // 4
+    sy = (np.arange(4) * h) // 4
+    small = back[np.ix_(sy, sx)]
+    assert small.shape == (4, 4)
+    # gather picks real source pixels: every value exists at its mapped coord
+    for yi, y in enumerate(sy):
+        for xi, x in enumerate(sx):
+            assert small[yi, xi] == grid[y, x]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_ewma_dyadic_weights_reference(series):
+    """The lag-window EWMA formula: renormalized dyadic weights over the
+    trailing ≤8 observations, exact in integers — warm-up equals the
+    plain value, and a constant series is a fixpoint."""
+    for t in range(len(series)):
+        lags = series[max(0, t - 7):t + 1][::-1]  # n0 (today) first
+        num = sum(v * (128 >> k) for k, v in enumerate(lags))
+        den = sum(128 >> k for k in range(len(lags)))
+        ewma_milli = 1000 * num // den
+        if t == 0:
+            assert ewma_milli == 1000 * series[0]
+        if len(set(series[:t + 1])) == 1:
+            assert ewma_milli == 1000 * series[t]
+        lo, hi = min(lags), max(lags)
+        assert 1000 * lo <= ewma_milli <= 1000 * hi
+
+
+@given(st.lists(st.integers(min_value=1, max_value=10 ** 9),
+                min_size=2, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_gini_formula_bounds_and_invariance(masses):
+    """Gini stays in [0, 1), equals 0 for equal masses, and is
+    invariant to the order of tied ranks (the Σ i·x identity the
+    source_gini docstring claims)."""
+    n, tot = len(masses), sum(masses)
+    xs = sorted(masses)
+    iw = sum((i + 1) * x for i, x in enumerate(xs))
+    gini_micro = (1_000_000 * (2 * iw - (n + 1) * tot)) // (n * tot)
+    assert 0 <= gini_micro < 1_000_000
+    if len(set(masses)) == 1:
+        assert gini_micro == 0
+    # tie-order invariance: any permutation of equal values gives same Σi·x
+    import itertools
+    if n <= 6:
+        for perm in itertools.permutations(range(n)):
+            ys = [xs[i] for i in perm]
+            if ys == sorted(ys):
+                iw2 = sum((i + 1) * x for i, x in enumerate(ys))
+                assert iw2 == iw
