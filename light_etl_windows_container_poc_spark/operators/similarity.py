@@ -363,10 +363,19 @@ def kmeans_lite(corpus: DataFrame, id_col: str, vec_col: str,
     """Deterministic Lloyd iterations for IVF coarse quantization:
     seeds = the k lowest-id vectors; assign → recompute means → repeat.
 
-    Each iteration embeds the k current centroids as LITERALS in the plan
-    (`_nearest_cluster_expr`): assignment is map-only, and the only shuffle
-    is the (cluster, dim position) aggregation for the elementwise mean —
-    nothing scales with corpus² and centroids stay tiny.
+    TRAINING iterations assign via the GEMM path (`_assign_clusters_gemm`)
+    at every k — not the literal-expression path the final one-shot
+    assignment uses. The centroids CHANGE each round, so a literal plan
+    is a fresh codegen unit per iteration and the janino compile bill
+    recurs every round (measured at sf0.1, k=8, 4 iterations: 4.4s warm
+    / 9.1s cold literal vs 2.3s / 4.0s GEMM — the compile, not the
+    arithmetic, dominates). The GEMM plan's SHAPE is constant (centroid
+    values ride the closure), so it compiles once. Assignment is still
+    map-only; the only shuffle is the (cluster, dim position) aggregation
+    for the elementwise mean — nothing scales with corpus² and centroids
+    stay tiny. Consumers' one-shot assignments (`ann_ivf_topk`,
+    `semdedup`) keep the dual-path policy: literal ≤ 64 (right for a
+    single compiled plan), GEMM above.
 
     The training input is persisted across the seed/iteration actions (it
     is read ``iterations+1`` times). At 100 TB pass ``sample_fraction``:
@@ -385,7 +394,8 @@ def kmeans_lite(corpus: DataFrame, id_col: str, vec_col: str,
                  for i, row in enumerate(seeds.collect())]
 
     for _ in range(iterations):
-        assigned = assign_nearest_cluster(c, "v", centroids)
+        assigned = assign_nearest_cluster(c, "v", centroids,
+                                          literal_k_max=0)
         means = (assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
                  .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
                  .groupBy("cluster")
