@@ -1,0 +1,84 @@
+"""End-to-end STREAMING reference pipeline: watch an Excel drive →
+pattern-route → clean → per-table warehouse append → processing log —
+the whole reference flow under Structured Streaming. One stream per
+pattern directory, each with that pattern's schema (the reference's
+per-pattern config maps to per-pattern streams; same machinery)."""
+
+from __future__ import annotations
+
+import os
+
+from light_etl_windows_container_poc_spark.streaming.excel_pipeline import \
+    start_excel_etl_stream
+
+
+def _write_book(path, sheets):
+    from light_etl_windows_container_poc_spark.sources.xlsx import \
+        build_xlsx_bytes
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(build_xlsx_bytes(sheets))
+
+
+def test_streaming_excel_etl_end_to_end(spark, tmp_path):
+    drive = str(tmp_path / "drive")
+    wh = str(tmp_path / "warehouse")
+    # customer drop: messy-but-DDL-legal headers (sanitize lowercases),
+    # an all-empty business row (dropped), a junk date (coerced → null)
+    _write_book(f"{drive}/customer_data/c1.xlsx", {"Sheet1": [
+        ["Customer_Name", "Signup_Date"],
+        ["Ana", "2024-01-02"],
+        [None, None],
+        ["Bob", "not-a-date"]]})
+    _write_book(f"{drive}/sales_data/s1.xlsx", {"Sheet1": [
+        ["Item", "Amount_USD"],
+        ["widget", 12.5],
+        ["gadget", 3]]})
+
+    start_excel_etl_stream(
+        spark, f"{drive}/customer_data",
+        "Customer_Name string, Signup_Date string",
+        wh, str(tmp_path / "ck_cust"), batch_ts="2024-06-01 00:00:00"
+    ).awaitTermination(300)
+    start_excel_etl_stream(
+        spark, f"{drive}/sales_data",
+        "Item string, Amount_USD double",
+        wh, str(tmp_path / "ck_sales"), batch_ts="2024-06-01 00:00:00"
+    ).awaitTermination(300)
+
+    cust = spark.read.parquet(f"{wh}/dim_customers")
+    assert "source_name" in cust.columns and "processing_batch" in cust.columns
+    names = sorted(r["customer_name"] for r in cust.collect())
+    assert names == ["Ana", "Bob"]  # the all-empty business row dropped
+    # name-heuristic coercion: the *date* column became a timestamp,
+    # invalid value → null
+    dates = {r["customer_name"]: r["signup_date"] for r in cust.collect()}
+    assert dates["Bob"] is None and dates["Ana"] is not None
+
+    sales = spark.read.parquet(f"{wh}/fact_sales")
+    assert sorted(r["item"] for r in sales.collect()) == ["gadget", "widget"]
+    # *amount* name-heuristic kept numeric type through cleaning
+    assert {r["amount_usd"] for r in sales.collect()} == {12.5, 3.0}
+
+    log = spark.read.parquet(f"{wh}/etl_processing_log")
+    by_file = {os.path.basename(r["filename"]): r["rows_processed"]
+               for r in log.collect()}
+    assert by_file == {"c1.xlsx": 2, "s1.xlsx": 2}
+    assert all(r["status"] == "completed" for r in log.collect())
+
+
+def test_streaming_excel_etl_incremental_second_run(spark, tmp_path):
+    drive = str(tmp_path / "drive")
+    wh = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+    _write_book(f"{drive}/sales_data/a.xlsx", {"S": [["v"], ["one"]]})
+    start_excel_etl_stream(spark, drive, "v string", wh, ckpt,
+                           batch_ts="2024-06-01 00:00:00"
+                           ).awaitTermination(300)
+    _write_book(f"{drive}/sales_data/b.xlsx", {"S": [["v"], ["two"]]})
+    start_excel_etl_stream(spark, drive, "v string", wh, ckpt,
+                           batch_ts="2024-06-01 00:00:00"
+                           ).awaitTermination(300)
+    vals = sorted(r["v"] for r in
+                  spark.read.parquet(f"{wh}/fact_sales").collect())
+    assert vals == ["one", "two"]  # a.xlsx was NOT re-ingested
