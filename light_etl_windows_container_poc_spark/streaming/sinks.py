@@ -36,6 +36,75 @@ def parquet_upsert_sink(target_path: str,
     return upsert
 
 
+def dbapi_stream_sink(connect_factory, table: str,
+                      batch_size: int = 1000,
+                      paramstyle: str = "qmark",
+                      track_batches: bool = True
+                      ) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function streaming micro-batches into a relational
+    DB through any PEP-249 driver (`sinks.write_dbapi` per batch) — the
+    reference's continuous Celery→Postgres append as a streaming sink.
+
+    Replay safety: foreachBatch is at-least-once on recovery, and a
+    plain INSERT sink would duplicate a replayed batch. With
+    ``track_batches`` the sink records each committed batch id in
+    ``<table>__batches`` and SKIPS batch ids already present (dedup on
+    the batch id). Honest caveat: the marker commits AFTER the data
+    (partitions write on executors with their own connections, so one
+    transaction around both is impossible) — a crash in that gap still
+    replays one batch. Exactly-once needs a keyed target (the
+    `parquet_upsert_sink` shape in SQL: INSERT .. ON CONFLICT DO
+    NOTHING on a primary key) — pass ``track_batches=False`` and use
+    such an INSERT via the driver's conflict clause when keys exist."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from ..sinks import write_dbapi
+
+        if track_batches:
+            conn = connect_factory()
+            try:
+                cur = conn.cursor()
+                cur.execute(f"CREATE TABLE IF NOT EXISTS {table}__batches "
+                            "(batch_id BIGINT PRIMARY KEY)")
+                conn.commit()
+                ph = "%s" if paramstyle == "format" else "?"
+                cur.execute(f"SELECT 1 FROM {table}__batches "
+                            f"WHERE batch_id = {ph}", (batch_id,))
+                if cur.fetchone():
+                    return  # replayed batch: already committed
+            finally:
+                conn.close()
+        write_dbapi(batch, connect_factory, table,
+                    batch_size=batch_size, paramstyle=paramstyle)
+        if track_batches:
+            conn = connect_factory()
+            try:
+                ph = "%s" if paramstyle == "format" else "?"
+                conn.cursor().execute(
+                    f"INSERT INTO {table}__batches VALUES ({ph})",
+                    (batch_id,))
+                conn.commit()
+            finally:
+                conn.close()
+
+    return write
+
+
+def start_dbapi_stream(stream: DataFrame, connect_factory, table: str,
+                       checkpoint_dir: str, batch_size: int = 1000,
+                       paramstyle: str = "qmark",
+                       available_now: bool = True) -> StreamingQuery:
+    """Wire a streaming DataFrame into the DB-API sink with a
+    checkpoint (availableNow drains the backlog and stops)."""
+    writer = (stream.writeStream
+              .foreachBatch(dbapi_stream_sink(connect_factory, table,
+                                              batch_size, paramstyle))
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_upsert_stream(stream: DataFrame, target_path: str,
                         key_cols: list[str],
                         checkpoint_dir: str,

@@ -76,3 +76,42 @@ def test_write_jdbc_derby_round_trip(spark, tmp_path):
     assert back.count() == 310
     row = back.filter(F.col("user_id") == 42).collect()[0]
     assert (row.name, row.score) == ("u42", 63.0)
+
+
+def test_streaming_dbapi_sink_appends_and_dedups_replays(
+        spark, sf_dir, tmp_path):
+    """Micro-batches stream into sqlite; a full replay (fresh
+    checkpoint, same batch ids) is skipped by the batch-id marker."""
+    import functools
+
+    from light_etl_windows_container_poc_spark.queries.streaming_q import \
+        _events_stream
+    from light_etl_windows_container_poc_spark.streaming.sinks import \
+        start_dbapi_stream
+
+    db = str(tmp_path / "stream.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE ev (user_id INTEGER, value REAL)")
+    factory = functools.partial(sqlite3.connect, db, timeout=30)
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "value")
+    q = start_dbapi_stream(stream, factory, "ev",
+                           checkpoint_dir=str(tmp_path / "ck_a"))
+    q.awaitTermination(300)
+
+    from light_etl_windows_container_poc_spark.catalog import load_tables
+    n = load_tables(spark, sf_dir, ("events",))["events"].count()
+    with sqlite3.connect(db) as conn:
+        got = conn.execute("SELECT count(*) FROM ev").fetchone()[0]
+        marked = conn.execute(
+            "SELECT count(*) FROM ev__batches").fetchone()[0]
+    assert got == n and marked >= 1
+
+    # fresh checkpoint → Structured Streaming replays from scratch with
+    # the same batch ids → the marker table suppresses every batch
+    q2 = start_dbapi_stream(stream, factory, "ev",
+                            checkpoint_dir=str(tmp_path / "ck_b"))
+    q2.awaitTermination(300)
+    with sqlite3.connect(db) as conn:
+        again = conn.execute("SELECT count(*) FROM ev").fetchone()[0]
+    assert again == n  # no duplicates
