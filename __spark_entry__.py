@@ -118,8 +118,8 @@ _R04_CERTIFIED = [
 # release; fuzzy_join_parts on PassJoin segment blocking; the Excel legs
 # on the BIFF12 diagnostics hardening.
 _RECERTIFY = [
-    # The 50-row budget takes the 40 never-certified round-5 queries
-    # first; these 10 slots re-certify the round-5-changed code paths
+    # The 50-row budget takes the 41 never-certified round-5 queries
+    # first; these 9 slots re-certify the round-5-changed code paths
     # with the highest blast radius: the dual-path centroid assignment
     # (semdedup/kmeans/IVF), the degree-oriented triangle join +
     # pagerank cache epilogue, connected-components' cache release

@@ -63,3 +63,20 @@ def test_survey_inventory_matches_registry():
             assert k not in ORACLES, f"SURVEY row {k} marked rows but has oracle"
     undocumented = set(QUERIES) - set(table)
     assert not undocumented, f"queries not in SURVEY §2: {undocumented}"
+
+
+def test_certification_budget_is_exactly_allocated():
+    """The driver certifies ~50 queries per round: never-certified rows
+    plus the recertify list must fill that budget exactly — a drifted
+    allocation silently ages out rows or wastes slots."""
+    import __spark_entry__ as ent
+
+    certified = set().union(ent._R01_CERTIFIED, ent._R02_CERTIFIED,
+                            ent._R03_CERTIFIED, ent._R04_CERTIFIED)
+    head = [n for n in QUERIES if n not in certified]
+    assert len(head) + len(ent._RECERTIFY) == 50, (
+        f"head={len(head)} + recertify={len(ent._RECERTIFY)} != 50 — "
+        "rebalance _RECERTIFY when adding queries")
+    # ordering contract: the never-certified head runs first
+    ordered = list(ent.queries())
+    assert ordered[:len(head)] == head
