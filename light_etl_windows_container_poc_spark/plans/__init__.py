@@ -64,3 +64,77 @@ def assert_single_shuffle(df: DataFrame, max_exchanges: int) -> None:
     plan = formatted_plan(df)
     n = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
     assert n <= max_exchanges, f"{n} exchanges (max {max_exchanges}):\n{plan}"
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Structured summary of the physical plan — the assertion helpers'
+    signals as data, for dashboards / pipeline pre-flight checks /
+    notebooks. Keys:
+
+    - ``exchanges``: shuffle count (node headers, not the detail echo)
+    - ``broadcast_joins`` / ``sortmerge_joins`` / ``nested_loop_joins``
+    - ``python_evals``: Arrow/row Python nodes (MapInPandas etc.)
+    - ``scans``: list of {format, pushed_filters, read_schema} per scan
+    - ``codegen_spans``: WholeStageCodegen region count (0 on an
+      UNEXECUTED adaptive plan — AQE annotates codegen ids only once
+      the final plan exists; run an action first to see the regions)
+    - ``global_windows``: windows with an empty partition spec — the
+      all-rows-to-one-task shape (fine on tiny relations, an incident
+      on big ones)
+    - ``warnings``: human-readable flags (cartesian product, global
+      window, python eval) worth a look before a 100 TB run
+    """
+    import re
+
+    plan = formatted_plan(df)
+    heads = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, flags=re.M)
+    scans = []
+    fmt = None
+    for ln in plan.splitlines():
+        s = ln.strip()
+        if re.match(r"^\(\d+\) Scan ", s):
+            fmt = s.split("Scan ", 1)[1].split()[0]
+        elif "PushedFilters:" in s and scans is not None:
+            scans.append({"format": fmt,
+                          "pushed_filters": s.split("PushedFilters:", 1)[1]
+                          .strip(), "read_schema": None})
+        elif "ReadSchema:" in s and scans:
+            if scans[-1]["read_schema"] is None:
+                scans[-1]["read_schema"] = s.split("ReadSchema:", 1)[1].strip()
+    py_nodes = ("BatchEvalPython", "ArrowEvalPython", "PythonMapInArrow",
+                "MapInPandas")
+    global_windows = len(re.findall(
+        r"^\(\d+\) Window\b(?![\s\S]{0,400}partitionBy)", plan, flags=re.M)) \
+        if "Window" in plan else 0
+    # the reliable global-window signal: Spark logs a warning node-side,
+    # but plan-side an empty partition spec shows as "windowspecdefinition("
+    # without a leading partition expression — approximate via the
+    # SinglePartition requirement the exchange prints
+    single_part = plan.count("Exchange SinglePartition")
+    report = {
+        "exchanges": sum(1 for h in heads if h == "Exchange"),
+        "broadcast_joins": sum(1 for h in heads if h == "BroadcastHashJoin"),
+        "sortmerge_joins": sum(1 for h in heads if h == "SortMergeJoin"),
+        "nested_loop_joins": sum(
+            1 for h in heads
+            if h in ("BroadcastNestedLoopJoin", "CartesianProduct")),
+        "python_evals": sum(1 for h in heads if h in py_nodes),
+        # formatted mode marks regions as "[codegen id : N]" suffixes,
+        # not node headers — count distinct region ids
+        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        "single_partition_exchanges": single_part,
+        "global_windows": global_windows,
+        "scans": scans,
+    }
+    warnings = []
+    if report["nested_loop_joins"]:
+        warnings.append("nested-loop/cartesian join: O(n·m) at scale")
+    if report["python_evals"]:
+        warnings.append("Python eval node in plan: Arrow-batch cost per row"
+                        " batch — fine for decode/GEMM, wrong for hot"
+                        " relational paths")
+    if single_part:
+        warnings.append("single-partition exchange (global sort/window/"
+                        "limit): all rows through one task")
+    report["warnings"] = warnings
+    return report

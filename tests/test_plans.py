@@ -203,3 +203,28 @@ def test_embed_standardize_stats_join_is_broadcast(spark, sf_dir):
     # the 64-row dimension-stats relation must broadcast; the corpus side
     # never shuffles for the z-score join
     assert_broadcast_join(QUERIES["embed_standardize"](spark, sf_dir), 1)
+
+
+def test_plan_report_summarizes_signals(spark, sf_dir):
+    from light_etl_windows_container_poc_spark.plans import plan_report
+    from light_etl_windows_container_poc_spark.queries import QUERIES
+
+    # q5: join chain → broadcasts + shuffles, clean parquet scans
+    rep = plan_report(QUERIES["q5_local_supplier"](spark, sf_dir))
+    assert rep["broadcast_joins"] >= 2
+    assert rep["exchanges"] >= 1
+    assert rep["python_evals"] == 0
+    assert rep["scans"] and all(s["format"] == "parquet"
+                                for s in rep["scans"])
+    assert any(s["read_schema"] for s in rep["scans"])
+
+    # a deliberate cartesian triggers the warning
+    a, b = spark.range(3), spark.range(4)
+    bad = plan_report(a.crossJoin(b))
+    assert bad["nested_loop_joins"] >= 1
+    assert any("nested-loop" in w for w in bad["warnings"])
+
+    # a Python decode path is visible, not hidden
+    rep_mm = plan_report(QUERIES["mm_features"](spark, sf_dir))
+    assert rep_mm["python_evals"] >= 1
+    assert any("Python eval" in w for w in rep_mm["warnings"])
