@@ -104,6 +104,9 @@ def main() -> None:
     r4_names = r3_names | set(_ent._R04_CERTIFIED)
     suite_r4_subset = round(sum(t for n, t in suite_times.items()
                                 if n in r4_names), 3)
+    # ...and the frozen 201-query round-5 population for round 6+
+    suite_r5_subset = round(sum(t for n, t in suite_times.items()
+                                if n in set(_ent._R05_POPULATION)), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -119,6 +122,7 @@ def main() -> None:
         "full_suite_slowest": slowest,
         "suite_r3_subset_sec": suite_r3_subset,
         "suite_r4_subset_sec": suite_r4_subset,
+        "suite_r5_subset_sec": suite_r5_subset,
         "sf": sf_val,
     }))
 

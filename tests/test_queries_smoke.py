@@ -80,3 +80,13 @@ def test_certification_budget_is_exactly_allocated():
     # ordering contract: the never-certified head runs first
     ordered = list(ent.queries())
     assert ordered[:len(head)] == head
+
+
+def test_frozen_r5_population_is_subset_of_registry():
+    """The r5 bench tripwire list must stay valid as rounds add queries
+    (frozen names never leave the registry; new names never join the
+    frozen list)."""
+    import __spark_entry__ as ent
+
+    assert set(ent._R05_POPULATION) <= set(QUERIES)
+    assert len(ent._R05_POPULATION) == 201
