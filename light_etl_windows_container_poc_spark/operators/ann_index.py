@@ -1,0 +1,83 @@
+"""Persistent IVF index: build once, query many.
+
+`ann_ivf_topk` (operators/similarity.py) retrains its coarse quantizer
+per call — right for a one-shot query, wrong for the serving pattern
+where one corpus answers many query batches. This module persists the
+index:
+
+    index/
+      centroids/   k rows (cluster, centroid vector)
+      vectors/     the corpus (id, vector, norm), PARTITIONED BY cluster
+
+Partitioning the vectors by cluster id is the scale move: a query
+probing ``nprobe`` of k clusters reads ONLY those directories —
+`PartitionFilters` at the scan, verified by test — so query cost
+follows the probed fraction, not the corpus size. At 100 TB the same
+layout holds with more clusters (k scales with corpus size; directories
+stay file-count-bounded via the usual compaction).
+
+Determinism: training is `kmeans_lite` (seeded, deterministic); the
+index on disk makes every later query run reproducible by construction,
+because the centroids travel with it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot
+from .similarity import (_nprobe_clusters_expr, _prep, assign_nearest_cluster,
+                         kmeans_lite)
+
+
+def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
+                    index_path: str, n_clusters: int = 8,
+                    train_sample_fraction: float | None = None) -> int:
+    """Train the quantizer, assign the corpus, persist both. Returns the
+    number of indexed vectors. One training pass + one map-only
+    assignment + one cluster-partitioned write."""
+    cents = kmeans_lite(corpus, id_col, vec_col, k=n_clusters,
+                        sample_fraction=train_sample_fraction)
+    cents.write.mode("overwrite").parquet(
+        os.path.join(index_path, "centroids"))
+    centroids = [(int(r["cluster"]), [float(x) for x in r["cv"]])
+                 for r in cents.collect()]
+    c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
+    assigned = assign_nearest_cluster(c, "nv", centroids)
+    (assigned.write.mode("overwrite").partitionBy("cluster")
+     .parquet(os.path.join(index_path, "vectors")))
+    return assigned.sparkSession.read.parquet(
+        os.path.join(index_path, "vectors")).count()
+
+
+def query_ivf_index(spark: SparkSession, index_path: str,
+                    queries: DataFrame, id_col: str, vec_col: str,
+                    k: int = 5, nprobe: int = 3) -> DataFrame:
+    """Top-k neighbors for each query against the persisted index.
+
+    The probe set becomes an `isin` filter on the PARTITION column, so
+    the vectors scan prunes to the probed directories (nprobe/k of the
+    corpus); scoring then broadcasts the query batch into those
+    partitions. Returns (q_id, n_id, sim, rank)."""
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    centroids = [(int(r["cluster"]), [float(x) for x in r["cv"]])
+                 for r in cents.collect()]
+    q = _prep(queries, id_col, vec_col, "q_id", "qv", "nq")
+    q_probes = (q.withColumn(
+        "probes", _nprobe_clusters_expr(F.col("qv"), centroids, nprobe))
+        .select("q_id", "qv", "nq", F.explode("probes").alias("cluster")))
+    probe_ids = sorted({r["cluster"] for r in
+                        q_probes.select("cluster").distinct().collect()})
+    vectors = (spark.read.parquet(os.path.join(index_path, "vectors"))
+               .filter(F.col("cluster").isin(probe_ids)))
+    scored = (vectors.join(F.broadcast(q_probes), "cluster")
+              .filter(F.col("q_id") != F.col("n_id"))
+              .withColumn("sim", dot(F.col("qv"), F.col("nv"))
+                          / (F.col("nq") * F.col("nn"))))
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "sim", "rank"))
