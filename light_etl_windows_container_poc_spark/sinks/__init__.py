@@ -110,6 +110,33 @@ def write_format(df: DataFrame, path: str, fmt: str = "json",
     w.format(fmt).save(path)
 
 
+def _staged_rewrite(spark: SparkSession, df: DataFrame, path: str,
+                    partition_by: list[str] | None = None) -> int:
+    """Write ``df`` to a staging dir NEXT TO ``path`` (same filesystem,
+    so the final move is a rename, never a cross-device copy that could
+    die half-way after the live table is gone), count it, then swap.
+    Returns the staged row count."""
+    import shutil
+    import tempfile
+
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix=".staging_", dir=parent)
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        n = spark.read.parquet(staging).count()
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.replace(staging, path)  # same-filesystem rename — atomic
+    return n
+
+
 def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame,
                    key_cols: list[str],
                    partition_by: list[str] | None = None) -> int:
@@ -129,10 +156,12 @@ def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame,
     pass ``partition_by`` and pre-filter ``updates``' partitions upstream
     — full-table rewrite is the no-table-format floor, which is exactly
     why the docstring says so instead of hiding it (Delta/Iceberg/Hudi
-    replace this op when available)."""
-    import shutil
-    import tempfile
+    replace this op when available).
 
+    Guard rails: an update batch whose columns don't cover the existing
+    table's raises instead of silently narrowing the table's schema,
+    and the key anti-join is NULL-SAFE — a NULL-keyed update REPLACES
+    the existing NULL-keyed row instead of duplicating it forever."""
     from pyspark.sql import functions as F
 
     non_key = [c for c in updates.columns if c not in key_cols]
@@ -146,43 +175,54 @@ def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame,
         upd = updates.dropDuplicates(key_cols)
     if os.path.isdir(path):
         existing = spark.read.parquet(path)
-        kept = existing.join(upd.select(*key_cols), key_cols, "left_anti")
+        missing = set(existing.columns) - set(upd.columns)
+        if missing:
+            raise ValueError(
+                f"upsert batch lacks existing columns {sorted(missing)} — "
+                "a narrower batch would silently drop them from the table; "
+                "carry them (NULL is fine) or migrate the schema explicitly")
+        keys = upd.select(*key_cols)
+        cond = None
+        for k in key_cols:  # null-safe: NULL key matches NULL key
+            c = existing[k].eqNullSafe(keys[k])
+            cond = c if cond is None else (cond & c)
+        kept = existing.join(keys, cond, "left_anti")
         merged = kept.select(*upd.columns).unionByName(upd)
     else:
         merged = upd
-    staging = tempfile.mkdtemp(prefix="upsert_staging_")
-    writer = merged.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-    n = spark.read.parquet(staging).count()
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    shutil.move(staging, path)
-    return n
+    return _staged_rewrite(spark, merged, path, partition_by)
 
 
 def apply_ttl(spark: SparkSession, path: str, ts_col: str,
-              keep_days: int, now: str) -> int:
+              keep_days: int, now: str,
+              partition_by: list[str] | None = None,
+              keep_null_ts: bool = False) -> int:
     """Retention sweep: rewrite the table keeping only rows whose
     ``ts_col`` is within ``keep_days`` of ``now`` (an explicit timestamp
     string — callers pass it so reruns are deterministic). Returns rows
     kept. Same staging-rename discipline as ``upsert_parquet``; with a
-    date-partitioned layout the filter prunes untouched partitions at
-    the scan and a partition-drop (delete old directories) replaces the
-    rewrite entirely."""
-    import shutil
-    import tempfile
+    date-partitioned layout pass ``partition_by`` to preserve the
+    directory layout (a partition-drop — deleting old directories —
+    replaces the rewrite entirely when the TTL aligns with partitions).
+
+    Guard rails: an unparseable ``now`` raises up front (a NULL cutoff
+    would filter every row out and silently wipe the table). Rows with a
+    NULL ``ts_col`` are EXPIRED by default — pass ``keep_null_ts=True``
+    to retain not-yet-stamped rows instead."""
+    import datetime
 
     from pyspark.sql import functions as F
 
+    try:  # driver-side parse check — never let a NULL cutoff reach filter
+        datetime.datetime.fromisoformat(now)
+    except ValueError as e:
+        raise ValueError(
+            f"apply_ttl now={now!r} is not an ISO timestamp — refusing "
+            "(a NULL cutoff would expire every row)") from e
     df = spark.read.parquet(path)
-    kept = df.filter(
-        F.col(ts_col) >= F.to_timestamp(F.lit(now))
-        - F.expr(f"interval {int(keep_days)} days"))
-    staging = tempfile.mkdtemp(prefix="ttl_staging_")
-    kept.write.mode("overwrite").parquet(staging)
-    n = spark.read.parquet(staging).count()
-    shutil.rmtree(path)
-    shutil.move(staging, path)
-    return n
+    cutoff = (F.to_timestamp(F.lit(now))
+              - F.expr(f"interval {int(keep_days)} days"))
+    cond = F.col(ts_col) >= cutoff
+    if keep_null_ts:
+        cond = cond | F.col(ts_col).isNull()
+    return _staged_rewrite(spark, df.filter(cond), path, partition_by)
