@@ -105,8 +105,9 @@ def main() -> None:
     suite_r4_subset = round(sum(t for n, t in suite_times.items()
                                 if n in r4_names), 3)
     # ...and the frozen 201-query round-5 population for round 6+
+    r5_names = set(_ent._R05_POPULATION)
     suite_r5_subset = round(sum(t for n, t in suite_times.items()
-                                if n in set(_ent._R05_POPULATION)), 3)
+                                if n in r5_names), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)

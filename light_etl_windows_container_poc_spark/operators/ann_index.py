@@ -38,19 +38,39 @@ def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
                     train_sample_fraction: float | None = None) -> int:
     """Train the quantizer, assign the corpus, persist both. Returns the
     number of indexed vectors. One training pass + one map-only
-    assignment + one cluster-partitioned write."""
-    cents = kmeans_lite(corpus, id_col, vec_col, k=n_clusters,
-                        sample_fraction=train_sample_fraction)
-    cents.write.mode("overwrite").parquet(
-        os.path.join(index_path, "centroids"))
-    centroids = [(int(r["cluster"]), [float(x) for x in r["cv"]])
-                 for r in cents.collect()]
-    c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
-    assigned = assign_nearest_cluster(c, "nv", centroids)
-    (assigned.write.mode("overwrite").partitionBy("cluster")
-     .parquet(os.path.join(index_path, "vectors")))
-    return assigned.sparkSession.read.parquet(
-        os.path.join(index_path, "vectors")).count()
+    assignment + one cluster-partitioned write.
+
+    Rebuilds are ATOMIC: both halves land in a staging directory next
+    to ``index_path`` and swap in with one same-filesystem rename — a
+    crash mid-build leaves the previous index serving (new centroids
+    paired with old cluster directories would silently return wrong
+    neighbors, since probe ids from one quantizer prune against the
+    other's layout)."""
+    import shutil
+    import tempfile
+
+    parent = os.path.dirname(os.path.abspath(index_path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix=".ivf_staging_", dir=parent)
+    try:
+        cents = kmeans_lite(corpus, id_col, vec_col, k=n_clusters,
+                            sample_fraction=train_sample_fraction)
+        cents.write.parquet(os.path.join(staging, "centroids"))
+        centroids = [(int(r["cluster"]), [float(x) for x in r["cv"]])
+                     for r in cents.collect()]
+        c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
+        assigned = assign_nearest_cluster(c, "nv", centroids)
+        (assigned.write.partitionBy("cluster")
+         .parquet(os.path.join(staging, "vectors")))
+        n = assigned.sparkSession.read.parquet(
+            os.path.join(staging, "vectors")).count()
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    if os.path.isdir(index_path):
+        shutil.rmtree(index_path)
+    os.replace(staging, index_path)  # same-filesystem rename — atomic
+    return n
 
 
 def query_ivf_index(spark: SparkSession, index_path: str,

@@ -78,11 +78,16 @@ def plan_report(df: DataFrame) -> dict:
     - ``codegen_spans``: WholeStageCodegen region count (0 on an
       UNEXECUTED adaptive plan — AQE annotates codegen ids only once
       the final plan exists; run an action first to see the regions)
-    - ``global_windows``: windows with an empty partition spec — the
-      all-rows-to-one-task shape (fine on tiny relations, an incident
-      on big ones)
-    - ``warnings``: human-readable flags (cartesian product, global
-      window, python eval) worth a look before a 100 TB run
+    - ``single_partition_exchanges``: Exchanges distributing to
+      SinglePartition — the all-rows-through-one-task shape every
+      global sort / unpartitioned window / ordered limit requires.
+      This is also the global-window detector: a Window over an empty
+      partition spec always plans one (the formatted text itself does
+      not distinguish partitioned from unpartitioned window specs
+      reliably, so no separate window field is reported).
+    - ``warnings``: human-readable flags (cartesian product,
+      single-partition exchange, python eval) worth a look before a
+      100 TB run
     """
     import re
 
@@ -103,14 +108,10 @@ def plan_report(df: DataFrame) -> dict:
                 scans[-1]["read_schema"] = s.split("ReadSchema:", 1)[1].strip()
     py_nodes = ("BatchEvalPython", "ArrowEvalPython", "PythonMapInArrow",
                 "MapInPandas")
-    global_windows = len(re.findall(
-        r"^\(\d+\) Window\b(?![\s\S]{0,400}partitionBy)", plan, flags=re.M)) \
-        if "Window" in plan else 0
-    # the reliable global-window signal: Spark logs a warning node-side,
-    # but plan-side an empty partition spec shows as "windowspecdefinition("
-    # without a leading partition expression — approximate via the
-    # SinglePartition requirement the exchange prints
-    single_part = plan.count("Exchange SinglePartition")
+    # formatted explain prints the Exchange distribution on its detail
+    # line ("Arguments: SinglePartition, ..."), NOT next to the node
+    # header — match the argument, not a node name
+    single_part = len(re.findall(r"Arguments: SinglePartition", plan))
     report = {
         "exchanges": sum(1 for h in heads if h == "Exchange"),
         "broadcast_joins": sum(1 for h in heads if h == "BroadcastHashJoin"),
@@ -123,7 +124,6 @@ def plan_report(df: DataFrame) -> dict:
         # not node headers — count distinct region ids
         "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
         "single_partition_exchanges": single_part,
-        "global_windows": global_windows,
         "scans": scans,
     }
     warnings = []

@@ -159,9 +159,12 @@ def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame,
     replace this op when available).
 
     Guard rails: an update batch whose columns don't cover the existing
-    table's raises instead of silently narrowing the table's schema,
-    and the key anti-join is NULL-SAFE — a NULL-keyed update REPLACES
-    the existing NULL-keyed row instead of duplicating it forever."""
+    table's raises instead of silently narrowing the table's schema; a
+    batch that ADDS columns widens the table (kept rows null-fill the
+    new columns — additive schema evolution, the direction that loses
+    nothing); and the key anti-join is NULL-SAFE — a NULL-keyed update
+    REPLACES the existing NULL-keyed row instead of duplicating it
+    forever."""
     from pyspark.sql import functions as F
 
     non_key = [c for c in updates.columns if c not in key_cols]
@@ -187,6 +190,12 @@ def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame,
             c = existing[k].eqNullSafe(keys[k])
             cond = c if cond is None else (cond & c)
         kept = existing.join(keys, cond, "left_anti")
+        # additive evolution: columns new in the batch null-fill kept rows
+        upd_types = dict(upd.dtypes)
+        for new_col in [c for c in upd.columns
+                        if c not in existing.columns]:
+            kept = kept.withColumn(
+                new_col, F.lit(None).cast(upd_types[new_col]))
         merged = kept.select(*upd.columns).unionByName(upd)
     else:
         merged = upd

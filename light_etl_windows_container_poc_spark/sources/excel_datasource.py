@@ -141,10 +141,7 @@ def _decode_rows(path: str, schema: StructType,
                  options: dict) -> Iterator[tuple]:
     """Shared decode → schema-ordered tuples (batch partitions and
     stream batches emit identical rows for the same file)."""
-    reader = ExcelDataSourceReader.__new__(ExcelDataSourceReader)
-    reader.schema = schema
-    reader.options = options
-    reader.path = path
+    reader = ExcelDataSourceReader(schema, {**options, "path": path})
     return reader.read(_WorkbookPartition(path))
 
 
@@ -158,12 +155,28 @@ class ExcelStreamReader(SimpleDataSourceStreamReader):
     log — fine for directory-scale inputs like the reference's shared
     drive; a lake-scale deployment would compact it into a state table
     (`scale_discovery` has that shape).
+
+    Driver-memory bounds: the Simple stream API decodes on the DRIVER
+    (its contract), so rows flow through a lazy generator — at most one
+    workbook's rows are decoded at a time, never a batch-sized list.
+    ``maxFilesPerTrigger`` (default unlimited) additionally caps each
+    micro-batch's file count for CONTINUOUS streams, where the backlog
+    then drains across triggers. Measured caveat: one availableNow run
+    takes a single read() snapshot under this API, so with a cap it
+    drains at most that many files per run — leave the cap unset for
+    drain-everything availableNow semantics. For a heavy one-shot
+    backfill, the BATCH reader (`format("excel")`, one partition per
+    workbook on executors) is the right tool; this stream exists for
+    the watcher's steady drip.
     """
 
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
         self.options = options
         self.path = options.get("path")
+        self.max_files = int(options.get("maxfilespertrigger",
+                                         options.get("maxFilesPerTrigger",
+                                                     0)))
         if not self.path:
             raise ValueError("excel stream requires a load(path)")
 
@@ -192,11 +205,19 @@ class ExcelStreamReader(SimpleDataSourceStreamReader):
                 if p not in seen or seen[p] < m]
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        end = {"seen": self._scan()}
-        rows: list[tuple] = []
-        for p in self._new_files(start, end):
-            rows.extend(_decode_rows(p, self.schema, self.options))
-        return iter(rows), end
+        import itertools
+
+        scanned = self._scan()
+        fresh = self._new_files(start, {"seen": scanned})
+        picked = fresh[:self.max_files] if self.max_files > 0 else fresh
+        # end offset covers ONLY the picked files (plus what was already
+        # seen): the rest of the backlog arrives in later micro-batches
+        seen = dict(start.get("seen", {}))
+        seen.update({p: scanned[p] for p in picked})
+        end = {"seen": seen}
+        rows = itertools.chain.from_iterable(
+            _decode_rows(p, self.schema, self.options) for p in picked)
+        return rows, end
 
     def readBetweenOffsets(self, start: dict,
                            end: dict) -> Iterator[tuple]:

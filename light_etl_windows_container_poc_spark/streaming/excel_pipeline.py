@@ -60,17 +60,23 @@ def excel_etl_batch_handler(warehouse_dir: str,
                        .drop("target_table"))
                 append_table(sub, warehouse_dir, table)
             if per_file:
+                # EXACTLY write_processing_log's 7-column schema: this
+                # table is shared with the batch pipeline, and a
+                # divergent column set would leave mixed parquet
+                # schemas under one dir (whichever footer wins the
+                # scan silently hides the other's columns). The micro-
+                # batch id lives in the streaming checkpoint/metrics,
+                # not here.
                 dt = time.time() - t0
                 spark = batch.sparkSession
                 log = spark.createDataFrame(
                     [(r["source_path"], "", int(r["n"]), "completed", "",
-                      time.strftime("%Y-%m-%d %H:%M:%S"), float(dt),
-                      int(batch_id))
+                      time.strftime("%Y-%m-%d %H:%M:%S"), float(dt))
                      for r in per_file],
                     "filename string, sheet_name string, "
                     "rows_processed long, status string, "
                     "error_message string, processed_at string, "
-                    "processing_time_seconds double, batch_id long")
+                    "processing_time_seconds double")
                 append_table(log, warehouse_dir, "etl_processing_log")
         finally:
             cleaned.unpersist()

@@ -43,14 +43,18 @@ class ProgressCapture(StreamingQueryListener):
     def onQueryProgress(self, event) -> None:
         p = json.loads(event.progress.json)
         dur = (p.get("durationMs") or {}).get("triggerExecution")
+
+        def s(v):  # absent → real NULL, never the string "None"
+            return None if v is None else str(v)
+
         self.events.append((
-            str(p.get("id")), str(p.get("runId")),
-            int(p.get("batchId", -1)), str(p.get("timestamp")),
+            s(p.get("id")), s(p.get("runId")),
+            int(p.get("batchId", -1)), s(p.get("timestamp")),
             int(p.get("numInputRows", 0) or 0),
             float(p.get("inputRowsPerSecond", 0.0) or 0.0),
             float(p.get("processedRowsPerSecond", 0.0) or 0.0),
             int(dur) if dur is not None else None,
-            str((p.get("eventTime") or {}).get("watermark"))))
+            s((p.get("eventTime") or {}).get("watermark"))))
 
     def onQueryIdle(self, event) -> None:
         pass

@@ -39,7 +39,8 @@ def parquet_upsert_sink(target_path: str,
 def dbapi_stream_sink(connect_factory, table: str,
                       batch_size: int = 1000,
                       paramstyle: str = "qmark",
-                      track_batches: bool = True
+                      track_batches: bool = True,
+                      stream_key: str = ""
                       ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function streaming micro-batches into a relational
     DB through any PEP-249 driver (`sinks.write_dbapi` per batch) — the
@@ -47,9 +48,15 @@ def dbapi_stream_sink(connect_factory, table: str,
 
     Replay safety: foreachBatch is at-least-once on recovery, and a
     plain INSERT sink would duplicate a replayed batch. With
-    ``track_batches`` the sink records each committed batch id in
-    ``<table>__batches`` and SKIPS batch ids already present (dedup on
-    the batch id). Honest caveat: the marker commits AFTER the data
+    ``track_batches`` the sink records each committed (stream_key,
+    batch_id) pair in ``<table>__batches`` and SKIPS pairs already
+    present. Batch ids are numbered PER CHECKPOINT, so the marker is
+    scoped by ``stream_key`` — without it, a second stream (or a
+    fresh-checkpoint reprocess) writing the same table would collide on
+    bare ids and silently skip genuinely new batches;
+    `start_dbapi_stream` passes its checkpoint dir, the exact identity
+    the numbering is scoped to. Honest caveat: the marker commits AFTER
+    the data
     (partitions write on executors with their own connections, so one
     transaction around both is impossible) — a crash in that gap still
     replays one batch. Exactly-once needs a keyed target (the
@@ -60,18 +67,21 @@ def dbapi_stream_sink(connect_factory, table: str,
     def write(batch: DataFrame, batch_id: int) -> None:
         from ..sinks import write_dbapi
 
+        ph = "%s" if paramstyle == "format" else "?"
         if track_batches:
             conn = connect_factory()
             try:
                 cur = conn.cursor()
-                cur.execute(f"CREATE TABLE IF NOT EXISTS {table}__batches "
-                            "(batch_id BIGINT PRIMARY KEY)")
+                cur.execute(
+                    f"CREATE TABLE IF NOT EXISTS {table}__batches "
+                    "(stream_key VARCHAR, batch_id BIGINT, "
+                    "PRIMARY KEY (stream_key, batch_id))")
                 conn.commit()
-                ph = "%s" if paramstyle == "format" else "?"
                 cur.execute(f"SELECT 1 FROM {table}__batches "
-                            f"WHERE batch_id = {ph}", (batch_id,))
+                            f"WHERE stream_key = {ph} AND batch_id = {ph}",
+                            (stream_key, batch_id))
                 if cur.fetchone():
-                    return  # replayed batch: already committed
+                    return  # replayed batch of THIS stream: committed
             finally:
                 conn.close()
         write_dbapi(batch, connect_factory, table,
@@ -79,10 +89,9 @@ def dbapi_stream_sink(connect_factory, table: str,
         if track_batches:
             conn = connect_factory()
             try:
-                ph = "%s" if paramstyle == "format" else "?"
                 conn.cursor().execute(
-                    f"INSERT INTO {table}__batches VALUES ({ph})",
-                    (batch_id,))
+                    f"INSERT INTO {table}__batches VALUES ({ph}, {ph})",
+                    (stream_key, batch_id))
                 conn.commit()
             finally:
                 conn.close()
@@ -98,7 +107,8 @@ def start_dbapi_stream(stream: DataFrame, connect_factory, table: str,
     checkpoint (availableNow drains the backlog and stops)."""
     writer = (stream.writeStream
               .foreachBatch(dbapi_stream_sink(connect_factory, table,
-                                              batch_size, paramstyle))
+                                              batch_size, paramstyle,
+                                              stream_key=checkpoint_dir))
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -80,14 +80,15 @@ def test_write_jdbc_derby_round_trip(spark, tmp_path):
 
 def test_streaming_dbapi_sink_appends_and_dedups_replays(
         spark, sf_dir, tmp_path):
-    """Micro-batches stream into sqlite; a full replay (fresh
-    checkpoint, same batch ids) is skipped by the batch-id marker."""
+    """Micro-batches stream into sqlite; a replayed (stream_key,
+    batch_id) is suppressed by the marker, while a DIFFERENT stream
+    writing the same table is NOT mistaken for a replay."""
     import functools
 
     from light_etl_windows_container_poc_spark.queries.streaming_q import \
         _events_stream
-    from light_etl_windows_container_poc_spark.streaming.sinks import \
-        start_dbapi_stream
+    from light_etl_windows_container_poc_spark.streaming.sinks import (
+        dbapi_stream_sink, start_dbapi_stream)
 
     db = str(tmp_path / "stream.db")
     with sqlite3.connect(db) as conn:
@@ -107,11 +108,19 @@ def test_streaming_dbapi_sink_appends_and_dedups_replays(
             "SELECT count(*) FROM ev__batches").fetchone()[0]
     assert got == n and marked >= 1
 
-    # fresh checkpoint → Structured Streaming replays from scratch with
-    # the same batch ids → the marker table suppresses every batch
-    q2 = start_dbapi_stream(stream, factory, "ev",
-                            checkpoint_dir=str(tmp_path / "ck_b"))
-    q2.awaitTermination(300)
+    # recovery replay: the SAME (stream_key, batch_id) arrives again -> the
+    # marker suppresses the duplicate write
+    batch = load_tables(spark, sf_dir, ("events",))["events"] \
+        .select("user_id", "value").limit(50)
+    sink = dbapi_stream_sink(factory, "ev",
+                             stream_key=str(tmp_path / "ck_a"))
+    sink(batch, 0)  # batch 0 of ck_a already committed by the stream
     with sqlite3.connect(db) as conn:
-        again = conn.execute("SELECT count(*) FROM ev").fetchone()[0]
-    assert again == n  # no duplicates
+        assert conn.execute("SELECT count(*) FROM ev").fetchone()[0] == n
+
+    # a DIFFERENT stream identity reusing batch id 0 is NOT a replay:
+    # its rows must land (the bare-batch-id collision bug)
+    other = dbapi_stream_sink(factory, "ev", stream_key="other-stream")
+    other(batch, 0)
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT count(*) FROM ev").fetchone()[0] == n + 50

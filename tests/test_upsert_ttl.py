@@ -119,3 +119,13 @@ def test_ttl_preserves_partition_layout(spark, tmp_path):
     # the hive-style dt=... directories survive the sweep
     assert any(d.startswith("dt=") for d in os.listdir(path))
     assert [r.id for r in spark.read.parquet(path).collect()] == [2]
+
+
+def test_upsert_widening_batch_nullfills_kept_rows(spark, tmp_path):
+    path = str(tmp_path / "upsert_widen")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    upsert_parquet(spark, path, base, ["id"])
+    wider = spark.createDataFrame([(2, "B", 9)], "id int, v string, w int")
+    assert upsert_parquet(spark, path, wider, ["id"]) == 2
+    got = {r.id: (r.v, r.w) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", None), 2: ("B", 9)}
