@@ -61,3 +61,50 @@ def test_stateful_running_max(spark, tmp_path, sf_dir):
     expect = ev.groupby("user_id")["value"].max()
     assert res and all(abs(res[u] - expect[u]) < 1e-9 for u in res)
     assert isinstance(ev, pd.DataFrame)
+
+
+def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
+    """Late data beyond the watermark must be DROPPED, not merged — the
+    contract that bounds state at O(active windows) on an unbounded
+    stream. Two availableNow runs share a checkpoint: run 1 finalizes
+    the 09:00 window and advances the watermark past it; run 2 delivers
+    a 09:45 straggler, which must not reopen the finalized window."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def drop(name, rows):
+        (spark.createDataFrame(rows, "ts_s string, event_type string, v double")
+         .select(F.to_timestamp("ts_s").alias("ts"), "event_type",
+                 F.col("v").alias("value"))
+         .write.parquet(f"{src}/{name}"))
+
+    def run():
+        stream = (spark.readStream
+                  .schema("ts timestamp, event_type string, value double")
+                  .option("recursiveFileLookup", "true").parquet(src))
+        q = (windowed_event_counts(stream, window="1 hour",
+                                   watermark="2 hours")
+             .writeStream.format("parquet")          # append mode
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    drop("b1", [("2024-01-01 09:15:00", "view", 1.0),
+                ("2024-01-01 20:00:00", "view", 2.0)])
+    run()  # watermark after run 1: 20:00 - 2h = 18:00 → 09:00 finalized
+
+    drop("b2", [("2024-01-01 09:45:00", "view", 100.0),   # LATE: dropped
+                ("2024-01-01 23:30:00", "view", 3.0)])
+    run()  # watermark reaches 21:30 → the 20:00 window finalizes too
+
+    got = {(str(r["window_start"]), r["n"], r["total_value"])
+           for r in spark.read.parquet(out).collect()}
+    assert ("2024-01-01 09:00:00", 1, 1.0) in got   # NOT n=2: late dropped
+    assert ("2024-01-01 20:00:00", 1, 2.0) in got
+    assert not any(n == 2 for _, n, _ in got)
