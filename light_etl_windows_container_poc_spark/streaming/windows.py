@@ -56,3 +56,22 @@ def stateful_running_max(events: DataFrame) -> DataFrame:
                 stateStructType="mx double",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+def use_rocksdb_state(spark) -> None:
+    """Switch stateful streaming to the RocksDB state store for queries
+    started AFTER this call (the provider is read per query at start).
+
+    This is the state-scale lever: the default HDFS-backed provider
+    holds every key in executor heap, so watermark-bounded state that
+    fits at test SF OOMs when a 100 TB/day stream carries hundreds of
+    millions of live keys; RocksDB keeps working set on local disk with
+    changelog checkpointing. Results are provider-independent — the
+    test asserts the streaming output matches the batch oracle under
+    RocksDB exactly as it does under the default store."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)

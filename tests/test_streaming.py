@@ -108,3 +108,44 @@ def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
     assert ("2024-01-01 09:00:00", 1, 1.0) in got   # NOT n=2: late dropped
     assert ("2024-01-01 20:00:00", 1, 2.0) in got
     assert not any(n == 2 for _, n, _ in got)
+
+
+def test_stateful_ops_on_rocksdb_state_store(spark, tmp_path, sf_dir):
+    """The same watermarked dedup runs on the RocksDB state store with
+    identical results — and the progress metrics prove the provider was
+    actually RocksDB, not a silently-ignored conf."""
+    import json
+
+    from light_etl_windows_container_poc_spark.queries.streaming_q import \
+        _events_stream
+    from light_etl_windows_container_poc_spark.streaming.windows import \
+        use_rocksdb_state
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    use_rocksdb_state(spark)
+    try:
+        stream = (_events_stream(spark, sf_dir)
+                  .withWatermark("ts", "1 day")
+                  .dropDuplicates(["user_id"]).select("user_id"))
+        q = (stream.writeStream.format("parquet")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        progress = q.recentProgress
+        assert progress, "no progress recorded"
+        metrics = json.dumps([p["stateOperators"] for p in progress])
+        assert "rocksdb" in metrics.lower()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    from light_etl_windows_container_poc_spark.catalog import load_tables
+    exact = (load_tables(spark, sf_dir, ("events",))["events"]
+             .select("user_id").distinct().count())
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == exact
+    assert got.distinct().count() == exact
