@@ -33,8 +33,9 @@ import os
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition,
-                                    SimpleDataSourceStreamReader)
+                                    DataSourceWriter, InputPartition,
+                                    SimpleDataSourceStreamReader,
+                                    WriterCommitMessage)
 from pyspark.sql.types import StructType
 
 _EXCEL_EXTS = (".xlsx", ".xlsm", ".xls", ".xlsb")
@@ -135,6 +136,77 @@ class ExcelDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) \
             -> "ExcelStreamReader":
         return ExcelStreamReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType,
+               overwrite: bool) -> "ExcelDataSourceWriter":
+        return ExcelDataSourceWriter(schema, dict(self.options), overwrite)
+
+
+class _ExcelCommit(WriterCommitMessage):
+    def __init__(self, filename: str | None, rows: int):
+        self.filename = filename
+        self.rows = rows
+
+
+class ExcelDataSourceWriter(DataSourceWriter):
+    """``df.write.format("excel").save(dir)`` — one workbook per
+    non-empty partition (`part-<uuid>.xlsx`, header row = schema field
+    names), written via the same dependency-free SpreadsheetML builder
+    the tests round-trip through the reader.
+
+    Commit protocol: partitions write to dot-prefixed temp names (Spark
+    path filters ignore them), the driver-side commit renames them into
+    place and drops a _SUCCESS marker, abort removes the temps — a
+    failed job never leaves half-visible workbooks. Option
+    ``sheet_name`` names the sheet (default Sheet1). Spark's Python
+    data sources accept only Append/Overwrite save modes — use
+    ``.mode("append")`` for a first write too."""
+
+    def __init__(self, schema: StructType, options: dict,
+                 overwrite: bool):
+        self.schema = schema
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("excel writer requires a save(path)")
+        if overwrite and os.path.isdir(self.path):
+            import shutil
+            shutil.rmtree(self.path)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> _ExcelCommit:
+        import uuid
+
+        from .xlsx import build_xlsx_bytes
+
+        header = [f.name for f in self.schema.fields]
+        grid = [header]
+        for row in iterator:
+            grid.append([row[n] for n in header])
+        if len(grid) == 1:
+            return _ExcelCommit(None, 0)
+        name = f"part-{uuid.uuid4().hex[:12]}.xlsx"
+        tmp = os.path.join(self.path, f".{name}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(build_xlsx_bytes(
+                {self.options.get("sheet_name", "Sheet1"): grid}))
+        return _ExcelCommit(name, len(grid) - 1)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if m and m.filename:
+                os.replace(os.path.join(self.path, f".{m.filename}.tmp"),
+                           os.path.join(self.path, m.filename))
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m and m.filename:
+                try:
+                    os.remove(os.path.join(self.path, f".{m.filename}.tmp"))
+                except OSError:
+                    pass
 
 
 def _decode_rows(path: str, schema: StructType,

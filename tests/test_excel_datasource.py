@@ -108,3 +108,40 @@ def test_stream_excel_picks_up_new_and_modified_files(
     drain()
     vals = sorted(r.a for r in excel_spark.read.parquet(out).collect())
     assert vals == ["one", "one-v2", "two"]
+
+
+def test_format_excel_write_round_trip(excel_spark, tmp_path):
+    """df.write.format('excel') → one workbook per non-empty partition,
+    read back exactly through the excel reader."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "report")
+    df = (excel_spark.range(0, 20).repartition(3)
+          .select(F.col("id"), F.concat(F.lit("n"), F.col("id"))
+                  .alias("name"), (F.col("id") * 1.5).alias("score")))
+    df.write.format("excel").mode("append").save(out)
+
+    files = [f for f in os.listdir(out) if f.endswith(".xlsx")]
+    assert 1 <= len(files) <= 3           # ≤ one per partition
+    assert "_SUCCESS" in os.listdir(out)
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+    back = (excel_spark.read.format("excel")
+            .schema("id double, name string, score double").load(out))
+    got = {int(r.id): (r.name, r.score) for r in back.collect()}
+    assert got == {i: (f"n{i}", i * 1.5) for i in range(20)}
+
+
+def test_format_excel_write_overwrite_mode(excel_spark, tmp_path):
+    import os
+
+    out = str(tmp_path / "ow")
+    excel_spark.range(0, 5).selectExpr("id").coalesce(1) \
+        .write.format("excel").mode("append").save(out)
+    excel_spark.range(100, 103).selectExpr("id").coalesce(1) \
+        .write.format("excel").mode("overwrite").save(out)
+    back = (excel_spark.read.format("excel").schema("id double").load(out))
+    assert sorted(int(r.id) for r in back.collect()) == [100, 101, 102]
+    assert "_SUCCESS" in os.listdir(out)
