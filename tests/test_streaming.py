@@ -149,3 +149,50 @@ def test_stateful_ops_on_rocksdb_state_store(spark, tmp_path, sf_dir):
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == exact
     assert got.distinct().count() == exact
+
+
+def test_stream_static_join_sees_dim_updates_between_batches(
+        spark, tmp_path, sf_dir):
+    """The STATIC side of a stream-static join is re-read per
+    micro-batch: a dimension row added between two availableNow runs
+    enriches the second run's events without restarting anything — how
+    slowly-changing dims stay fresh under a long-lived stream."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    dim_p = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def drop_events(name, uids):
+        (spark.createDataFrame([(u,) for u in uids], "user_id long")
+         .write.parquet(f"{src}/{name}"))
+
+    def run():
+        stream = (spark.readStream.schema("user_id long")
+                  .option("recursiveFileLookup", "true").parquet(src))
+        dim = spark.read.parquet(dim_p)
+        q = (stream.join(F.broadcast(dim), "user_id", "left")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    spark.createDataFrame([(1, "alpha")], "user_id long, label string") \
+        .write.parquet(dim_p)
+    drop_events("b1", [1, 2])
+    run()
+
+    # dim gains user 2 between runs; only NEW events see it
+    spark.createDataFrame([(2, "beta")], "user_id long, label string") \
+        .write.mode("append").parquet(dim_p)
+    drop_events("b2", [1, 2])
+    run()
+
+    rows = [(r["user_id"], r["label"] or "")
+            for r in spark.read.parquet(out).collect()]
+    assert sorted(rows) == [(1, "alpha"), (1, "alpha"),
+                            (2, ""), (2, "beta")]
