@@ -93,6 +93,36 @@ def _sheet_part_path(zf: zipfile.ZipFile, sheet_name: int | str) -> str:
     return target if target.startswith("xl/") else "xl/" + target.lstrip("/")
 
 
+# SpreadsheetML's escape for characters XML 1.0 cannot carry (most
+# control chars, lone surrogates): _xHHHH_ in the stored text, with a
+# literal underscore of any _xHHHH_-looking run escaped as _x005F_.
+# (ECMA-376 part 1 §22.9.2.19 / shared string convention — what Excel,
+# openpyxl, and pandas all emit and decode.)
+_X_ESC = re.compile(r"_x[0-9A-Fa-f]{4}_")
+
+
+def _xml10_legal(ch: str) -> bool:
+    o = ord(ch)
+    return (o in (0x9, 0xA, 0xD) or 0x20 <= o <= 0xD7FF
+            or 0xE000 <= o <= 0xFFFD or 0x10000 <= o <= 0x10FFFF)
+
+
+def _ooxml_escape_text(s: str) -> str:
+    s = _X_ESC.sub(lambda m: "_x005F" + m.group(0), s)
+    # \r must also escape: XML parsers line-ending-normalize a literal
+    # CR to LF (Excel writes _x000D_ for exactly this reason)
+    if all(_xml10_legal(ch) and ch != "\r" for ch in s):
+        return s
+    return "".join(ch if _xml10_legal(ch) and ch != "\r"
+                   else f"_x{ord(ch):04X}_" for ch in s)
+
+
+def _ooxml_unescape_text(s: str) -> str:
+    # re.sub does not rescan replacements, so the decoded "_" of
+    # _x005F_ safely abuts a following xHHHH_ without re-decoding
+    return _X_ESC.sub(lambda m: chr(int(m.group(0)[2:6], 16)), s)
+
+
 def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     try:
         root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
@@ -101,7 +131,8 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     out = []
     for si in root.iterfind(".//{*}si"):
         # an <si> may be one <t> or multiple rich-text runs <r><t>
-        out.append("".join(t.text or "" for t in si.iterfind(".//{*}t")))
+        out.append(_ooxml_unescape_text(
+            "".join(t.text or "" for t in si.iterfind(".//{*}t"))))
     return out
 
 
@@ -109,7 +140,8 @@ def _cell_value(c: ET.Element, shared: list[str]):
     t = c.get("t", "n")
     if t == "inlineStr":
         is_el = c.find("{*}is")
-        return "".join(tt.text or "" for tt in is_el.iterfind(".//{*}t")) \
+        return _ooxml_unescape_text(
+            "".join(tt.text or "" for tt in is_el.iterfind(".//{*}t"))) \
             if is_el is not None else None
     v = c.find("{*}v")
     if v is None or v.text is None:
@@ -137,8 +169,14 @@ def parse_xlsx_rows(raw: bytes, sheet_name: int | str = 0) -> list[list]:
         part = _sheet_part_path(zf, sheet_name)
         shared = _shared_strings(zf)
         ws = ET.fromstring(zf.read(part))
-    rows: list[dict[int, object]] = []
+    # keyed by the row's r index: Excel OMITS fully-empty rows, so
+    # element order alone would silently shift later rows up (a real
+    # sheet with data at rows 1 and 5 must yield rows 2-4 as empties)
+    by_index: dict[int, dict[int, object]] = {}
+    next_row = 1
     for row_el in ws.iterfind(".//{*}row"):
+        ri = int(row_el.get("r", next_row))
+        next_row = ri + 1
         cells: dict[int, object] = {}
         next_idx = 0
         for c in row_el.iterfind("{*}c"):
@@ -150,9 +188,14 @@ def parse_xlsx_rows(raw: bytes, sheet_name: int | str = 0) -> list[list]:
                 idx = next_idx
             cells[idx] = _cell_value(c, shared)
             next_idx = idx + 1
-        rows.append(cells)
-    width = max((max(r) + 1 for r in rows if r), default=0)
-    return [[r.get(i) for i in range(width)] for r in rows]
+        if cells:
+            by_index[ri] = cells
+    if not by_index:
+        return []
+    width = max(max(r) + 1 for r in by_index.values())
+    n_rows = max(by_index)
+    return [[by_index.get(ri, {}).get(i) for i in range(width)]
+            for ri in range(1, n_rows + 1)]
 
 
 def grid_to_frame(grid: list[list], skiprows: int | None = None,
@@ -211,9 +254,11 @@ def _sheet_xml(rows: list[list]) -> str:
             elif isinstance(val, (int, float)):
                 cells.append(f'<c r="{ref}"><v>{val!r}</v></c>')
             else:
+                txt = _xml_escape(_ooxml_escape_text(str(val)))
                 cells.append(f'<c r="{ref}" t="inlineStr"><is><t xml:space='
-                             f'"preserve">{_xml_escape(str(val))}</t></is></c>')
-        body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+                             f'"preserve">{txt}</t></is></c>')
+        if cells:  # Excel omits fully-empty rows; readers use r indices
+            body.append(f'<row r="{ri}">{"".join(cells)}</row>')
     return (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             f'<worksheet xmlns="{ns}"><sheetData>{"".join(body)}</sheetData>'
             f'</worksheet>')

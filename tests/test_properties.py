@@ -151,6 +151,18 @@ def test_xlsb_biff12_round_trip_any_grid(grid):
     assert got == _norm_grid(grid)
 
 
+@given(_grid)
+@settings(max_examples=60, deadline=None)
+def test_xlsx_spreadsheetml_round_trip_any_grid(grid):
+    # completes the format set: all three codecs hold the same
+    # round-trip law under the same normalization
+    from light_etl_windows_container_poc_spark.sources.xlsx import (
+        build_xlsx_bytes, parse_xlsx_rows)
+
+    got = parse_xlsx_rows(build_xlsx_bytes({"s": grid}))
+    assert got == _norm_grid(grid)
+
+
 @given(st.integers(min_value=4, max_value=64),
        st.integers(min_value=4, max_value=64),
        st.integers(min_value=0, max_value=2 ** 31))
