@@ -108,7 +108,15 @@ def _xml10_legal(ch: str) -> bool:
 
 
 def _ooxml_escape_text(s: str) -> str:
-    s = _X_ESC.sub(lambda m: "_x005F" + m.group(0), s)
+    # Protect EVERY literal underscore that precedes an 'x' — not just
+    # complete _xHHHH_ runs: escaping an illegal char can CREATE a
+    # decodable token out of a literal tail (e.g. '_x0041' + escaped
+    # \x01 would read back as 'A\x01'), and overlapping runs share
+    # underscores. Over-escaping is always safe — any conforming
+    # decoder (ours, Excel, openpyxl) turns _x005F_ back into '_', and
+    # re.sub never rescans its replacement text, so the inserted
+    # '_x005F_' cannot itself be re-protected or mis-decoded.
+    s = re.sub(r"_(?=x)", "_x005F_", s)
     # \r must also escape: XML parsers line-ending-normalize a literal
     # CR to LF (Excel writes _x000D_ for exactly this reason)
     if all(_xml10_legal(ch) and ch != "\r" for ch in s):
@@ -130,9 +138,11 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
         return []
     out = []
     for si in root.iterfind(".//{*}si"):
-        # an <si> may be one <t> or multiple rich-text runs <r><t>
-        out.append(_ooxml_unescape_text(
-            "".join(t.text or "" for t in si.iterfind(".//{*}t"))))
+        # an <si> may be one <t> or multiple rich-text runs <r><t>;
+        # unescape PER RUN — the convention applies to each <t>, and
+        # adjacent runs could otherwise form a false token at the join
+        out.append("".join(_ooxml_unescape_text(t.text or "")
+                           for t in si.iterfind(".//{*}t")))
     return out
 
 
@@ -140,8 +150,8 @@ def _cell_value(c: ET.Element, shared: list[str]):
     t = c.get("t", "n")
     if t == "inlineStr":
         is_el = c.find("{*}is")
-        return _ooxml_unescape_text(
-            "".join(tt.text or "" for tt in is_el.iterfind(".//{*}t"))) \
+        return "".join(_ooxml_unescape_text(tt.text or "")
+                       for tt in is_el.iterfind(".//{*}t")) \
             if is_el is not None else None
     v = c.find("{*}v")
     if v is None or v.text is None:
@@ -150,7 +160,9 @@ def _cell_value(c: ET.Element, shared: list[str]):
         return shared[int(v.text)]
     if t == "b":
         return v.text == "1"
-    if t in ("str", "e"):  # formula result cached as string / error literal
+    if t == "str":  # formula result cached as string — escapes apply
+        return _ooxml_unescape_text(v.text)
+    if t == "e":  # error literal (#DIV/0! etc.) — never escaped
         return v.text
     # numeric: keep ints exact (Excel stores every number as double text)
     txt = v.text
@@ -175,7 +187,12 @@ def parse_xlsx_rows(raw: bytes, sheet_name: int | str = 0) -> list[list]:
     by_index: dict[int, dict[int, object]] = {}
     next_row = 1
     for row_el in ws.iterfind(".//{*}row"):
-        ri = int(row_el.get("r", next_row))
+        try:
+            ri = int(row_el.get("r", next_row))
+        except ValueError:
+            ri = next_row
+        if ri < 1:  # nonconforming index: keep the data, place it next
+            ri = next_row
         next_row = ri + 1
         cells: dict[int, object] = {}
         next_idx = 0
@@ -189,11 +206,22 @@ def parse_xlsx_rows(raw: bytes, sheet_name: int | str = 0) -> list[list]:
             cells[idx] = _cell_value(c, shared)
             next_idx = idx + 1
         if cells:
-            by_index[ri] = cells
+            # duplicate r (nonconforming): merge, first row's cells win
+            merged = by_index.setdefault(ri, {})
+            for idx, val in cells.items():
+                merged.setdefault(idx, val)
     if not by_index:
         return []
     width = max(max(r) + 1 for r in by_index.values())
     n_rows = max(by_index)
+    if n_rows - len(by_index) > 100_000:
+        # one stray cell parked at the grid bottom (row ~1048576) would
+        # otherwise materialize a million None rows — refuse loudly;
+        # read_excel's quarantine mode routes such files aside
+        raise ValueError(
+            f"sheet declares row {n_rows} with only {len(by_index)} "
+            "populated rows — stray bottom-of-grid cell? refusing to "
+            "materialize the gap")
     return [[by_index.get(ri, {}).get(i) for i in range(width)]
             for ri in range(1, n_rows + 1)]
 

@@ -3,7 +3,7 @@ ANY input, not just the curated corpus."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from light_etl_windows_container_poc_spark.operators.cleaning import sanitize_name
 
@@ -152,6 +152,11 @@ def test_xlsb_biff12_round_trip_any_grid(grid):
 
 
 @given(_grid)
+@example([["_x005F\x01"]])          # escape creates a false token tail
+@example([["_x0041\x01"]])          # literal tail + escaped char
+@example([["_x005F_x0041_"]])        # overlapping escape-like runs
+@example([["a_x000D_b"]])            # literal text that LOOKS escaped
+@example([["\r\n\t_x"]])            # CR normalization + bare '_x'
 @settings(max_examples=60, deadline=None)
 def test_xlsx_spreadsheetml_round_trip_any_grid(grid):
     # completes the format set: all three codecs hold the same

@@ -96,3 +96,79 @@ def test_list_excel_sheets(spark, tmp_path):
     df = list_excel_sheets(spark, str(tmp_path))
     assert df.columns == ["path", "sheet_name"]
     assert [r.sheet_name for r in df.collect()] == ["alpha", "beta"]
+
+
+def test_xlsx_rich_text_runs_unescape_per_run(spark):
+    """Adjacent shared-string runs must not form a false _xHHHH_ token
+    at the join, and formula string caches decode escapes too."""
+    import io
+    import zipfile
+
+    from light_etl_windows_container_poc_spark.sources.xlsx import (
+        build_xlsx_bytes, parse_xlsx_rows)
+
+    raw = build_xlsx_bytes({"s": [["placeholder"]]})
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    parts["xl/sharedStrings.xml"] = (
+        f'<?xml version="1.0"?><sst xmlns="{ns}" count="1" uniqueCount="1">'
+        '<si><r><t>_x00</t></r><r><t>41_</t></r></si></sst>').encode()
+    parts["xl/worksheets/sheet1.xml"] = (
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="str"><v>a_x000D_b</v></c></row>'
+        '</sheetData></worksheet>').encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for n, b in parts.items():
+            zf.writestr(n, b)
+    got = parse_xlsx_rows(buf.getvalue())
+    assert got == [["_x0041_", "a\rb"]]
+
+
+def test_xlsx_sparse_rows_and_stray_bottom_cell(spark):
+    """Real-Excel sparse files place rows by r index; a stray cell at
+    the grid bottom refuses loudly instead of materializing ~1M rows."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from light_etl_windows_container_poc_spark.sources.xlsx import (
+        build_xlsx_bytes, parse_xlsx_rows)
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+    def with_sheet(xml):
+        raw = build_xlsx_bytes({"s": [["x"]]})
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            parts = {n: zf.read(n) for n in zf.namelist()}
+        parts["xl/worksheets/sheet1.xml"] = xml.encode()
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for n, b in parts.items():
+                zf.writestr(n, b)
+        return buf.getvalue()
+
+    sparse = with_sheet(
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1"><v>1</v></c></row>'
+        '<row r="4"><c r="A4"><v>4</v></c></row>'
+        '</sheetData></worksheet>')
+    assert parse_xlsx_rows(sparse) == [[1], [None], [None], [4]]
+
+    stray = with_sheet(
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1"><v>1</v></c></row>'
+        '<row r="1048576"><c r="A1048576"><v>9</v></c></row>'
+        '</sheetData></worksheet>')
+    with pytest.raises(ValueError, match="stray bottom-of-grid"):
+        parse_xlsx_rows(stray)
+
+    dup = with_sheet(
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1"><v>1</v></c></row>'
+        '<row r="1"><c r="B1"><v>2</v></c></row>'
+        '</sheetData></worksheet>')
+    assert parse_xlsx_rows(dup) == [[1, 2]]  # merged, nothing lost
