@@ -25,7 +25,11 @@ _PCA_K = 8
 
 # --------------------------------------------------------------------------
 # PCA projection (rows-only: component sign/basis is eigensolver-defined;
-# pca_invariants below is the hash-certified twin)
+# pca_invariants below is the hash-certified twin). Output is posexploded
+# to SCALAR columns (vec_id, pos, score) — the certification harness
+# canonicalizes frames by sorting column values, and an array<double>
+# column is unsortable/unhashable there (the round-5 red row), while the
+# long form carries identical information and sorts fine.
 # --------------------------------------------------------------------------
 @query("embed_pca")
 def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,8 +38,10 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     model = pca_fit(emb, "embedding", k=_PCA_K)
     return (pca_project(emb, "vec_id", "embedding", model)
-            .select(F.col("id").alias("vec_id"), "pc")
-            .orderBy("vec_id"))
+            .select(F.col("id").alias("vec_id"),
+                    F.posexplode("pc").alias("pos", "score"))
+            .select("vec_id", F.col("pos").cast("int").alias("pos"), "score")
+            .orderBy("vec_id", "pos"))
 
 
 # --------------------------------------------------------------------------

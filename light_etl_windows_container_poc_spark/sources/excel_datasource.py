@@ -80,9 +80,12 @@ class ExcelDataSourceReader(DataSourceReader):
         sheet = opts.get("sheet", "0")
         sheet = int(sheet) if str(sheet).lstrip("-").isdigit() else sheet
         on_error = opts.get("on_error", "raise")
-        with open(partition.path, "rb") as fh:
-            raw = fh.read()
         try:
+            # open() sits INSIDE the guard: quarantine must also cover a
+            # file deleted/moved between listing and read (and checkpoint-
+            # recovery replay via readBetweenOffsets must skip such files)
+            with open(partition.path, "rb") as fh:
+                raw = fh.read()
             pdf = parse_workbook(
                 raw, path=partition.path, sheet_name=sheet,
                 skiprows=int(opts["skiprows"]) if "skiprows" in opts
@@ -166,12 +169,13 @@ class ExcelDataSourceWriter(DataSourceWriter):
                  overwrite: bool):
         self.schema = schema
         self.options = options
+        self.overwrite = overwrite
         self.path = options.get("path")
         if not self.path:
             raise ValueError("excel writer requires a save(path)")
-        if overwrite and os.path.isdir(self.path):
-            import shutil
-            shutil.rmtree(self.path)
+        # overwrite deletion is DEFERRED to commit(): clearing the target
+        # here would leave an empty directory if the job then fails,
+        # breaking the no-half-visible-output guarantee below
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, iterator) -> _ExcelCommit:
@@ -193,10 +197,28 @@ class ExcelDataSourceWriter(DataSourceWriter):
         return _ExcelCommit(name, len(grid) - 1)
 
     def commit(self, messages) -> None:
-        for m in messages:
-            if m and m.filename:
-                os.replace(os.path.join(self.path, f".{m.filename}.tmp"),
-                           os.path.join(self.path, m.filename))
+        new_names = {m.filename for m in messages if m and m.filename}
+        for name in new_names:
+            os.replace(os.path.join(self.path, f".{name}.tmp"),
+                       os.path.join(self.path, name))
+        if self.overwrite:
+            # only after the new parts are renamed into place: drop the
+            # PRE-EXISTING visible entries (new part names are uuids — no
+            # collisions). A failure at any earlier point leaves the old
+            # data intact; a crash mid-sweep leaves old+new visible but
+            # never an empty directory.
+            import shutil
+            for fn in os.listdir(self.path):
+                full = os.path.join(self.path, fn)
+                if fn.startswith(".") or fn in new_names:
+                    continue
+                try:
+                    if os.path.isdir(full):
+                        shutil.rmtree(full)
+                    else:
+                        os.remove(full)
+                except OSError:
+                    pass
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 

@@ -237,6 +237,13 @@ def grid_to_frame(grid: list[list], skiprows: int | None = None,
     and legacy .xls (`xls_biff`) codecs."""
     if skiprows:
         grid = grid[skiprows:]
+    # pandas.read_excel parity: leading fully-blank rows are skipped
+    # before header selection (r-indexed gap filling materializes them
+    # when a workbook's data starts below row 1, but they must not
+    # become an all-None header / 'Unnamed' columns); mid-sheet gaps
+    # after the header are preserved as data rows
+    while grid and all(v is None for v in grid[0]):
+        grid = grid[1:]
     if not grid:
         return pd.DataFrame()
     if usecols is not None:

@@ -44,10 +44,15 @@ def excel_etl_batch_handler(warehouse_dir: str,
     def handle(batch: DataFrame, batch_id: int) -> None:
         t0 = time.time()
         routed = router.route(batch, path_col="source_path")
+        # the drop-empty column list must come from the SANITIZED frame:
+        # sanitize_column_names may rewrite schema names (e.g. `Order ID`
+        # -> order_id), and a pre-sanitization name would be unresolvable
+        # in every micro-batch
+        sanitized = sanitize_column_names(routed)
         cleaned = with_etl_metadata(
             drop_empty_rows(
-                coerce_by_name(sanitize_column_names(routed)),
-                cols=[c for c in routed.columns
+                coerce_by_name(sanitized),
+                cols=[c for c in sanitized.columns
                       if c not in ("source_path", "target_table")]),
             source_name, batch_ts=batch_ts)
         cleaned.persist()
