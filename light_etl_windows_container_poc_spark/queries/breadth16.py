@@ -83,12 +83,16 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# RFM segmentation: recency / frequency / monetary quintiles per user.
-# The quintile windows rank the AGGREGATED |users| relation (events
-# never shuffle globally); user_id tie-breaks make every ntile edge
-# deterministic. At a 100 TB user space the same scores come from
-# bucketing against broadcast quantile thresholds instead of an exact
-# global ntile — the per-user aggregate below is unchanged.
+# RFM segmentation: recency / frequency / monetary quintiles per user,
+# assigned by BROADCAST percentile_disc cut points + a CASE ladder — no
+# global window anywhere. An unpartitioned ntile(5) would collapse the
+# aggregated |users| relation onto ONE task (billions of rows through a
+# single sort at 100× scale, three times); percentile_disc is a single
+# one-pass aggregate whose 12 scalar cuts broadcast back. Semantics:
+# equal metric values share a bucket (SQL-standard percentile_disc =
+# smallest value with cume_dist >= p — fully deterministic in both
+# engines; quintile boundaries p·N round exactly in IEEE doubles for
+# every N, so the cume_dist replay in the oracle is bit-safe).
 # --------------------------------------------------------------------------
 @query("user_rfm", oracle="""
 WITH anchor AS (SELECT max(ts) AS mx FROM events),
@@ -102,13 +106,43 @@ u AS (
            AS monetary_cents
   FROM events GROUP BY user_id
 ),
-s AS (
+cd AS (
   SELECT *,
-         CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INT) AS r_q,
-         CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_q,
-         CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS INT)
-           AS m_q
+         cume_dist() OVER (ORDER BY recency_days) AS cdr,
+         cume_dist() OVER (ORDER BY frequency DESC) AS cdf,
+         cume_dist() OVER (ORDER BY monetary_cents DESC) AS cdm
   FROM u
+),
+cuts AS (
+  SELECT min(CASE WHEN cdr >= 0.2 THEN recency_days END) AS rc2,
+         min(CASE WHEN cdr >= 0.4 THEN recency_days END) AS rc4,
+         min(CASE WHEN cdr >= 0.6 THEN recency_days END) AS rc6,
+         min(CASE WHEN cdr >= 0.8 THEN recency_days END) AS rc8,
+         max(CASE WHEN cdf >= 0.2 THEN frequency END) AS fc2,
+         max(CASE WHEN cdf >= 0.4 THEN frequency END) AS fc4,
+         max(CASE WHEN cdf >= 0.6 THEN frequency END) AS fc6,
+         max(CASE WHEN cdf >= 0.8 THEN frequency END) AS fc8,
+         max(CASE WHEN cdm >= 0.2 THEN monetary_cents END) AS mc2,
+         max(CASE WHEN cdm >= 0.4 THEN monetary_cents END) AS mc4,
+         max(CASE WHEN cdm >= 0.6 THEN monetary_cents END) AS mc6,
+         max(CASE WHEN cdm >= 0.8 THEN monetary_cents END) AS mc8
+  FROM cd
+),
+s AS (
+  SELECT u.user_id, u.recency_days, u.frequency, u.monetary_cents,
+         CAST(1 + CAST(u.recency_days > c.rc2 AS INT)
+                + CAST(u.recency_days > c.rc4 AS INT)
+                + CAST(u.recency_days > c.rc6 AS INT)
+                + CAST(u.recency_days > c.rc8 AS INT) AS INT) AS r_q,
+         CAST(1 + CAST(u.frequency < c.fc2 AS INT)
+                + CAST(u.frequency < c.fc4 AS INT)
+                + CAST(u.frequency < c.fc6 AS INT)
+                + CAST(u.frequency < c.fc8 AS INT) AS INT) AS f_q,
+         CAST(1 + CAST(u.monetary_cents < c.mc2 AS INT)
+                + CAST(u.monetary_cents < c.mc4 AS INT)
+                + CAST(u.monetary_cents < c.mc6 AS INT)
+                + CAST(u.monetary_cents < c.mc8 AS INT) AS INT) AS m_q
+  FROM u, cuts c
 )
 SELECT user_id, recency_days, frequency, monetary_cents,
        r_q, f_q, m_q,
@@ -129,16 +163,30 @@ def user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("last_ts").cast("date"))
                  .cast("long").alias("recency_days"),
                  "frequency", "monetary_cents"))
-    r_q = F.ntile(5).over(Window.orderBy("recency_days", "user_id"))
-    f_q = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(),
-                                         "user_id"))
-    m_q = F.ntile(5).over(Window.orderBy(F.col("monetary_cents").desc(),
-                                         "user_id"))
-    return (u.select("user_id", "recency_days", "frequency",
-                     "monetary_cents",
-                     r_q.cast("int").alias("r_q"),
-                     f_q.cast("int").alias("f_q"),
-                     m_q.cast("int").alias("m_q"))
+    # one-pass quintile cuts (descending dims via negated copies: the
+    # smallest negated value with cume_dist >= p is the largest original)
+    neg = u.select("recency_days",
+                   (-F.col("frequency")).alias("negf"),
+                   (-F.col("monetary_cents")).alias("negm"))
+    cuts = neg.agg(*[
+        F.expr(f"percentile_disc(0.{q}) WITHIN GROUP (ORDER BY {col})")
+        .alias(f"{pre}{q}")
+        for pre, col in (("rc", "recency_days"), ("fc", "negf"),
+                         ("mc", "negm"))
+        for q in (2, 4, 6, 8)])
+
+    def ladder(v: "F.Column", pre: str) -> "F.Column":
+        e = F.lit(1)
+        for q in (2, 4, 6, 8):
+            e = e + (v > F.col(f"{pre}{q}")).cast("int")
+        return e.cast("int")
+
+    return (u.crossJoin(F.broadcast(cuts))
+            .select("user_id", "recency_days", "frequency",
+                    "monetary_cents",
+                    ladder(F.col("recency_days"), "rc").alias("r_q"),
+                    ladder(-F.col("frequency"), "fc").alias("f_q"),
+                    ladder(-F.col("monetary_cents"), "mc").alias("m_q"))
             .withColumn("rfm_code",
                         (F.col("r_q") * 100 + F.col("f_q") * 10
                          + F.col("m_q")).cast("int"))

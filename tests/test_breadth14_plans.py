@@ -97,18 +97,15 @@ def test_ohlc_single_exchange(spark, sf_dir):
                           max_exchanges=2)
 
 
-def test_rfm_windows_rank_aggregated_users_only(spark, sf_dir):
-    """The quintile windows are partition-less BY DESIGN but must sit
-    above the per-user aggregate (|users| rows), never the raw events:
-    the plan's window operators all consume the aggregated relation."""
+def test_rfm_no_global_windows(spark, sf_dir):
+    """Quintiles come from broadcast percentile_disc cut points + a CASE
+    ladder: the plan must contain NO window operator at all (the old
+    global ntile collapsed the |users| relation onto ONE task, three
+    times), and the 12-scalar cuts relation rides a broadcast join."""
     df = QUERIES["user_rfm"](spark, sf_dir)
     plan = formatted_plan(df)
-    # the tree prints top-down (parents first): every Window node must
-    # appear ABOVE the per-user HashAggregate that reduces the events
-    # scan, i.e. the windows consume the aggregated relation
-    tree = plan.split("(1) Scan")[0]
-    assert "Window" in tree and "HashAggregate" in tree
-    assert tree.index("Window") < tree.index("HashAggregate")
+    assert "Window" not in plan, "global window reintroduced in user_rfm"
+    assert_broadcast_join(df, min_count=1)
     assert_no_python_udf(df)
 
 
