@@ -53,15 +53,60 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 
 def ann_bruteforce_topk(corpus: DataFrame, queries: DataFrame,
-                        id_col: str, vec_col: str, k: int = 5) -> DataFrame:
+                        id_col: str, vec_col: str, k: int = 5,
+                        pad: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (excluding itself).
 
-    Query side is broadcast: the corpus is scanned exactly once regardless
-    of |queries|; the only shuffle is the final per-query top-k window
-    (tiny: |queries|·|corpus| rows reduced by the window)."""
+    Scale shape (the knn_graph_topk pattern): the query matrix is
+    collected and rides the task closure (the documented-small query
+    side, same contract as `cosine_topk_pandas`), each Arrow batch of
+    the corpus runs ONE numpy GEMM and emits only its LOCAL
+    top-(k+pad) candidates per query — so no exchange ever carries the
+    |queries|·|corpus| scored relation; the shuffle holds
+    |queries|·n_batches·(k+pad) candidate rows. (The previous
+    formulation windowed the full scored relation into |queries|
+    partitions — each partition corpus-sized, a scale-killer.)
+
+    Exactness: every batch's true top-(k+pad) is a superset of the
+    global top-k restricted to that batch; survivors are re-scored with
+    the exact left-fold expression (bit-identical to the naive plan and
+    DuckDB's list kernel) and re-ranked, with ``pad`` absorbing
+    ulp-level GEMM-vs-fold rank flips at each batch's cut line — the
+    same argument `knn_graph_topk` documents."""
+    import numpy as np
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(corpus.sparkSession)
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([[float(x) for x in r[1]] for r in q_rows],
+                  dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    m = k + pad
+
+    def cand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            cid = pdf[id_col].to_numpy(dtype=np.int64)
+            s = qm @ cm.T  # (nq, batch)
+            s[q_ids[:, None] == cid[None, :]] = -np.inf  # no self-match
+            t = min(m, s.shape[1])
+            idx = np.argpartition(-s, t - 1, axis=1)[:, :t]
+            sims = np.take_along_axis(s, idx, axis=1).ravel()
+            keep = np.isfinite(sims)
+            yield pd.DataFrame({"q_id": np.repeat(q_ids, t)[keep],
+                                "n_id": cid[idx.ravel()][keep]})
+
+    cand_df = (corpus.select(id_col, vec_col)
+               .mapInPandas(cand, "q_id long, n_id long"))
     q = _prep(queries, id_col, vec_col, "q_id", "qv", "nq")
     c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
-    scored = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+    scored = (cand_df.join(F.broadcast(q), "q_id").join(c, "n_id")
+              .filter(F.col("q_id") != F.col("n_id"))
               .withColumn("sim", dot(F.col("qv"), F.col("nv"))
                           / (F.col("nq") * F.col("nn"))))
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")

@@ -116,12 +116,15 @@ def test_event_transitions_row_totals_broadcast(spark, sf_dir):
 
 def test_hybrid_rrf_both_leg_topk_distributed(spark, sf_dir):
     """Both ranking legs cut to depth with TakeOrderedAndProject; the
-    query vector rides a broadcast; no Python in the plan."""
+    query vector rides a broadcast. The cosine leg's candidates are the
+    per-batch GEMM (MapInPandas — ann_bruteforce_topk's round-6 scale
+    shape), so the only allowed Python node is that candidate stage."""
     df = QUERIES["hybrid_rrf_search"](spark, sf_dir)
     plan = formatted_plan(df)
     assert plan.count("TakeOrderedAndProject") >= 2
     assert_broadcast_join(df, min_count=2)
-    assert_no_python_udf(df)
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python ever
+    assert "MapInPandas" in plan
 
 
 def test_length_histogram_single_agg(spark, sf_dir):

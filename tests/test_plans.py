@@ -57,7 +57,14 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
                    and n not in ("dedup_embedding_blocked", "grouped_ols",
                                  "dedup_embedding", "knn_graph",
                                  "dedup_blocked_invariance",
-                                 "semdedup_soundness")]
+                                 "semdedup_soundness",
+                                 # ann_bruteforce_topk candidates are a
+                                 # per-batch GEMM since round 6 (the old
+                                 # all-JVM form windowed the full scored
+                                 # relation into |queries| partitions)
+                                 "ann_bruteforce", "ann_lsh_recall_floor",
+                                 "ann_ivf_fullprobe_exact",
+                                 "hybrid_rrf_search")]
     for name in jvm_queries:
         assert_no_python_udf(QUERIES[name](spark, sf_dir))
 
@@ -81,16 +88,25 @@ def test_q1_single_shuffle(spark, sf_dir):
     assert_single_shuffle(df, max_exchanges=2)  # agg + orderBy
 
 
-def test_bruteforce_ann_has_no_shuffle_before_topk(spark, sf_dir):
+def test_bruteforce_ann_window_sees_candidates_only(spark, sf_dir):
     from light_etl_windows_container_poc_spark.operators.similarity import \
         ann_bruteforce_topk
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     q = emb.filter(F.col("vec_id") % 100 == 0)
     df = ann_bruteforce_topk(emb, q, "vec_id", "embedding", k=5)
-    # corpus side never exchanges on data size — only the window shuffle
-    assert_single_shuffle(df, max_exchanges=2)
-    assert_broadcast_join(df, 1)
+    plan = formatted_plan(df)
+    # candidate generation is the per-batch GEMM (MapInPandas): no
+    # exchange ever carries the |queries|·|corpus| scored relation into
+    # |queries| partitions — the window/rescore joins see only
+    # |queries|·n_batches·(k+pad) candidate rows, both joins broadcast,
+    # and the old corpus×queries theta-join (BNLJ) is gone
+    assert plan.count("MapInPandas") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_broadcast_join(df, 2)
+    assert_single_shuffle(df, max_exchanges=3)
 
 
 def test_zscore_stats_side_broadcasts(spark, sf_dir):
