@@ -17,6 +17,11 @@ from ..catalog import load_tables
 from .registry import query
 from .tpch import _units
 
+# fuzzy_join_parts broadcast envelope: the probe side is 3 rows per part
+# name, so force-broadcasting is only sound while |part| is dimension-
+# sized. Above this, the hint is dropped and AQE picks the strategy.
+FUZZY_BROADCAST_MAX_PARTS = 200_000
+
 
 # --------------------------------------------------------------------------
 # fuzzy duplicate-name pairs: block on brand, score levenshtein ≤ 2,
@@ -74,12 +79,21 @@ def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("k").alias("b_key"), F.col("n").alias("b_name"),
                    "p_brand", "i", "Lx",
                    F.expr("substring(n, pos + 1, m)").alias("sub")))
-    # the probe side is 3 rows/name — broadcast it and stream the index;
-    # verification is inline (banded levenshtein, -1 past the bound), and
+    # the probe side is 3 rows/name — broadcast it and stream the index
+    # ONLY while it genuinely fits a build side: probe rows grow with
+    # |part| (3n), so the hint is gated on a cheap parquet-metadata count
+    # (≤200k parts ≈ 600k probe rows ≈ tens of MB — comfortably inside
+    # executor build memory; sf0.1 has 20k parts). Above the envelope the
+    # hint is dropped and AQE picks the join strategy for the 4-column
+    # equi-key — a per-key shuffle that scales linearly, never a forced
+    # OOM-able broadcast of 3·|part| rows (at SF100k part is ~20B rows).
+    # Verification is inline (banded levenshtein, -1 past the bound), and
     # the pair-level dedup runs AFTER the ≤2 filter so the shuffle carries
-    # only near-dup multiplicities, not all candidates
+    # only near-dup multiplicities, not all candidates.
+    probe_side = F.broadcast(probe) \
+        if part.count() <= FUZZY_BROADCAST_MAX_PARTS else probe
     dist = F.levenshtein("a_name", "b_name", 2)
-    return (idx.join(F.broadcast(probe),
+    return (idx.join(probe_side,
                      (idx.p_brand == probe.p_brand) & (idx.i == probe.i)
                      & (idx.Lx == probe.La) & (idx.sub == probe.seg))
             .filter((F.col("a_key") < F.col("b_key"))

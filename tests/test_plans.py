@@ -181,6 +181,24 @@ def test_heavy_pair_joins_are_equi_joins(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_fuzzy_join_broadcast_gated_on_part_size(spark, sf_dir, monkeypatch):
+    """The probe side grows with |part| (3 rows/name): inside the
+    envelope it is hint-broadcast; above it the hint MUST disappear so
+    AQE picks the strategy instead of force-building an OOM-able hash
+    relation. Result equality across the two layouts is implied by the
+    hint-only difference; here we assert the hint responds to the gate."""
+    from light_etl_windows_container_poc_spark.queries import breadth6
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    hinted = analyzed(QUERIES["fuzzy_join_parts"](spark, sf_dir))
+    assert "broadcast" in hinted.lower()
+    monkeypatch.setattr(breadth6, "FUZZY_BROADCAST_MAX_PARTS", 0)
+    unhinted = analyzed(QUERIES["fuzzy_join_parts"](spark, sf_dir))
+    assert "hint" not in unhinted.lower()
+
+
 def test_q9_broadcasts_dimensions(spark, sf_dir):
     # part, supplier, nation are all broadcast-sized at any SF
     assert_broadcast_join(QUERIES["q9_product_profit"](spark, sf_dir), 2)
