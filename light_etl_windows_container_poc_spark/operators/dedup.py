@@ -82,6 +82,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("a_id", "b_id", "jaccard"))
 
 
+def band_hash_array(bands: int, rows: int, sig_col: str = "sig") -> "F.Column":
+    """Array of ``bands`` xxhash64 band keys over a minhash signature
+    column — the LSH banding expression shared by the in-corpus self-join
+    (`minhash_band_candidates`) and the persisted cross-run index
+    (`operators/incremental.py`), so both produce IDENTICAL keys and a
+    batch can probe an index built in an earlier run."""
+    return F.array(*[
+        F.xxhash64(F.concat_ws("_", *[
+            F.element_at(sig_col, b * rows + r + 1).cast("string")
+            for r in range(rows)]))
+        for b in range(bands)])
+
+
 def minhash_band_candidates(sigs: DataFrame, bands: int,
                             rows: int) -> DataFrame:
     """LSH banding over a (doc, sig) signature table → candidate pairs
@@ -92,11 +105,7 @@ def minhash_band_candidates(sigs: DataFrame, bands: int,
     Factored out of `minhash_lsh_pairs` so the banding join can be
     cross-checked independently (queries/invariants.py compares it against
     a brute-force all-pairs band-equality scan on a sample)."""
-    band_arr = F.array(*[
-        F.xxhash64(F.concat_ws("_", *[
-            F.element_at("sig", b * rows + r + 1).cast("string")
-            for r in range(rows)]))
-        for b in range(bands)])
+    band_arr = band_hash_array(bands, rows)
     # band join carries ONLY (doc, band, band_hash); shuffling the 128-long
     # signature arrays through the join + dropDuplicates measured ~2× slower
     banded = sigs.select("doc", F.posexplode(band_arr).alias("band", "band_hash"))

@@ -1,0 +1,300 @@
+"""Cross-run (incremental) deduplication against a PERSISTED signature
+index — the 100 TB pipeline pattern.
+
+Every in-corpus dedup operator in this package (`operators/dedup.py`) is
+corpus-in/corpus-out; a production ingestion pipeline instead sees
+new-batch-vs-history: yesterday's 100 TB are already deduped and only
+today's arrivals must be checked, without re-reading the corpus. This
+module persists the dedup STATE as parquet tables under an index
+directory (the `scale_discovery` / `ann_ivf_index` state-table shape):
+
+- ``exact/``  — (content_hash, keep_id): one row per kept document.
+- ``sigs/``   — (doc, sig array<bigint>): minhash signatures of KEPT docs.
+- ``bands/``  — (doc, band, band_hash): the LSH banding of ``sigs``,
+  pre-exploded so a batch probes history with ONE equi-join on
+  (band, band_hash) — per-batch cost follows batch size + collision
+  volume, never history size. At warehouse scale, bucket ``bands/`` by
+  band_hash (`scale_bucketed_join`) to make the probe join shuffle-free
+  on the history side; ``exact/`` likewise by content_hash.
+
+Semantics — GREEDY-VS-KEPT (order-sequential by id), chosen because it
+is the semantics that makes batch processing EXACTLY equivalent to a
+one-shot run: a document is dropped iff it is a (near-)duplicate of an
+already-KEPT document with a smaller id. Under this rule, splitting an
+id-ordered corpus into any sequence of contiguous batches yields
+bit-identical keep decisions to processing it in one batch (history
+always holds exactly the kept smaller-id docs), which
+`tests/test_incremental_dedup.py` replays. Connected-components
+keep-min semantics do NOT have this property (a chain a~b~c with a≁c
+keeps {a} one-shot but {a, c} batched); greedy keeps {a, c} in both.
+For clique-shaped duplicate groups — exact dups always, near-dups
+typically — greedy and component-min coincide.
+
+Reference capability: the reference pipeline appends every cleaned file
+to the warehouse with no duplicate suppression beyond per-file replay
+(`dataframe_tasks.py:78-85`); this is the corpus-scale generalization
+its LLM-training successor needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.texts import minhash_signature, signature_agreement
+from .dedup import band_hash_array
+
+EXACT_SUBDIR = "exact"
+SIGS_SUBDIR = "sigs"
+BANDS_SUBDIR = "bands"
+
+
+# --------------------------------------------------------------------------
+# exact (content-hash) incremental dedup
+# --------------------------------------------------------------------------
+
+def _exact_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # md5, not xxhash64: any engine (and the DuckDB oracle) reproduces it
+    return df.select(F.col(id_col).alias("doc"),
+                     F.md5(F.col(text_col)).alias("content_hash"))
+
+
+def build_exact_index(df: DataFrame, id_col: str, text_col: str,
+                      index_dir: str) -> None:
+    """Initialize ``index_dir``/exact with the kept representative (min
+    id) per content hash. One shuffle on the 16-byte digest."""
+    (_exact_hashes(df, id_col, text_col)
+     .groupBy("content_hash").agg(F.min("doc").alias("keep_id"))
+     .write.mode("overwrite")
+     .parquet(os.path.join(index_dir, EXACT_SUBDIR)))
+
+
+def incremental_exact_dedup(batch: DataFrame, id_col: str, text_col: str,
+                            index_dir: str,
+                            update_index: bool = True) -> DataFrame:
+    """Keep decisions for ``batch`` against the persisted exact index:
+    keep=0 iff the content hash exists in history OR a smaller-id batch
+    doc shares it. Returns (``id_col``, content_hash, dup_of_history,
+    keep); with ``update_index`` the kept docs' hashes are appended so
+    the next batch sees them.
+
+    Equi-joins on the digest only — batch text never joins history text,
+    and the history side never rewrites (append-only state)."""
+    spark = batch.sparkSession
+    path = os.path.join(index_dir, EXACT_SUBDIR)
+    hist = spark.read.parquet(path).select(
+        "content_hash", F.lit(1).alias("_hist"))
+    h = _exact_hashes(batch, id_col, text_col)
+    batch_min = h.groupBy("content_hash").agg(F.min("doc").alias("bmin"))
+    decisions = (h.join(hist.dropDuplicates(["content_hash"]),
+                        "content_hash", "left")
+                 .join(batch_min, "content_hash")
+                 .select(F.col("doc").alias(id_col), "content_hash",
+                         F.coalesce("_hist", F.lit(0)).cast("int")
+                         .alias("dup_of_history"),
+                         ((F.col("_hist").isNull())
+                          & (F.col("doc") == F.col("bmin")))
+                         .cast("int").alias("keep")))
+    if update_index:
+        # materialize BEFORE appending: the decisions plan reads the
+        # index path it is about to extend
+        decisions = decisions.localCheckpoint(eager=True)
+        (decisions.filter(F.col("keep") == 1)
+         .select("content_hash", F.col(id_col).alias("keep_id"))
+         .write.mode("append").parquet(path))
+    return decisions
+
+
+# --------------------------------------------------------------------------
+# minhash/LSH incremental dedup
+# --------------------------------------------------------------------------
+
+def _minhash_sigs(df: DataFrame, id_col: str, text_col: str,
+                  num_hashes: int, n: int, seed: int,
+                  num_parts: int | None = None) -> DataFrame:
+    nparts = num_parts or df.sparkSession.sparkContext.defaultParallelism
+    return (df.repartition(nparts, F.col(id_col))
+            .select(F.col(id_col).alias("doc"),
+                    minhash_signature(F.col(text_col), num_hashes, n, seed)
+                    .alias("sig")))
+
+
+def _band_table(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    return sigs.select("doc", F.posexplode(
+        band_hash_array(bands, rows)).alias("band", "band_hash"))
+
+
+def build_minhash_index(df: DataFrame, id_col: str, text_col: str,
+                        index_dir: str, num_hashes: int = 128,
+                        bands: int = 32, n: int = 3,
+                        seed: int = 42,
+                        num_parts: int | None = None) -> None:
+    """Initialize sigs/ + bands/ from an already-deduplicated corpus.
+    Signatures are map-only; the band table is a posexplode of the same
+    `band_hash_array` expression the in-corpus LSH join uses, so index
+    keys and batch keys are identical across runs (fixed seed)."""
+    # eager checkpoint, not persist: the signature fold is a large
+    # generated expression, and checkpointing materializes it ONCE so
+    # the band-table plan (and nothing downstream) re-embeds/re-compiles
+    # it — measured as the dominant cost of multi-call pipelines
+    sigs = _minhash_sigs(df, id_col, text_col, num_hashes, n, seed,
+                         num_parts=num_parts).localCheckpoint(eager=True)
+    sigs.write.mode("overwrite").parquet(os.path.join(index_dir, SIGS_SUBDIR))
+    (_band_table(sigs, bands, num_hashes // bands)
+     .write.mode("overwrite")
+     .parquet(os.path.join(index_dir, BANDS_SUBDIR)))
+
+
+def greedy_keep(ids: DataFrame, pairs: DataFrame,
+                max_rounds: int = 20) -> DataFrame:
+    """Greedy-vs-kept (lexicographically-first maximal independent set)
+    over a near-dup pair graph: processing docs in id order, a doc is
+    dropped iff it neighbors an already-KEPT smaller id. ``ids`` is a
+    one-column (doc) relation; ``pairs`` is (a_id, b_id). Returns
+    (doc, keep int).
+
+    Each round decides the current frontier — alive docs with no ALIVE
+    smaller neighbor are kept, their alive neighbors dropped — so rounds
+    consumed equal the longest induced dependency chain (1 for cliques:
+    the min keeps, the rest drop). Per round: two equi-joins on the
+    PAIR relation (∝ near-dup pairs, not corpus) and an anti-join on the
+    alive set; lineage cut per round like `connected_components`."""
+    all_ids = ids.select(F.col(ids.columns[0]).alias("doc"))
+    edges = (pairs.select(F.col("a_id").alias("lo"), F.col("b_id").alias("hi"))
+             .filter(F.col("lo") < F.col("hi"))
+             .union(pairs.select(F.col("b_id").alias("lo"),
+                                 F.col("a_id").alias("hi"))
+                    .filter(F.col("lo") < F.col("hi")))
+             .dropDuplicates(["lo", "hi"])
+             .localCheckpoint(eager=True))
+    # only docs that appear in a pair need rounds — everything else is
+    # kept outright, and a pair-free batch (the common case once history
+    # absorbs its dups) exits after the single materialization above
+    paired = (edges.select(F.col("lo").alias("doc"))
+              .union(edges.select(F.col("hi").alias("doc")))
+              .distinct())
+    alive = paired
+    kept_parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        alive = alive.localCheckpoint(eager=True)
+        if alive.limit(1).count() == 0:
+            break
+        alive_edges = (edges.join(alive.withColumnRenamed("doc", "lo"), "lo")
+                       .join(alive.withColumnRenamed("doc", "hi"), "hi"))
+        blocked = alive_edges.select(F.col("hi").alias("doc")).distinct()
+        frontier = (alive.join(blocked, "doc", "left_anti")
+                    .localCheckpoint(eager=True))
+        kept_parts.append(frontier)
+        # dropped: alive docs adjacent to a kept frontier doc; the new
+        # alive set is derived lazily and materialized at loop head
+        dropped = (alive_edges.join(frontier.withColumnRenamed("doc", "lo"),
+                                    "lo")
+                   .select(F.col("hi").alias("doc")).distinct())
+        alive = (alive.join(frontier, "doc", "left_anti")
+                 .join(dropped, "doc", "left_anti"))
+    else:
+        raise RuntimeError(
+            f"greedy_keep did not settle in {max_rounds} rounds — the "
+            "near-dup graph has an induced dependency chain longer than "
+            "the bound; raise max_rounds")
+    kept = paired.limit(0) if not kept_parts else kept_parts[0]
+    for p in kept_parts[1:]:
+        kept = kept.union(p)
+    # unpaired docs keep=1; paired docs keep iff in some frontier
+    return (all_ids.join(paired.withColumn("_p", F.lit(1)), "doc", "left")
+            .join(kept.withColumn("_k", F.lit(1)), "doc", "left")
+            .select("doc",
+                    F.when(F.col("_p").isNull(), F.lit(1))
+                    .otherwise(F.coalesce("_k", F.lit(0)))
+                    .cast("int").alias("keep")))
+
+
+def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
+                              index_dir: str, num_hashes: int = 128,
+                              bands: int = 32, n: int = 3,
+                              threshold: float = 0.8, seed: int = 42,
+                              update_index: bool = True,
+                              num_parts: int | None = None) -> DataFrame:
+    """Near-dup keep decisions for ``batch`` against the persisted
+    minhash index, greedy-vs-kept semantics (module docstring). Returns
+    (``id_col``, dup_of_history, keep).
+
+    Shape: batch signatures are map-only; history probing is ONE
+    equi-join of the batch's (band, band_hash) rows against ``bands/``
+    followed by signature verification against ``sigs/`` on the
+    candidate doc ids only; within-batch resolution runs `greedy_keep`
+    on the batch's own verified pair graph. Kept docs append to the
+    index — history is immutable, so decisions never retroactively
+    change (the property a training-data pipeline needs)."""
+    spark = batch.sparkSession
+    rows = num_hashes // bands
+    sigs_path = os.path.join(index_dir, SIGS_SUBDIR)
+    bands_path = os.path.join(index_dir, BANDS_SUBDIR)
+    # a missing index == empty history: the first batch bootstraps the
+    # state table via its kept-docs append (no build step needed), and
+    # the empty-history legs skip the probe/verify plans entirely
+    has_history = os.path.exists(bands_path) and os.path.exists(sigs_path)
+    # checkpoint (not persist) so the signature fold expression is
+    # materialized once and every downstream plan — banding, history
+    # verification, within-batch candidates, the index append — compiles
+    # WITHOUT the fold subtree (one codegen unit instead of five)
+    # ``num_parts`` caps the signature fan-out for small certification
+    # batches (32-way shuffles of 300 rows are pure scheduler overhead);
+    # production batches leave it None = cluster parallelism
+    bsigs = _minhash_sigs(batch, id_col, text_col, num_hashes, n, seed,
+                          num_parts=num_parts).localCheckpoint(eager=True)
+    bbands = _band_table(bsigs, bands, rows)
+
+    # --- history candidates: equi-join on the band key, verify on sigs
+    if has_history:
+        hist_bands = spark.read.parquet(bands_path)
+        cand_h = (bbands.join(hist_bands
+                              .withColumnRenamed("doc", "h_doc"),
+                              ["band", "band_hash"])
+                  .select("doc", "h_doc").dropDuplicates(["doc", "h_doc"]))
+        hist_sigs = spark.read.parquet(sigs_path) \
+            .select(F.col("doc").alias("h_doc"), F.col("sig").alias("h_sig"))
+        dup_hist = (cand_h.join(bsigs, "doc").join(hist_sigs, "h_doc")
+                    .withColumn("est", signature_agreement("sig", "h_sig"))
+                    .filter(F.col("est") >= threshold)
+                    .select("doc").distinct()
+                    .withColumn("_dh", F.lit(1)))
+    else:
+        dup_hist = spark.createDataFrame([], "doc bigint, _dh int")
+
+    # --- within-batch pairs among docs that survived the history pass
+    from .dedup import minhash_band_candidates
+
+    surv = bsigs.join(dup_hist.select("doc"), "doc", "left_anti")
+    sig_a = surv.select(F.col("doc").alias("a_id"),
+                        F.col("sig").alias("sig_a"))
+    sig_b = surv.select(F.col("doc").alias("b_id"),
+                        F.col("sig").alias("sig_b"))
+    pairs = (minhash_band_candidates(surv, bands, rows)
+             .join(sig_a, "a_id").join(sig_b, "b_id")
+             .withColumn("est", signature_agreement("sig_a", "sig_b"))
+             .filter(F.col("est") >= threshold)
+             .select("a_id", "b_id"))
+    surv_keep = greedy_keep(surv.select("doc"), pairs)
+
+    decisions = (bsigs.select("doc")
+                 .join(dup_hist, "doc", "left")
+                 .join(surv_keep.withColumnRenamed("keep", "_sk"),
+                       "doc", "left")
+                 .select(F.col("doc").alias(id_col),
+                         F.coalesce("_dh", F.lit(0)).cast("int")
+                         .alias("dup_of_history"),
+                         F.when(F.col("_dh").isNotNull(), F.lit(0))
+                         .otherwise(F.coalesce("_sk", F.lit(1)))
+                         .cast("int").alias("keep")))
+    decisions = decisions.localCheckpoint(eager=True)
+    if update_index:
+        kept = decisions.filter(F.col("keep") == 1) \
+            .select(F.col(id_col).alias("doc"))
+        kept_sigs = bsigs.join(kept, "doc")
+        kept_sigs.write.mode("append").parquet(sigs_path)
+        (_band_table(kept_sigs, bands, rows)
+         .write.mode("append").parquet(bands_path))
+    return decisions

@@ -38,3 +38,5 @@ from . import breadth21  # noqa: F401,E402
 from . import breadth22  # noqa: F401,E402
 from . import breadth23  # noqa: F401,E402
 from . import breadth24  # noqa: F401,E402
+from . import breadth25  # noqa: F401,E402
+from . import breadth26  # noqa: F401,E402

@@ -1,0 +1,118 @@
+"""Cross-run incremental dedup: index build/append/query round-trips and
+the batch-invariance contract (greedy-vs-kept) replayed for real."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from light_etl_windows_container_poc_spark.catalog import load_tables
+from light_etl_windows_container_poc_spark.operators.incremental import (
+    build_exact_index, build_minhash_index, greedy_keep,
+    incremental_exact_dedup, incremental_minhash_dedup)
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return (load_tables(spark, sf_dir, ("documents",))["documents"]
+            .filter(F.col("doc_id") < 120).select("doc_id", "text"))
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "a_id long, b_id long")
+
+
+def _ids(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc long")
+
+
+def test_greedy_keep_chain_semantics(spark):
+    # chain 1-2-3 (no 1~3 edge): greedy keeps {1, 3} — 2 drops against
+    # kept 1, 3 survives because its only smaller neighbor was dropped
+    out = {r.doc: r.keep
+           for r in greedy_keep(_ids(spark, [1, 2, 3]),
+                                _pairs(spark, [(1, 2), (2, 3)])).collect()}
+    assert out == {1: 1, 2: 0, 3: 1}
+
+
+def test_greedy_keep_clique_keeps_min(spark):
+    out = {r.doc: r.keep
+           for r in greedy_keep(
+               _ids(spark, [5, 6, 7, 9]),
+               _pairs(spark, [(5, 6), (5, 7), (6, 7)])).collect()}
+    assert out == {5: 1, 6: 0, 7: 0, 9: 1}  # 9 unpaired → kept
+
+
+def test_exact_incremental_matches_global_min(spark, docs, tmp_path):
+    # corpus = docs ∪ exact copies of %5 docs at +10000: batch replay
+    # must equal the global min-id-per-hash answer
+    copies = (docs.filter(F.col("doc_id") % 5 == 0)
+              .select((F.col("doc_id") + 10_000).alias("doc_id"), "text"))
+    idx = str(tmp_path / "idx")
+    build_exact_index(docs, "doc_id", "text", idx)
+    dec = incremental_exact_dedup(copies, "doc_id", "text", idx)
+    got = {r.doc_id: (r.dup_of_history, r.keep) for r in dec.collect()}
+    assert got and all(v == (1, 0) for v in got.values())
+    # novel doc in a later batch is kept and lands in the index
+    novel = copies.limit(1).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat("text", F.lit(" novel")).alias("text"))
+    d2 = incremental_exact_dedup(novel, "doc_id", "text", idx)
+    assert [r.keep for r in d2.collect()] == [1]
+    # ... so a COPY of it in the batch after that is dropped as history
+    again = novel.select((F.col("doc_id") + 1).alias("doc_id"), "text")
+    d3 = incremental_exact_dedup(again, "doc_id", "text", idx)
+    assert [(r.dup_of_history, r.keep) for r in d3.collect()] == [(1, 0)]
+
+
+def test_minhash_batched_equals_oneshot(spark, docs, tmp_path):
+    variants = (docs.filter(F.col("doc_id") % 6 == 0)
+                .select((F.col("doc_id") + 10_000).alias("doc_id"),
+                        F.concat("text", F.lit(" tail")).alias("text")))
+    corpus = docs.unionByName(variants)
+    kw = dict(num_hashes=32, bands=8, threshold=0.8, seed=7, num_parts=4)
+
+    idx_b = str(tmp_path / "b")
+    batched = {}
+    for b in (docs, variants):
+        for r in incremental_minhash_dedup(b, "doc_id", "text", idx_b,
+                                           **kw).collect():
+            batched[r.doc_id] = r.keep
+    idx_o = str(tmp_path / "o")
+    oneshot = {r.doc_id: r.keep
+               for r in incremental_minhash_dedup(
+                   corpus, "doc_id", "text", idx_o, **kw).collect()}
+    assert batched == oneshot
+    # the near-dup variants must actually be caught (non-vacuous test)
+    dropped = [d for d, k in batched.items() if d >= 10_000 and k == 0]
+    assert dropped, "no variant was deduped — thresholds too tight?"
+
+
+def test_minhash_index_persists_across_reopen(spark, docs, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_minhash_index(docs, "doc_id", "text", idx, num_hashes=32,
+                        bands=8, num_parts=4)
+    assert os.path.exists(os.path.join(idx, "sigs"))
+    assert os.path.exists(os.path.join(idx, "bands"))
+    # an exact copy batch probed against the REOPENED index is dropped
+    copies = (docs.limit(5)
+              .select((F.col("doc_id") + 10_000).alias("doc_id"), "text"))
+    dec = incremental_minhash_dedup(copies, "doc_id", "text", idx,
+                                    num_hashes=32, bands=8, num_parts=4)
+    rows = dec.collect()
+    assert all(r.dup_of_history == 1 and r.keep == 0 for r in rows)
+    assert len(rows) == 5
+
+
+def test_missing_index_bootstraps_empty_history(spark, docs, tmp_path):
+    idx = str(tmp_path / "fresh")
+    dec = incremental_minhash_dedup(docs.limit(10), "doc_id", "text", idx,
+                                    num_hashes=32, bands=8, num_parts=4)
+    rows = dec.collect()
+    assert len(rows) == 10
+    assert all(r.dup_of_history == 0 for r in rows)
+    # the bootstrap append created the state tables
+    assert os.path.exists(os.path.join(idx, "sigs"))
+    assert os.path.exists(os.path.join(idx, "bands"))
