@@ -110,30 +110,64 @@ _R04_CERTIFIED = [
     "pivot_wide", "unpivot_long", "set_ops",
 ]
 
-# Queries whose CODE (or transitively their operators) changed in round 5:
-# re-certify even if a past round was green. The semdedup/kmeans/IVF rows
-# ride on the dual-path centroid assignment (operators/similarity.py);
-# the graph rows on the degree-oriented triangle join + pagerank cache
-# epilogue; the dedup/curation rows on connected_components' cache
-# release; fuzzy_join_parts on PassJoin segment blocking; the Excel legs
-# on the BIFF12 diagnostics hardening.
-_RECERTIFY = [
-    # The 50-row budget takes the 41 never-certified round-5 queries
-    # first; these 9 slots re-certify the round-5-changed code paths
-    # with the highest blast radius: the dual-path centroid assignment
-    # (semdedup/kmeans/IVF), the degree-oriented triangle join +
-    # pagerank cache epilogue, connected-components' cache release
-    # (via curate_corpus, which composes it), and PassJoin segment
-    # blocking. The excel-leg diagnostics hardening and the untouched
-    # streaming functions stay on the local gate (tools/check_oracle.py
-    # green post-change) until the round-6 budget.
-    # (pagerank_words itself is rows-only — its hash twin
-    # pagerank_invariants carries the certification weight, so the
-    # rows-only original yields its slot to mm_resize_real.)
+# CORRECTNESS_r05.json keys (round-5 driver run): 47 hash-green + 2
+# rows-only; embed_pca ERRORED (array-column canonicalization) so it is
+# NOT listed — it stays in the never-certified head until a green row.
+_R05_CERTIFIED = [
+    "stream_ohlc_final", "mm_resize_real", "pca_invariants",
+    "quality_logistic_score", "cc_convergence", "bm25_search",
+    "token_budget_mix", "text_word_entropy", "lm_perplexity_filter",
+    "mad_outliers", "zonemap_stats", "embed_robust_scale",
+    "ngram_novelty", "ohlc_bars", "user_rfm", "event_transitions",
+    "salted_join_agg", "dup_source_overlap", "budget_sample_apply",
+    "hybrid_rrf_search", "market_basket_lift", "seasonality_dow",
+    "daily_anomaly_mad", "first_touch_attribution",
+    "length_histogram_log2", "vocab_growth", "embed_outliers",
+    "sink_partitioned_roundtrip", "compaction_roundtrip",
+    "anti_contamination_split", "journey_trigrams",
+    "quantile_bands_daily", "dq_rules", "dup_span_census",
+    "shard_assign", "ewma_halflife", "agg_incremental_merge",
+    "join_null_safe", "degree_distribution", "source_gini",
     "semdedup_keep", "semdedup_soundness", "ann_ivf",
     "ann_ivf_fullprobe_exact", "kmeans_inertia_monotone",
-    "graph_triangles", "pagerank_invariants",
-    "curate_corpus", "fuzzy_join_parts",
+    "graph_triangles", "pagerank_invariants", "curate_corpus",
+    "fuzzy_join_parts",
+]
+
+# Round-6 recertification allocation. Head (never-certified) = embed_pca
+# (r5's one red row, output reshaped to scalar columns) + this round's
+# new queries; these slots then re-certify, in order:
+# (a) rows whose CODE changed in round 6 — the percentile_disc rewrite
+#     of user_rfm, the per-batch-GEMM ann_bruteforce and its dependents
+#     (recall floor, fullprobe twin, RRF fusion leg), the gated
+#     fuzzy_join_parts broadcast;
+# (b) the Excel legs (codecs hardened in r5 commits 7812492/02b4efc
+#     AFTER their last driver cert, plus this round's leading-blank-row
+#     parity fix in grid_to_frame);
+# (c) the streaming family, last driver-certified in round 2 — three
+#     regenerated warehouses ago;
+# (d) aged tail: rows whose latest certification is still round 1.
+_RECERTIFY = [
+    # (a) round-6 code changes
+    "user_rfm", "ann_bruteforce", "fuzzy_join_parts",
+    "ann_lsh_recall_floor", "ann_ivf_fullprobe_exact",
+    "hybrid_rrf_search",
+    # (b) excel legs
+    "src_excel", "src_excel_xls", "src_excel_xlsb",
+    # (c) streaming family (r2-era certs)
+    "stream_window_agg", "stream_dedup", "stream_static_join",
+    "stream_stream_join", "stream_session_window",
+    # (d) aged tail — latest cert round 1, oldest first
+    "join_anti", "subquery_scalar", "percentiles",
+    "q11_important_parts", "q13_cust_distribution", "q15_top_supplier",
+    "q16_supplier_counts", "q17_small_qty_revenue",
+    "q22_sales_opportunity", "agg_grouping_sets", "string_funcs",
+    "time_functions", "array_funcs", "map_funcs",
+    "window_ntile_firstlast", "q2_min_cost_supplier",
+    "q20_promo_suppliers", "q8_market_share", "q9_product_profit",
+    "q12_late_priority", "q21_waiting_supplier", "asof_join",
+    "sessionize", "time_window_agg", "range_join",
+    "window_rolling_time",
 ]
 
 
@@ -223,7 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r4 tail even if r1 also covered it).
     """
     rounds = [_R01_CERTIFIED, _R02_CERTIFIED, _R03_CERTIFIED,
-              _R04_CERTIFIED]
+              _R04_CERTIFIED, _R05_CERTIFIED]
     certified = set().union(*map(set, rounds))
     head = [n for n in QUERIES if n not in certified]
     redo = [n for n in _RECERTIFY if n in QUERIES and n in certified]
