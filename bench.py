@@ -108,6 +108,10 @@ def main() -> None:
     r5_names = set(_ent._R05_POPULATION)
     suite_r5_subset = round(sum(t for n, t in suite_times.items()
                                 if n in r5_names), 3)
+    # ...and the frozen round-6 population for round 7+
+    r6_names = set(_ent._R06_POPULATION)
+    suite_r6_subset = round(sum(t for n, t in suite_times.items()
+                                if n in r6_names), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -124,6 +128,7 @@ def main() -> None:
         "suite_r3_subset_sec": suite_r3_subset,
         "suite_r4_subset_sec": suite_r4_subset,
         "suite_r5_subset_sec": suite_r5_subset,
+        "suite_r6_subset_sec": suite_r6_subset,
         "sf": sf_val,
     }))
 

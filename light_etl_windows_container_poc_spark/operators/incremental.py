@@ -67,25 +67,42 @@ def build_exact_index(df: DataFrame, id_col: str, text_col: str,
     id) per content hash. One shuffle on the 16-byte digest."""
     (_exact_hashes(df, id_col, text_col)
      .groupBy("content_hash").agg(F.min("doc").alias("keep_id"))
+     .select("content_hash", "keep_id",
+             F.lit(-1).cast("long").alias("batch_tag"))
      .write.mode("overwrite")
      .parquet(os.path.join(index_dir, EXACT_SUBDIR)))
 
 
 def incremental_exact_dedup(batch: DataFrame, id_col: str, text_col: str,
                             index_dir: str,
-                            update_index: bool = True) -> DataFrame:
+                            update_index: bool = True,
+                            batch_tag: int | None = None) -> DataFrame:
     """Keep decisions for ``batch`` against the persisted exact index:
     keep=0 iff the content hash exists in history OR a smaller-id batch
     doc shares it. Returns (``id_col``, content_hash, dup_of_history,
     keep); with ``update_index`` the kept docs' hashes are appended so
-    the next batch sees them.
+    the next batch sees them. A missing index bootstraps as empty
+    history (the first batch's append creates it).
+
+    ``batch_tag`` (a streaming micro-batch id) makes the call
+    REPLAY-IDEMPOTENT: appended rows carry the tag, and the history
+    probe excludes rows with the CURRENT tag — so re-running a crashed
+    micro-batch sees exactly the pre-crash history and reproduces
+    identical decisions (the failed attempt's own appends are invisible
+    to its retry). Replays can leave duplicate tagged rows in the index;
+    probes dedupe on the hash, and `scale_compaction` is the sweep.
 
     Equi-joins on the digest only — batch text never joins history text,
     and the history side never rewrites (append-only state)."""
     spark = batch.sparkSession
     path = os.path.join(index_dir, EXACT_SUBDIR)
-    hist = spark.read.parquet(path).select(
-        "content_hash", F.lit(1).alias("_hist"))
+    if os.path.exists(path):
+        hist = spark.read.parquet(path)
+        if batch_tag is not None and "batch_tag" in hist.columns:
+            hist = hist.filter(F.col("batch_tag") != batch_tag)
+        hist = hist.select("content_hash", F.lit(1).alias("_hist"))
+    else:
+        hist = spark.createDataFrame([], "content_hash string, _hist int")
     h = _exact_hashes(batch, id_col, text_col)
     batch_min = h.groupBy("content_hash").agg(F.min("doc").alias("bmin"))
     decisions = (h.join(hist.dropDuplicates(["content_hash"]),
@@ -102,7 +119,9 @@ def incremental_exact_dedup(batch: DataFrame, id_col: str, text_col: str,
         # index path it is about to extend
         decisions = decisions.localCheckpoint(eager=True)
         (decisions.filter(F.col("keep") == 1)
-         .select("content_hash", F.col(id_col).alias("keep_id"))
+         .select("content_hash", F.col(id_col).alias("keep_id"),
+                 F.lit(batch_tag if batch_tag is not None else -1)
+                 .cast("long").alias("batch_tag"))
          .write.mode("append").parquet(path))
     return decisions
 
@@ -141,8 +160,10 @@ def build_minhash_index(df: DataFrame, id_col: str, text_col: str,
     # it — measured as the dominant cost of multi-call pipelines
     sigs = _minhash_sigs(df, id_col, text_col, num_hashes, n, seed,
                          num_parts=num_parts).localCheckpoint(eager=True)
-    sigs.write.mode("overwrite").parquet(os.path.join(index_dir, SIGS_SUBDIR))
+    (sigs.withColumn("batch_tag", F.lit(-1).cast("long"))
+     .write.mode("overwrite").parquet(os.path.join(index_dir, SIGS_SUBDIR)))
     (_band_table(sigs, bands, num_hashes // bands)
+     .withColumn("batch_tag", F.lit(-1).cast("long"))
      .write.mode("overwrite")
      .parquet(os.path.join(index_dir, BANDS_SUBDIR)))
 
@@ -172,6 +193,10 @@ def greedy_keep(ids: DataFrame, pairs: DataFrame,
     # only docs that appear in a pair need rounds — everything else is
     # kept outright, and a pair-free batch (the common case once history
     # absorbs its dups) exits after the single materialization above
+    if edges.limit(1).count() == 0:
+        # pair-free batch (the common case once history absorbs its
+        # dups): everything is kept, no rounds run
+        return all_ids.select("doc", F.lit(1).cast("int").alias("keep"))
     paired = (edges.select(F.col("lo").alias("doc"))
               .union(edges.select(F.col("hi").alias("doc")))
               .distinct())
@@ -216,7 +241,8 @@ def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
                               bands: int = 32, n: int = 3,
                               threshold: float = 0.8, seed: int = 42,
                               update_index: bool = True,
-                              num_parts: int | None = None) -> DataFrame:
+                              num_parts: int | None = None,
+                              batch_tag: int | None = None) -> DataFrame:
     """Near-dup keep decisions for ``batch`` against the persisted
     minhash index, greedy-vs-kept semantics (module docstring). Returns
     (``id_col``, dup_of_history, keep).
@@ -227,7 +253,12 @@ def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
     candidate doc ids only; within-batch resolution runs `greedy_keep`
     on the batch's own verified pair graph. Kept docs append to the
     index — history is immutable, so decisions never retroactively
-    change (the property a training-data pipeline needs)."""
+    change (the property a training-data pipeline needs).
+
+    ``batch_tag`` (a streaming micro-batch id) makes the call
+    replay-idempotent, exactly as in `incremental_exact_dedup`: appends
+    carry the tag and the probe excludes the current tag, so a crashed
+    micro-batch's retry reproduces identical decisions."""
     spark = batch.sparkSession
     rows = num_hashes // bands
     sigs_path = os.path.join(index_dir, SIGS_SUBDIR)
@@ -250,11 +281,19 @@ def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
     # --- history candidates: equi-join on the band key, verify on sigs
     if has_history:
         hist_bands = spark.read.parquet(bands_path)
+        hist_sigs = spark.read.parquet(sigs_path)
+        if batch_tag is not None:
+            if "batch_tag" in hist_bands.columns:
+                hist_bands = hist_bands.filter(
+                    F.col("batch_tag") != batch_tag)
+            if "batch_tag" in hist_sigs.columns:
+                hist_sigs = hist_sigs.filter(
+                    F.col("batch_tag") != batch_tag)
         cand_h = (bbands.join(hist_bands
                               .withColumnRenamed("doc", "h_doc"),
                               ["band", "band_hash"])
                   .select("doc", "h_doc").dropDuplicates(["doc", "h_doc"]))
-        hist_sigs = spark.read.parquet(sigs_path) \
+        hist_sigs = hist_sigs \
             .select(F.col("doc").alias("h_doc"), F.col("sig").alias("h_sig"))
         dup_hist = (cand_h.join(bsigs, "doc").join(hist_sigs, "h_doc")
                     .withColumn("est", signature_agreement("sig", "h_sig"))
@@ -291,10 +330,13 @@ def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
                          .cast("int").alias("keep")))
     decisions = decisions.localCheckpoint(eager=True)
     if update_index:
+        tag = F.lit(batch_tag if batch_tag is not None else -1).cast("long")
         kept = decisions.filter(F.col("keep") == 1) \
             .select(F.col(id_col).alias("doc"))
         kept_sigs = bsigs.join(kept, "doc")
-        kept_sigs.write.mode("append").parquet(sigs_path)
+        kept_sigs.withColumn("batch_tag", tag) \
+            .write.mode("append").parquet(sigs_path)
         (_band_table(kept_sigs, bands, rows)
+         .withColumn("batch_tag", tag)
          .write.mode("append").parquet(bands_path))
     return decisions

@@ -156,15 +156,19 @@ def dedup_incremental_consistency(spark: SparkSession,
               num_parts=4)
 
     idx_b = _fresh(_tmp("incmh_b", sf_dir))
-    parts = [incremental_minhash_dedup(b, "doc_id", "text", idx_b, **kw)
-             for b in batches]
+    # the final batch (and the one-shot leg) skip the index append: no
+    # later batch reads it, and each append is two parquet write jobs
+    parts = [incremental_minhash_dedup(b, "doc_id", "text", idx_b,
+                                       update_index=(i < len(batches) - 1),
+                                       **kw)
+             for i, b in enumerate(batches)]
     batched = parts[0]
     for p in parts[1:]:
         batched = batched.unionByName(p)
 
     idx_o = _fresh(_tmp("incmh_o", sf_dir))
     oneshot = incremental_minhash_dedup(corpus, "doc_id", "text",
-                                        idx_o, **kw)
+                                        idx_o, update_index=False, **kw)
 
     j = (batched.select("doc_id", F.col("keep").alias("kb"),
                         F.col("dup_of_history").alias("hb"))

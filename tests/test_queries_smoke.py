@@ -91,3 +91,5 @@ def test_frozen_r5_population_is_subset_of_registry():
 
     assert set(ent._R05_POPULATION) <= set(QUERIES)
     assert len(ent._R05_POPULATION) == 201
+    assert set(ent._R06_POPULATION) <= set(QUERIES)
+    assert len(ent._R06_POPULATION) == 210
