@@ -153,3 +153,61 @@ def capped_priority_sample(df: DataFrame, id_col: str, group_col: str,
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= cap)
             .select(*cols, "rk"))
+
+
+def exact_quantile_cuts(df: DataFrame, col: str,
+                        probs: dict[str, float],
+                        max_buckets: int = 4096) -> DataFrame:
+    """SQL-standard ``percentile_disc`` cut points (smallest value whose
+    cume_dist >= p) over an INTEGER column, computed DISTRIBUTED — the
+    drop-in replacement for Spark's ``percentile_disc`` aggregate on
+    relations that scale with the data. Returns ONE row with a column
+    per ``probs`` alias, meant to be ``F.broadcast``-cross-joined back.
+
+    Why not the built-in: Spark's percentile aggregates accumulate a
+    value→count map of EVERY distinct value into a single final buffer —
+    effectively a driver-side collect of the column's distinct domain
+    (measured: 18s WARM for one decile pass over 600k lineitem prices,
+    and it only grows with the data). This helper keeps every data-sized
+    step distributed:
+
+    1. ``groupBy(value)`` histogram — shuffle ∝ |distinct values|;
+    2. value-range bucketing (width sized so ≤ ``max_buckets`` buckets):
+       within-bucket running counts use a window PARTITIONED by bucket;
+    3. bucket offsets — the only unpartitioned window, over ≤
+       ``max_buckets`` rows BY CONSTRUCTION (the pack_sequences
+       bounded-spine argument), broadcast back;
+    4. one filtered-min aggregate per prob.
+
+    Cross-engine contract: the keep condition is ``cum / N >= p`` with
+    cum, N exact BIGINTs divided ONCE in doubles — bit-identical to what
+    a ``cume_dist() OVER (ORDER BY v)`` replay computes in DuckDB, so
+    oracle hashes are safe by construction (no reliance on any engine's
+    internal percentile rounding).
+    """
+    stats = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx"),
+                   F.count(F.lit(1)).alias("n")).first()
+    mn, n = stats["mn"], stats["n"]
+    if not n:
+        return df.sparkSession.createDataFrame(
+            [tuple(None for _ in probs)],
+            ", ".join(f"{a} bigint" for a in probs))
+    width = max(1, (int(stats["mx"]) - int(mn)) // max_buckets + 1)
+    h = (df.groupBy(F.col(col).alias("v"))
+         .agg(F.count(F.lit(1)).alias("c"))
+         .withColumn("bkt", F.expr(f"(v - {int(mn)}L) div {width}L")))
+    wb = (W.partitionBy("bkt").orderBy("v")
+          .rowsBetween(W.unboundedPreceding, 0))
+    within = h.withColumn("cw", F.sum("c").over(wb))
+    # bucket offsets: ≤ max_buckets rows — the bounded global window
+    wg = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    off = (h.groupBy("bkt").agg(F.sum("c").alias("bc"))
+           .withColumn("off", F.coalesce(F.sum("bc").over(wg), F.lit(0)))
+           .select("bkt", "off"))
+    cum = (within.join(F.broadcast(off), "bkt")
+           .withColumn("cum", F.col("cw") + F.col("off")))
+    nn = F.lit(int(n)).cast("double")
+    return cum.agg(*[
+        F.min(F.when(F.col("cum").cast("double") / nn >= F.lit(float(p)),
+                     F.col("v"))).alias(alias)
+        for alias, p in probs.items()])

@@ -84,15 +84,16 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # RFM segmentation: recency / frequency / monetary quintiles per user,
-# assigned by BROADCAST percentile_disc cut points + a CASE ladder — no
-# global window anywhere. An unpartitioned ntile(5) would collapse the
-# aggregated |users| relation onto ONE task (billions of rows through a
-# single sort at 100× scale, three times); percentile_disc is a single
-# one-pass aggregate whose 12 scalar cuts broadcast back. Semantics:
-# equal metric values share a bucket (SQL-standard percentile_disc =
-# smallest value with cume_dist >= p — fully deterministic in both
-# engines; quintile boundaries p·N round exactly in IEEE doubles for
-# every N, so the cume_dist replay in the oracle is bit-safe).
+# assigned by BROADCAST exact-quantile cut points + a CASE ladder — no
+# global window and no all-values percentile buffer anywhere. An
+# unpartitioned ntile(5) would collapse the aggregated |users| relation
+# onto ONE task; Spark's built-in percentile_disc would accumulate every
+# distinct value into one aggregation buffer. `exact_quantile_cuts`
+# keeps both data-sized steps distributed. Semantics: equal metric
+# values share a bucket (SQL-standard percentile_disc = smallest value
+# with cume_dist >= p); the helper computes cum/N >= p with the SAME
+# IEEE arithmetic the oracle's cume_dist replay uses — hash-safe by
+# construction.
 # --------------------------------------------------------------------------
 @query("user_rfm", oracle="""
 WITH anchor AS (SELECT max(ts) AS mx FROM events),
@@ -163,17 +164,27 @@ def user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("last_ts").cast("date"))
                  .cast("long").alias("recency_days"),
                  "frequency", "monetary_cents"))
-    # one-pass quintile cuts (descending dims via negated copies: the
-    # smallest negated value with cume_dist >= p is the largest original)
-    neg = u.select("recency_days",
-                   (-F.col("frequency")).alias("negf"),
-                   (-F.col("monetary_cents")).alias("negm"))
-    cuts = neg.agg(*[
-        F.expr(f"percentile_disc(0.{q}) WITHIN GROUP (ORDER BY {col})")
-        .alias(f"{pre}{q}")
-        for pre, col in (("rc", "recency_days"), ("fc", "negf"),
-                         ("mc", "negm"))
-        for q in (2, 4, 6, 8)])
+    # quintile cuts per dimension via the distributed exact-quantile
+    # helper (descending dims via negated copies: the smallest negated
+    # value with cume_dist >= p is the largest original). The built-in
+    # percentile_disc funnels every distinct value into one aggregation
+    # buffer — a column collect at a billion-user scale.
+    from ..operators.scale import exact_quantile_cuts
+
+    u = u.persist()
+    probs = {2: 0.2, 4: 0.4, 6: 0.6, 8: 0.8}
+    cut_cols = [
+        exact_quantile_cuts(u.select(F.col("recency_days").alias("v")),
+                            "v", {f"rc{q}": p for q, p in probs.items()}),
+        exact_quantile_cuts(u.select((-F.col("frequency")).alias("v")),
+                            "v", {f"fc{q}": p for q, p in probs.items()}),
+        exact_quantile_cuts(u.select((-F.col("monetary_cents")).alias("v")),
+                            "v", {f"mc{q}": p for q, p in probs.items()})]
+    # materialize the 1-row cuts so the user cache can be released; the
+    # final plan then reads events exactly once more
+    cuts = (cut_cols[0].crossJoin(cut_cols[1]).crossJoin(cut_cols[2])
+            .localCheckpoint(eager=True))
+    u.unpersist()
 
     def ladder(v: "F.Column", pre: str) -> "F.Column":
         e = F.lit(1)

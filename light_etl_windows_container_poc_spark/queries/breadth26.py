@@ -64,11 +64,16 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
 FROM s GROUP BY bucket ORDER BY bucket
 """)
 def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut points via `exact_quantile_cuts` (distributed histogram +
+    bucketed cumsum), NOT the built-in percentile_disc — whose
+    all-values aggregation buffer measured 18s WARM on 600k rows and is
+    effectively a column collect at scale."""
+    from ..operators.scale import exact_quantile_cuts
+
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     b = li.select(_units(F.col("l_extendedprice"), 100).alias("cents"))
-    cuts = b.agg(*[
-        F.expr(f"percentile_disc(0.{q}) WITHIN GROUP (ORDER BY cents)")
-        .alias(f"c{q}") for q in range(1, 10)])
+    cuts = exact_quantile_cuts(
+        b, "cents", {f"c{q}": q / 10.0 for q in range(1, 10)})
     ladder = F.lit(1)
     for q in range(1, 10):
         ladder = ladder + (F.col("cents") > F.col(f"c{q}")).cast("int")

@@ -85,6 +85,19 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
+    # local-mode driver hosts all 32 executor threads in ONE JVM whose
+    # default heap is 1g — a 200+-query session accumulates enough
+    # broadcast/checkpoint/codegen residue to OOM it (observed during
+    # the round-6 full-suite bench). 8g is modest on the 128 GiB host;
+    # on a real cluster spark-submit's --driver-memory overrides this.
+    # Only effective when THIS builder starts the JVM (the bench/driver
+    # path); a caller-owned session keeps its own setting.
+    "spark.driver.memory": "8g",
+    # localCheckpoint blocks are released by the ContextCleaner only
+    # after a JVM GC notices the RDD is unreferenced; with a larger heap
+    # GCs are rare, so ask for a periodic sweep instead of letting
+    # checkpoint residue ratchet across a long query session.
+    "spark.cleaner.periodicGC.interval": "5min",
 }
 
 

@@ -98,13 +98,16 @@ def test_ohlc_single_exchange(spark, sf_dir):
 
 
 def test_rfm_no_global_windows(spark, sf_dir):
-    """Quintiles come from broadcast percentile_disc cut points + a CASE
-    ladder: the plan must contain NO window operator at all (the old
-    global ntile collapsed the |users| relation onto ONE task, three
-    times), and the 12-scalar cuts relation rides a broadcast join."""
+    """Quintiles come from broadcast exact-quantile cut points + a CASE
+    ladder: the FINAL plan must contain no window operator at all (the
+    old global ntile collapsed the |users| relation onto ONE task,
+    three times; the cut relations are materialized separately by
+    exact_quantile_cuts and enter this plan as a checkpointed 1-row
+    scan), and the cuts ride a broadcast join."""
     df = QUERIES["user_rfm"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "Window" not in plan, "global window reintroduced in user_rfm"
+    assert "ntile" not in plan
     assert_broadcast_join(df, min_count=1)
     assert_no_python_udf(df)
 

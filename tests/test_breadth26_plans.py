@@ -9,12 +9,25 @@ from light_etl_windows_container_poc_spark.plans import (
 from light_etl_windows_container_poc_spark.queries import QUERIES
 
 
-def test_equidepth_no_global_window_cuts_broadcast(spark, sf_dir):
-    """Deciles come from one percentile_disc pass broadcast back — an
-    ntile(10) over the fact table would single-task it."""
+def test_equidepth_cuts_distributed_and_broadcast(spark, sf_dir):
+    """Deciles come from exact_quantile_cuts: the only windows sit ABOVE
+    the distinct-value histogram aggregate (within-bucket cumsum + the
+    bounded bucket-offset spine) — never over the raw fact rows (no
+    ntile, no value-ordered global window on the scan); the 1-row cuts
+    relation broadcasts back."""
+    import re
+
     df = QUERIES["equidepth_histogram"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "Window" not in plan
+    assert "ntile" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for s in specs:
+        head = s.split(",")[0].strip()
+        if head.endswith(("ASC NULLS FIRST", "DESC NULLS LAST")):
+            # the ONLY partition-less window is the bucket-offset spine
+            # (≤ max_buckets rows by construction) — never the raw value
+            assert head.startswith("bkt"), specs
     assert_broadcast_join(df, min_count=1)
     assert_no_python_udf(df)
 

@@ -123,3 +123,42 @@ def test_capped_priority_sample_matches_full_sort(spark, sf_dir):
             for r in capped_priority_sample(docs, "doc_id", "source",
                                             cap=5, safety=safety).collect())
         assert got == truth, f"safety={safety}"
+
+
+def test_exact_quantile_cuts_match_percentile_disc(spark):
+    """The distributed helper must agree with SQL-standard
+    percentile_disc on adversarial shapes: ties, skew, negatives,
+    tiny N, and N divisible by the quantile denominator."""
+    import random
+
+    from light_etl_windows_container_poc_spark.operators.scale import \
+        exact_quantile_cuts
+
+    rng = random.Random(7)
+    datasets = [
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],          # N divisible by 5
+        [5] * 9 + [6],                             # heavy ties
+        [-3, -1, -1, 0, 2, 2, 2, 9],               # negatives + ties
+        [rng.randrange(-1000, 1000) for _ in range(137)],
+        [42],                                      # N=1
+    ]
+    probs = {"c2": 0.2, "c4": 0.4, "c5": 0.5, "c6": 0.6, "c8": 0.8}
+    for vals in datasets:
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = exact_quantile_cuts(df, "v", probs, max_buckets=7).first()
+        df.createOrReplaceTempView("eqc_t")
+        want = spark.sql(
+            "SELECT " + ", ".join(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY v) AS {a}"
+                for a, p in probs.items()) + " FROM eqc_t").first()
+        for a in probs:
+            assert got[a] == int(want[a]), (vals, a, got[a], want[a])
+
+
+def test_exact_quantile_cuts_empty_input(spark):
+    from light_etl_windows_container_poc_spark.operators.scale import \
+        exact_quantile_cuts
+
+    df = spark.createDataFrame([], "v long")
+    row = exact_quantile_cuts(df, "v", {"c5": 0.5}).first()
+    assert row["c5"] is None
