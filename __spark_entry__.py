@@ -165,8 +165,7 @@ _RECERTIFY = [
     "time_functions", "array_funcs", "map_funcs",
     "window_ntile_firstlast", "q2_min_cost_supplier",
     "q20_promo_suppliers", "q8_market_share", "q9_product_profit",
-    "q12_late_priority", "q21_waiting_supplier", "asof_join",
-    "sessionize", "time_window_agg", "range_join",
+    "asof_join", "sessionize", "time_window_agg", "range_join",
     "window_rolling_time",
 ]
 
