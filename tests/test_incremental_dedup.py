@@ -116,3 +116,31 @@ def test_missing_index_bootstraps_empty_history(spark, docs, tmp_path):
     # the bootstrap append created the state tables
     assert os.path.exists(os.path.join(idx, "sigs"))
     assert os.path.exists(os.path.join(idx, "bands"))
+
+
+def test_greedy_keep_matches_sequential_reference_on_random_graphs(spark):
+    """greedy_keep's distributed layering must equal the sequential
+    definition (process ids ascending; drop iff a KEPT smaller neighbor
+    exists) on arbitrary graphs — chains, cliques, stars, and the
+    random mixtures hypothesis-style seeds generate."""
+    import random
+    from collections import defaultdict
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        ids = sorted(rng.sample(range(1000), 30))
+        edges = {tuple(sorted(rng.sample(ids, 2))) for _ in range(40)}
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        kept_ref = set()
+        for d in ids:  # ascending — the sequential definition
+            if not any(k < d and k in kept_ref for k in adj[d]):
+                kept_ref.add(d)
+        got = {r.doc: r.keep
+               for r in greedy_keep(
+                   _ids(spark, ids),
+                   _pairs(spark, sorted(edges))).collect()}
+        want = {d: (1 if d in kept_ref else 0) for d in ids}
+        assert got == want, (seed, got, want)

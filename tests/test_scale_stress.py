@@ -59,3 +59,27 @@ def test_broadcast_threshold_respected_on_dim_join(spark):
     rep = plan_report(facts.join(dim, "k"))
     assert rep["broadcast_joins"] >= 1
     assert rep["sortmerge_joins"] == 0
+
+
+def test_exact_quantile_cuts_at_2m_rows(spark):
+    """The quantile helper's claim — no all-values buffer, data-sized
+    work stays distributed — exercised at 2M generated rows with a
+    skewed long-tail value distribution; cuts verified against a
+    directly computed cume_dist replay."""
+    from light_etl_windows_container_poc_spark.operators.scale import \
+        exact_quantile_cuts
+
+    df = (spark.range(2_000_000)
+          .select(((F.col("id") * F.col("id")) % 100_003).alias("v")))
+    probs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99}
+    got = exact_quantile_cuts(df, "v", probs).first()
+    # reference: cume_dist over the DISTINCT histogram (small enough
+    # here), computed independently of the helper's bucketing
+    from pyspark.sql import Window as W
+    h = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    n = df.count()
+    cume = h.withColumn("cd", F.sum("c").over(w) / F.lit(n))
+    for alias, p in probs.items():
+        want = cume.filter(F.col("cd") >= p).agg(F.min("v")).first()[0]
+        assert got[alias] == want, (alias, got[alias], want)
