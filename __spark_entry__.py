@@ -164,7 +164,7 @@ _RECERTIFY = [
     "q22_sales_opportunity", "agg_grouping_sets", "string_funcs",
     "time_functions", "array_funcs", "map_funcs",
     "window_ntile_firstlast", "q2_min_cost_supplier",
-    "q20_promo_suppliers", "q8_market_share", "q9_product_profit",
+    "q9_product_profit",
     "asof_join", "sessionize", "time_window_agg", "range_join",
     "window_rolling_time",
 ]

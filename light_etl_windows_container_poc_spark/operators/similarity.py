@@ -698,3 +698,140 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str,
     out = out.localCheckpoint(eager=True)
     c.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the memory tier of the ANN stack. Vectors
+# compress to m sub-space codebook ids (8 bytes/vector at m=8 — 64×
+# smaller than 64 float64 dims), asymmetric-distance (ADC) scans run on
+# CODES ONLY, and a small exact re-rank restores precision. At 100 TB
+# this is what makes the candidate scan memory-resident.
+# --------------------------------------------------------------------------
+
+def pq_train(corpus: DataFrame, id_col: str, vec_col: str, m: int = 8,
+             ksub: int = 16, sample_limit: int = 4096,
+             iters: int = 8) -> list[list[list[float]]]:
+    """Per-subspace codebooks via numpy Lloyd on a DRIVER-SIDE sample —
+    the published PQ practice: codebook quality needs only a sample
+    (sample_limit rows, lowest-id for determinism), while encoding and
+    scanning stay distributed. Vectors are L2-normalized before
+    training so ADC inner products approximate cosine. Returns
+    (m, ksub, dim/m) nested lists (plain data: rides task closures).
+    Deterministic: fixed sample, seeds = first ksub sample rows, numpy
+    argmin ties break to the first (lowest) centroid."""
+    import numpy as np
+
+    rows = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_limit).collect())
+    X = np.array([[float(x) for x in r[1]] for r in rows],
+                 dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[:ksub].copy()
+        for _ in range(iters):
+            dist = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(ksub):
+                pts = S[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
+              books: list[list[list[float]]]) -> DataFrame:
+    """(id, codes array<int>) — map-only Arrow-batched encoding: per
+    subspace, argmin distance to its codebook. The codes relation is the
+    persistable PQ index (8 ints/vector); nothing here shuffles."""
+    import numpy as np
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(corpus.sparkSession)
+    B = [np.array(b, dtype=np.float64) for b in books]
+    m = len(B)
+    dsub = B[0].shape[1]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                S = X[:, j * dsub:(j + 1) * dsub]
+                dist = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame({"n_id": pdf[id_col].to_numpy(),
+                                "codes": list(codes)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, "n_id long, codes array<bigint>")
+
+
+def ann_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                vec_col: str, k: int = 5, m: int = 8, ksub: int = 16,
+                rerank: int = 32,
+                books: list[list[list[float]]] | None = None) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-rank: train (sampled) →
+    encode (map-only) → per-Arrow-batch ADC scan over CODES (lookup-
+    table sums, no vector math) emitting local top-``rerank`` per query
+    → exact fold re-score of the candidates → top-k. Shuffles carry
+    only |q|·n_batches·rerank candidate rows; the data-sized scan reads
+    8 ints/vector. Recall follows rerank (measured in the recall-floor
+    twin); exactness of the final sims comes from the fold re-score."""
+    import numpy as np
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(corpus.sparkSession)
+    if books is None:
+        books = pq_train(corpus, id_col, vec_col, m=m, ksub=ksub)
+    B = [np.array(b, dtype=np.float64) for b in books]
+    dsub = B[0].shape[1]
+    codes = pq_encode(corpus, id_col, vec_col, books)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([[float(x) for x in r[1]] for r in q_rows],
+                  dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    # LUT[q, j, c] = <q_j, B[j][c]> : ADC sim = sum_j LUT[q, j, code_j]
+    lut = np.stack([qm[:, j * dsub:(j + 1) * dsub] @ B[j].T
+                    for j in range(len(B))], axis=1)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (b, m)
+            cid = pdf["n_id"].to_numpy(dtype=np.int64)
+            # sims (nq, b): gather each query's LUT rows at the codes
+            sims = lut[:, np.arange(C.shape[1])[None, :], C].sum(axis=2)
+            sims[q_ids[:, None] == cid[None, :]] = -np.inf
+            t = min(rerank, sims.shape[1])
+            idx = np.argpartition(-sims, t - 1, axis=1)[:, :t]
+            vals = np.take_along_axis(sims, idx, axis=1).ravel()
+            keep = np.isfinite(vals)
+            yield pd.DataFrame({"q_id": np.repeat(q_ids, t)[keep],
+                                "n_id": cid[idx.ravel()][keep]})
+
+    cand = codes.mapInPandas(adc, "q_id long, n_id long")
+    q = _prep(queries, id_col, vec_col, "q_id", "qv", "nq")
+    c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
+    scored = (cand.join(F.broadcast(q), "q_id").join(c, "n_id")
+              .filter(F.col("q_id") != F.col("n_id"))
+              .withColumn("sim", dot(F.col("qv"), F.col("nv"))
+                          / (F.col("nq") * F.col("nn"))))
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "sim", "rank"))

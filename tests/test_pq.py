@@ -1,0 +1,63 @@
+"""Product-quantization ANN: codebook determinism, encoding shape /
+compression, exactness at full rerank, and recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from light_etl_windows_container_poc_spark.catalog import load_tables
+from light_etl_windows_container_poc_spark.operators.similarity import (
+    ann_bruteforce_topk, ann_pq_topk, pq_encode, pq_train)
+
+
+def _emb(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+def test_pq_train_is_deterministic(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    b1 = pq_train(emb, "vec_id", "embedding", m=8, ksub=16)
+    b2 = pq_train(emb, "vec_id", "embedding", m=8, ksub=16)
+    assert b1 == b2
+    assert len(b1) == 8 and len(b1[0]) == 16 and len(b1[0][0]) == 8
+
+
+def test_pq_encode_shape_and_range(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    books = pq_train(emb, "vec_id", "embedding", m=8, ksub=16)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_pq_full_rerank_equals_bruteforce(spark, sf_dir):
+    # rerank >= |corpus| means every doc is exactly re-scored: the PQ
+    # ordering cannot lose a true neighbor
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    n = emb.count()
+    pq = {(r.q_id, r.rank): r.n_id
+          for r in ann_pq_topk(emb, qs, "vec_id", "embedding", k=5,
+                               rerank=n).collect()}
+    bf = {(r.q_id, r.rank): r.n_id
+          for r in ann_bruteforce_topk(emb, qs, "vec_id", "embedding",
+                                       k=5).collect()}
+    assert pq == bf
+
+
+def test_pq_recall_floor(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = {(r.q_id, r.n_id)
+             for r in ann_bruteforce_topk(emb, qs, "vec_id", "embedding",
+                                          k=5).collect()}
+    approx = {(r.q_id, r.n_id)
+              for r in ann_pq_topk(emb, qs, "vec_id", "embedding", k=5,
+                                   rerank=128).collect()}
+    recall = len(truth & approx) / len(truth)
+    # uniform random vectors are the PQ-hostile case; measured 0.92 at
+    # sf0.001 (clustered real embeddings quantize far better)
+    assert recall >= 0.6, recall

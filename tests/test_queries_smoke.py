@@ -35,8 +35,8 @@ def test_oracle_sql_is_registered_for_sql_expressible_ops():
     # iterative float fixpoints)
     missing = {n for n in QUERIES if n not in ORACLES
                and not n.startswith(("dedup_minhash", "dedup_simhash", "ann_lsh",
-                                     "ann_ivf", "agg_approx", "stream_", "mm_",
-                                     "pagerank_", "sketch_"))
+                                     "ann_ivf", "ann_pq", "agg_approx",
+                                     "stream_", "mm_", "pagerank_", "sketch_"))
                and n not in ("dedup_embedding_blocked", "semdedup_keep",
                              "embed_pca")}
     assert not missing, f"queries without oracle: {missing}"
