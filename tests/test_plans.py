@@ -64,7 +64,9 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
                                  # relation into |queries| partitions)
                                  "ann_bruteforce", "ann_lsh_recall_floor",
                                  "ann_ivf_fullprobe_exact",
-                                 "hybrid_rrf_search")]
+                                 "hybrid_rrf_search",
+                                 # PQ: Arrow-batched encode + ADC scan
+                                 "ann_pq", "ann_pq_recall_floor")]
     for name in jvm_queries:
         assert_no_python_udf(QUERIES[name](spark, sf_dir))
 
