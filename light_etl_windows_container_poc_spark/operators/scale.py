@@ -185,6 +185,7 @@ def exact_quantile_cuts(df: DataFrame, col: str,
     oracle hashes are safe by construction (no reliance on any engine's
     internal percentile rounding).
     """
+    df = df.filter(F.col(col).isNotNull())  # percentile_disc ignores nulls
     stats = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx"),
                    F.count(F.lit(1)).alias("n")).first()
     mn, n = stats["mn"], stats["n"]

@@ -764,7 +764,9 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
             if len(pdf) == 0:
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0  # zero vectors encode deterministically
+            X /= nrm
             codes = np.empty((len(pdf), m), dtype=np.int64)
             for j in range(m):
                 S = X[:, j * dsub:(j + 1) * dsub]
