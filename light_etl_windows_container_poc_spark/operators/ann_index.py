@@ -101,3 +101,119 @@ def query_ivf_index(spark: SparkSession, index_path: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "sim", "rank"))
+
+
+# --------------------------------------------------------------------------
+# Persistent PQ index: codebooks + 8-int codes on disk — build once,
+# query many (the memory-tier sibling of the IVF index above).
+# --------------------------------------------------------------------------
+
+def build_pq_index(corpus: DataFrame, id_col: str, vec_col: str,
+                   index_path: str, m: int = 8, ksub: int = 16,
+                   sample_limit: int = 4096) -> int:
+    """Train sampled codebooks, encode the corpus map-only, persist
+    both halves atomically (same staging+rename contract as
+    `build_ivf_index` — codes decoded against the WRONG codebooks would
+    silently return wrong neighbors):
+
+        index/
+          books/   m·ksub rows (subspace, code, centroid array)
+          codes/   the corpus as (n_id, codes array<int>) — 8 ints/row,
+                   the 64× memory cut that makes the ADC scan RAM-sized
+
+    Returns the number of indexed vectors."""
+    import shutil
+    import tempfile
+
+    from .similarity import pq_encode, pq_train
+
+    parent = os.path.dirname(os.path.abspath(index_path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix=".pq_staging_", dir=parent)
+    try:
+        books = pq_train(corpus, id_col, vec_col, m=m, ksub=ksub,
+                         sample_limit=sample_limit)
+        spark = corpus.sparkSession
+        rows = [(j, c, books[j][c]) for j in range(len(books))
+                for c in range(len(books[j]))]
+        (spark.createDataFrame(rows,
+                               "subspace int, code int, centroid array<double>")
+         .write.parquet(os.path.join(staging, "books")))
+        codes = pq_encode(corpus, id_col, vec_col, books)
+        codes.write.parquet(os.path.join(staging, "codes"))
+        n = spark.read.parquet(os.path.join(staging, "codes")).count()
+        if os.path.exists(index_path):
+            shutil.rmtree(index_path)
+        os.replace(staging, index_path)
+        return n
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+
+
+def load_pq_books(spark: SparkSession,
+                  index_path: str) -> list[list[list[float]]]:
+    rows = (spark.read.parquet(os.path.join(index_path, "books"))
+            .orderBy("subspace", "code").collect())
+    m = max(r["subspace"] for r in rows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]].append([float(x) for x in r["centroid"]])
+    return books
+
+
+def query_pq_index(spark: SparkSession, index_path: str, corpus: DataFrame,
+                   queries: DataFrame, id_col: str, vec_col: str,
+                   k: int = 5, rerank: int = 128) -> DataFrame:
+    """ADC scan over the PERSISTED codes (the data-sized read is 8
+    ints/vector) + exact re-rank against the corpus vectors on the
+    candidate ids only. Identical results to `ann_pq_topk` with the same
+    codebooks — proven in tests — without re-training or re-encoding."""
+    import numpy as np
+
+    from ..functions.vectors import dot as _dot
+    from ..session import ensure_package_on_executors
+    from .similarity import _prep as prep
+
+    ensure_package_on_executors(spark)
+    books = load_pq_books(spark, index_path)
+    B = [np.array(b, dtype=np.float64) for b in books]
+    dsub = B[0].shape[1]
+    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([[float(x) for x in r[1]] for r in q_rows],
+                  dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    lut = np.stack([qm[:, j * dsub:(j + 1) * dsub] @ B[j].T
+                    for j in range(len(B))], axis=1)
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            cid = pdf["n_id"].to_numpy(dtype=np.int64)
+            sims = lut[:, np.arange(C.shape[1])[None, :], C].sum(axis=2)
+            sims[q_ids[:, None] == cid[None, :]] = -np.inf
+            t = min(rerank, sims.shape[1])
+            idx = np.argpartition(-sims, t - 1, axis=1)[:, :t]
+            vals = np.take_along_axis(sims, idx, axis=1).ravel()
+            keep = np.isfinite(vals)
+            yield pd.DataFrame({"q_id": np.repeat(q_ids, t)[keep],
+                                "n_id": cid[idx.ravel()][keep]})
+
+    cand = codes.mapInPandas(adc, "q_id long, n_id long")
+    q = prep(queries, id_col, vec_col, "q_id", "qv", "nq")
+    c = prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
+    scored = (cand.join(F.broadcast(q), "q_id").join(c, "n_id")
+              .filter(F.col("q_id") != F.col("n_id"))
+              .withColumn("sim", _dot(F.col("qv"), F.col("nv"))
+                          / (F.col("nq") * F.col("nn"))))
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "sim", "rank"))

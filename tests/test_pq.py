@@ -61,3 +61,29 @@ def test_pq_recall_floor(spark, sf_dir):
     # uniform random vectors are the PQ-hostile case; measured 0.92 at
     # sf0.001 (clustered real embeddings quantize far better)
     assert recall >= 0.6, recall
+
+
+def test_pq_index_build_query_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted PQ index: build once, query twice; results equal the
+    direct ann_pq_topk path with the same codebooks (same sample, same
+    Lloyd) — re-training/re-encoding per query batch is gone."""
+    from light_etl_windows_container_poc_spark.operators.ann_index import (
+        build_pq_index, query_pq_index)
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "pq")
+    n = build_pq_index(emb, "vec_id", "embedding", idx, m=8, ksub=16)
+    assert n == emb.count()
+    got = {(r.q_id, r.rank): r.n_id
+           for r in query_pq_index(spark, idx, emb, qs, "vec_id",
+                                   "embedding", k=5, rerank=128).collect()}
+    direct = {(r.q_id, r.rank): r.n_id
+              for r in ann_pq_topk(emb, qs, "vec_id", "embedding", k=5,
+                                   rerank=128).collect()}
+    assert got == direct and got
+    # second query batch against the same on-disk index
+    qs2 = emb.filter(F.col("vec_id") % 170 == 0)
+    again = query_pq_index(spark, idx, emb, qs2, "vec_id", "embedding",
+                           k=3, rerank=128).collect()
+    assert len(again) == qs2.count() * 3
