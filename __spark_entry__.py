@@ -249,7 +249,13 @@ _R05_POPULATION = [
 # The FROZEN round-6 query population (210 names) — bench.py's
 # suite_r6_subset tripwire for round 7+ (same rationale as
 # _R05_POPULATION: only a frozen whitelist keeps the total comparable
-# as future rounds add queries).
+# as future rounds add queries). DELIBERATELY excludes the four
+# breadth27 queries that landed after the freeze (ann_pq,
+# ann_pq_recall_floor, text_bpe_tokenize, text_bigram_kn):
+# BENCH_r06.json's recorded suite_r6_subset_sec was measured against
+# THIS 210-name list, so adding them now would break the r6↔r7
+# comparison the subset exists for. They are covered by the full-suite
+# number and by _R07_POPULATION onward.
 _R06_POPULATION = [
     "agg_approx_distinct", "agg_cube", "agg_filter",
     "agg_grouping_sets", "agg_histogram", "agg_incremental_merge",

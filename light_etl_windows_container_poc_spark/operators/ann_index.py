@@ -173,6 +173,7 @@ def query_pq_index(spark: SparkSession, index_path: str, corpus: DataFrame,
 
     from ..functions.vectors import dot as _dot
     from ..session import ensure_package_on_executors
+    from .similarity import _l2_normalize_rows, _local_topt_ids
     from .similarity import _prep as prep
 
     ensure_package_on_executors(spark)
@@ -183,9 +184,8 @@ def query_pq_index(spark: SparkSession, index_path: str, corpus: DataFrame,
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qm = np.array([[float(x) for x in r[1]] for r in q_rows],
-                  dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = _l2_normalize_rows(np.array(
+        [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64))
     lut = np.stack([qm[:, j * dsub:(j + 1) * dsub] @ B[j].T
                     for j in range(len(B))], axis=1)
 
@@ -200,7 +200,7 @@ def query_pq_index(spark: SparkSession, index_path: str, corpus: DataFrame,
             sims = lut[:, np.arange(C.shape[1])[None, :], C].sum(axis=2)
             sims[q_ids[:, None] == cid[None, :]] = -np.inf
             t = min(rerank, sims.shape[1])
-            idx = np.argpartition(-sims, t - 1, axis=1)[:, :t]
+            idx = _local_topt_ids(sims, cid, t)
             vals = np.take_along_axis(sims, idx, axis=1).ravel()
             keep = np.isfinite(vals)
             yield pd.DataFrame({"q_id": np.repeat(q_ids, t)[keep],

@@ -202,10 +202,21 @@ def greedy_keep(ids: DataFrame, pairs: DataFrame,
               .distinct())
     alive = paired
     kept_parts: list[DataFrame] = []
-    for _ in range(max_rounds):
+    rounds_left = max_rounds
+    while True:
         alive = alive.localCheckpoint(eager=True)
         if alive.limit(1).count() == 0:
             break
+        # emptiness is checked BEFORE this guard, so a chain of exactly
+        # max_rounds finishes its last working round, drains on the next
+        # loop head, and exits cleanly — the error fires only when work
+        # genuinely remains (a for/else here raised one round early)
+        if rounds_left == 0:
+            raise RuntimeError(
+                f"greedy_keep did not settle in {max_rounds} rounds — the "
+                "near-dup graph has an induced dependency chain longer than "
+                "the bound; raise max_rounds")
+        rounds_left -= 1
         alive_edges = (edges.join(alive.withColumnRenamed("doc", "lo"), "lo")
                        .join(alive.withColumnRenamed("doc", "hi"), "hi"))
         blocked = alive_edges.select(F.col("hi").alias("doc")).distinct()
@@ -219,11 +230,6 @@ def greedy_keep(ids: DataFrame, pairs: DataFrame,
                    .select(F.col("hi").alias("doc")).distinct())
         alive = (alive.join(frontier, "doc", "left_anti")
                  .join(dropped, "doc", "left_anti"))
-    else:
-        raise RuntimeError(
-            f"greedy_keep did not settle in {max_rounds} rounds — the "
-            "near-dup graph has an induced dependency chain longer than "
-            "the bound; raise max_rounds")
     kept = paired.limit(0) if not kept_parts else kept_parts[0]
     for p in kept_parts[1:]:
         kept = kept.union(p)

@@ -25,6 +25,37 @@ from pyspark.sql import functions as F
 from ..functions.vectors import dot, hyperplane_sign_bits, to_double
 
 
+def _l2_normalize_rows(m):
+    """Row-L2-normalize a numpy matrix with the zero-norm guard every
+    normalization site needs: a zero vector would otherwise produce a
+    NaN row whose sims sort as LARGEST under argpartition/lexsort, fill
+    top-t slots, and then vanish at the isfinite filter — silently
+    shrinking real candidate sets (and in `pq_train`, poisoning
+    centroids to NaN). Zero rows stay zero (sim 0 to everything)."""
+    import numpy as np
+
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return m / n
+
+
+def _local_topt_ids(s, cid, t):
+    """Per-query local top-``t`` candidate indices from a (nq, batch)
+    score matrix, DETERMINISTIC AND TIE-SAFE: ordered by (sim DESC,
+    n_id ASC) — the same tie-break the final exact-re-rank window uses.
+    `argpartition` breaks ties arbitrarily, so with >t tied scores in
+    one batch (duplicate embeddings) the smallest-id tied neighbor
+    could be evicted BEFORE the exact re-rank, diverging from the
+    certified (sim DESC, n_id) ranking; lexsort keeps/orders tied
+    candidates by id. Cost is one O(b log b) row sort per query —
+    noise next to the GEMM that produced ``s``."""
+    import numpy as np
+
+    cid_b = np.broadcast_to(cid[None, :], s.shape)
+    order = np.lexsort((cid_b, -s), axis=1)  # primary -s asc, then cid asc
+    return order[:, :t]
+
+
 def _prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str,
           vec_alias: str, nrm_alias: str) -> DataFrame:
     """(id, double-cast vector, L2 norm) — cast and norm computed ONCE per
@@ -80,22 +111,21 @@ def ann_bruteforce_topk(corpus: DataFrame, queries: DataFrame,
     ensure_package_on_executors(corpus.sparkSession)
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qm = np.array([[float(x) for x in r[1]] for r in q_rows],
-                  dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = _l2_normalize_rows(np.array(
+        [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64))
     m = k + pad
 
     def cand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = _l2_normalize_rows(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64))
             cid = pdf[id_col].to_numpy(dtype=np.int64)
             s = qm @ cm.T  # (nq, batch)
             s[q_ids[:, None] == cid[None, :]] = -np.inf  # no self-match
             t = min(m, s.shape[1])
-            idx = np.argpartition(-s, t - 1, axis=1)[:, :t]
+            idx = _local_topt_ids(s, cid, t)
             sims = np.take_along_axis(s, idx, axis=1).ravel()
             keep = np.isfinite(sims)
             yield pd.DataFrame({"q_id": np.repeat(q_ids, t)[keep],
@@ -170,13 +200,13 @@ def cosine_topk_pandas(corpus: DataFrame, queries: DataFrame, id_col: str,
     ensure_package_on_executors(corpus.sparkSession)
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
-    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = _l2_normalize_rows(np.array([r[1] for r in q_rows],
+                                     dtype=np.float64))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            m = _l2_normalize_rows(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64))
             sims = m @ qm.T  # (batch, nq)
             out = {
                 "q_id": np.repeat(q_ids, len(pdf)),
@@ -545,12 +575,12 @@ def knn_graph_topk(corpus: DataFrame, id_col: str, vec_col: str,
                 am = np.array([x["v"] for x in r["arows"]], dtype=np.float64)
                 bid = np.array([x["id"] for x in r["brows"]], dtype=np.int64)
                 bm = np.array([x["v"] for x in r["brows"]], dtype=np.float64)
-                am /= np.linalg.norm(am, axis=1, keepdims=True)
-                bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+                am = _l2_normalize_rows(am)
+                bm = _l2_normalize_rows(bm)
                 s = am @ bm.T
                 s[aid[:, None] == bid[None, :]] = -np.inf  # no self-edges
                 t = min(m, s.shape[1])
-                idx = np.argpartition(-s, t - 1, axis=1)[:, :t]
+                idx = _local_topt_ids(s, bid, t)
                 sims = np.take_along_axis(s, idx, axis=1).ravel()
                 keep = np.isfinite(sims)
                 outs.append(pd.DataFrame({
@@ -619,8 +649,8 @@ def cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
                 am = np.array([x["v"] for x in r["arows"]], dtype=np.float64)
                 bid = np.array([x["id"] for x in r["brows"]], dtype=np.int64)
                 bm = np.array([x["v"] for x in r["brows"]], dtype=np.float64)
-                am /= np.linalg.norm(am, axis=1, keepdims=True)
-                bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+                am = _l2_normalize_rows(am)
+                bm = _l2_normalize_rows(bm)
                 s = am @ bm.T
                 # diagonal cell: keep one orientation; off-diagonal: each
                 # unordered pair appears in exactly one grid cell, but the
@@ -723,9 +753,8 @@ def pq_train(corpus: DataFrame, id_col: str, vec_col: str, m: int = 8,
 
     rows = (corpus.select(id_col, vec_col).orderBy(id_col)
             .limit(sample_limit).collect())
-    X = np.array([[float(x) for x in r[1]] for r in rows],
-                 dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = _l2_normalize_rows(np.array(
+        [[float(x) for x in r[1]] for r in rows], dtype=np.float64))
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -763,10 +792,8 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            nrm = np.linalg.norm(X, axis=1, keepdims=True)
-            nrm[nrm == 0.0] = 1.0  # zero vectors encode deterministically
-            X /= nrm
+            X = _l2_normalize_rows(  # zero vectors encode deterministically
+                np.array(pdf[vec_col].tolist(), dtype=np.float64))
             codes = np.empty((len(pdf), m), dtype=np.int64)
             for j in range(m):
                 S = X[:, j * dsub:(j + 1) * dsub]
@@ -803,9 +830,8 @@ def ann_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qm = np.array([[float(x) for x in r[1]] for r in q_rows],
-                  dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = _l2_normalize_rows(np.array(
+        [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64))
     # LUT[q, j, c] = <q_j, B[j][c]> : ADC sim = sum_j LUT[q, j, code_j]
     lut = np.stack([qm[:, j * dsub:(j + 1) * dsub] @ B[j].T
                     for j in range(len(B))], axis=1)
@@ -820,7 +846,7 @@ def ann_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             sims = lut[:, np.arange(C.shape[1])[None, :], C].sum(axis=2)
             sims[q_ids[:, None] == cid[None, :]] = -np.inf
             t = min(rerank, sims.shape[1])
-            idx = np.argpartition(-sims, t - 1, axis=1)[:, :t]
+            idx = _local_topt_ids(sims, cid, t)
             vals = np.take_along_axis(sims, idx, axis=1).ravel()
             keep = np.isfinite(vals)
             yield pd.DataFrame({"q_id": np.repeat(q_ids, t)[keep],

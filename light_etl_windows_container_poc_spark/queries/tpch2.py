@@ -22,19 +22,30 @@ WITH v AS (
   SELECT l_partkey,
          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val_cents
   FROM lineitem GROUP BY l_partkey
-), tot AS (SELECT CAST(sum(val_cents) AS BIGINT) AS t FROM v)
+), tot AS (SELECT CAST(sum(val_cents) AS BIGINT) AS t,
+                  CAST(count(*) AS BIGINT) AS n FROM v)
 SELECT l_partkey, val_cents
 FROM v, tot
-WHERE val_cents > 0.006 * t
+WHERE 2 * val_cents * n > 3 * t
 ORDER BY val_cents DESC, l_partkey
 """)
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts with > 1.5× the AVERAGE per-part revenue share. The
+    threshold is relative to the average (share > 1.5/n_parts), not a
+    fixed fraction of the total: per-part share scales as 1/n_parts, so
+    TPC-H Q11's fixed-fraction HAVING selects nothing above tiny SF
+    (the driver hash-passed a 0-row result at sf0.01 — equal-and-empty
+    certifies nothing; tests now prove non-emptiness at every SF).
+    Integer-exact cross-engine: 2·val·n > 3·t in BIGINT — no float
+    threshold edge. Overflow envelope: val_cents·n_parts ≤ ~4.6e18
+    (holds to ~sf1000; past that compare shares as DECIMAL(38))."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     v = (li.groupBy("l_partkey")
          .agg(F.sum(_units(F.col("l_extendedprice"), 100)).alias("val_cents")))
-    tot = v.agg(F.sum("val_cents").alias("t"))
+    tot = v.agg(F.sum("val_cents").alias("t"),
+                F.count(F.lit(1)).cast("long").alias("n"))
     return (v.crossJoin(F.broadcast(tot))
-            .filter(F.col("val_cents") > 0.006 * F.col("t"))
+            .filter(2 * F.col("val_cents") * F.col("n") > 3 * F.col("t"))
             .select("l_partkey", "val_cents")
             .orderBy(F.desc("val_cents"), "l_partkey"))
 

@@ -144,3 +144,20 @@ def test_greedy_keep_matches_sequential_reference_on_random_graphs(spark):
                    _pairs(spark, sorted(edges))).collect()}
         want = {d: (1 if d in kept_ref else 0) for d in ids}
         assert got == want, (seed, got, want)
+
+
+def test_greedy_keep_settles_at_exact_round_bound(spark):
+    """A dependency chain needing exactly max_rounds working rounds
+    must SETTLE, not raise: path 1-2-3-4-5 layers as {1},{3},{5} = 3
+    rounds; the convergence check runs after the last working round
+    (a for/else formulation raised here despite convergence)."""
+    ids = _ids(spark, [1, 2, 3, 4, 5])
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    out = {r.doc: r.keep
+           for r in greedy_keep(ids, pairs, max_rounds=3).collect()}
+    assert out == {1: 1, 2: 0, 3: 1, 4: 0, 5: 1}
+    # one round fewer genuinely cannot finish → the error is real
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not settle"):
+        greedy_keep(ids, pairs, max_rounds=2).collect()

@@ -93,3 +93,16 @@ def test_frozen_r5_population_is_subset_of_registry():
     assert len(ent._R05_POPULATION) == 201
     assert set(ent._R06_POPULATION) <= set(QUERIES)
     assert len(ent._R06_POPULATION) == 210
+
+
+def test_q11_nonempty_at_realistic_sf(spark):
+    """q11 hash-passed the driver gate on a 0-row result at sf0.01
+    (equal-and-empty certifies nothing — the 0.6% revenue threshold is
+    above every part at tiny SF). Prove the query actually selects rows
+    at sf0.1 so an accidentally-empty plan can never look green."""
+    import os
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 warehouse not present")
+    assert QUERIES["q11_important_parts"](spark, sf01).limit(1).count() > 0

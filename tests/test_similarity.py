@@ -91,3 +91,41 @@ def test_semdedup_keeps_one_per_duplicate_group(spark):
            for r in semdedup(df, "vec_id", "embedding",
                              threshold=0.95, n_clusters=2).collect()}
     assert out == {1: 1, 2: 0, 3: 1, 4: 1, 5: 0}  # min id survives
+
+
+def test_bruteforce_tied_scores_keep_smallest_ids(spark):
+    """Tie-safety of per-batch candidate selection: with more than
+    k+pad IDENTICAL corpus vectors in one Arrow batch, the certified
+    (sim DESC, n_id ASC) ranking demands the smallest-id duplicates —
+    argpartition's arbitrary tie-break could evict them before the
+    exact re-rank ever saw them (lexsort selection keeps them)."""
+    dup = [1.0, 2.0, 3.0, 4.0]
+    rows = ([(i, dup) for i in range(30)]          # 30 identical vectors
+            + [(100, [4.0, 3.0, 2.0, 1.0])])
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").coalesce(1)
+    q = spark.createDataFrame([(0, dup)],
+                              "vec_id long, embedding array<double>")
+    got = [r.n_id for r in
+           ann_bruteforce_topk(corpus, q, "vec_id", "embedding",
+                               k=5, pad=5)
+           .orderBy("rank").collect()]
+    assert got == [1, 2, 3, 4, 5]  # smallest tied ids, self (0) excluded
+
+
+def test_bruteforce_zero_norm_vectors_do_not_shrink_candidates(spark):
+    """A zero corpus vector must not poison the batch: unguarded
+    normalization yields a NaN column that sorts as largest, occupies
+    top-t slots, and is then dropped by isfinite — silently shrinking
+    the candidate set. With the guard, zero vectors score 0 and real
+    neighbors fill all k slots."""
+    rows = [(i, [float(i + 1), 1.0]) for i in range(8)]
+    rows += [(50 + i, [0.0, 0.0]) for i in range(12)]  # zero-norm block
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").coalesce(1)
+    q = spark.createDataFrame([(0, [1.0, 1.0])],
+                              "vec_id long, embedding array<double>")
+    got = ann_bruteforce_topk(corpus, q, "vec_id", "embedding",
+                              k=5, pad=0).collect()
+    assert len(got) == 5
+    assert all(r.n_id < 50 for r in got)  # zero vectors never outrank real

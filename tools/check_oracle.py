@@ -65,6 +65,7 @@ def main() -> int:
     qs, oracles = ent.queries(), ent.oracle_sql()
     names = [n for n in qs if not args.only or n in set(args.only.split(","))]
     failures = []
+    empties = []
     for name in names:
         t0 = time.time()
         try:
@@ -106,10 +107,21 @@ def main() -> int:
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(str(p) for p in problems))
+        elif len(srows) == 0:
+            # equal-and-empty is a WEAK certification: an accidentally-
+            # empty query (bad filter, wrong join key) would hash-match a
+            # like-broken oracle. Flag it so it can never look quietly
+            # green; fix the query's selectivity at this SF or prove
+            # non-emptiness at a larger SF in tests.
+            empties.append(name)
+            print(f"WARN {name}: 0 rows on BOTH engines — empty match "
+                  f"certifies nothing ({time.time()-t0:.1f}s)")
         else:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(names) - len(failures)}/{len(names)} pass")
+    print(f"\n{len(names) - len(failures)}/{len(names)} pass"
+          + (f"; {len(empties)} EMPTY match(es): {','.join(empties)}"
+             if empties else ""))
     return 1 if failures else 0
 
 
