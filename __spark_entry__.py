@@ -134,39 +134,60 @@ _R05_CERTIFIED = [
     "fuzzy_join_parts",
 ]
 
-# Round-6 recertification allocation. Head (never-certified) = embed_pca
-# (r5's one red row, output reshaped to scalar columns) + this round's
-# new queries; these slots then re-certify, in order:
-# (a) rows whose CODE changed in round 6 — the percentile_disc rewrite
-#     of user_rfm, the per-batch-GEMM ann_bruteforce and its dependents
-#     (recall floor, fullprobe twin, RRF fusion leg), the gated
-#     fuzzy_join_parts broadcast;
-# (b) the Excel legs (codecs hardened in r5 commits 7812492/02b4efc
-#     AFTER their last driver cert, plus this round's leading-blank-row
-#     parity fix in grid_to_frame);
-# (c) the streaming family, last driver-certified in round 2 — three
-#     regenerated warehouses ago;
-# (d) aged tail: rows whose latest certification is still round 1.
-_RECERTIFY = [
-    # (a) round-6 code changes
-    "user_rfm", "ann_bruteforce", "fuzzy_join_parts",
-    "ann_lsh_recall_floor", "ann_ivf_fullprobe_exact",
-    "hybrid_rrf_search",
-    # (b) excel legs
-    "src_excel", "src_excel_xls", "src_excel_xlsb",
-    # (c) streaming family (r2-era certs)
-    "stream_window_agg", "stream_dedup", "stream_static_join",
-    "stream_stream_join", "stream_session_window",
-    # (d) aged tail — latest cert round 1, oldest first
-    "join_anti", "subquery_scalar", "percentiles",
+# CORRECTNESS_r06.json keys (round-6 driver run): 48 hash-green + 2
+# clean rows-only records (embed_pca, ann_pq — both SURVEY-declared
+# rows-only with green hash-certified twins, so they count as
+# certified; only ERRORED rows are excluded from these lists).
+_R06_CERTIFIED = [
+    "embed_pca", "dedup_incremental_exact", "dedup_incremental_consistency",
+    "dup_span_strip", "fingerprint_winnowing", "equidepth_histogram",
+    "benford_digit_profile", "chi2_independence", "pct_change_wow",
+    "top_movers", "text_bpe_tokenize", "text_bigram_kn", "ann_pq",
+    "ann_pq_recall_floor", "user_rfm", "ann_bruteforce", "fuzzy_join_parts",
+    "ann_lsh_recall_floor", "ann_ivf_fullprobe_exact", "hybrid_rrf_search",
+    "src_excel", "src_excel_xls", "src_excel_xlsb", "stream_window_agg",
+    "stream_dedup", "stream_static_join", "stream_stream_join",
+    "stream_session_window", "join_anti", "subquery_scalar", "percentiles",
     "q11_important_parts", "q13_cust_distribution", "q15_top_supplier",
-    "q16_supplier_counts", "q17_small_qty_revenue",
-    "q22_sales_opportunity", "agg_grouping_sets", "string_funcs",
-    "time_functions", "array_funcs", "map_funcs",
-    "window_ntile_firstlast", "q2_min_cost_supplier",
-    "q9_product_profit",
-    "asof_join", "sessionize", "time_window_agg", "range_join",
-    "window_rolling_time",
+    "q16_supplier_counts", "q17_small_qty_revenue", "q22_sales_opportunity",
+    "agg_grouping_sets", "string_funcs", "time_functions", "array_funcs",
+    "map_funcs", "window_ntile_firstlast", "q2_min_cost_supplier",
+    "q9_product_profit", "asof_join", "sessionize", "time_window_agg",
+    "range_join", "window_rolling_time",
+]
+
+# Round-7 recertification allocation (head + this list == 50, the
+# driver's per-round budget; test-locked). Head = this round's new
+# queries. The recertify slots then go to the STALE TAIL: 46 queries
+# whose latest driver certification is round 1 or 2 — three-to-four
+# warehouse regenerations ago (the round-6 verdict's top directive).
+# Within the tail: r1-latest first, then r2-latest, registry order.
+# Code changed this round but already freshly certified (r6) —
+# ann_bruteforce (tie-safe selection), q11 (threshold rebase), the PQ
+# family (zero-norm guards) — is re-proven by the LOCAL gate at all
+# SFs instead of burning driver slots; the two q11/knn edge slots at
+# the end cover the most behavior-adjacent of those changes.
+_RECERTIFY = [
+    # r1-latest (oldest certifications in the registry)
+    "agg_approx_distinct", "q20_promo_suppliers", "q8_market_share",
+    "q12_late_priority", "q21_waiting_supplier", "etl_clean_columns",
+    "etl_type_coercion", "etl_drop_empty_rows", "etl_dedup_rows",
+    "etl_enrich_metadata",
+    # r2-latest
+    "interval_join", "etl_pattern_route", "etl_processing_stats",
+    "etl_file_stats", "etl_validate_rows", "etl_json_extract",
+    "etl_scd2_merge", "etl_snapshot_diff", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_simhash", "text_token_count",
+    "text_quality", "text_langid", "text_fingerprint", "text_tfidf",
+    "text_clean_pii", "corpus_report", "split_train_test",
+    "stream_stateful", "explode_wordcount", "regex_funcs", "null_funcs",
+    "window_percent_rank", "agg_stats_moments", "agg_median",
+    "text_chunk", "agg_filter", "agg_misc", "agg_histogram",
+    "sample_stratified", "inverted_index", "doc_cooccur",
+    "embed_centroid", "funnel", "cohort_retention",
+    # r7 code changes already r6-certified — the two most
+    # behavior-adjacent rows get fresh driver hashes too
+    "q11_important_parts", "knn_graph",
 ]
 
 
@@ -340,7 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r4 tail even if r1 also covered it).
     """
     rounds = [_R01_CERTIFIED, _R02_CERTIFIED, _R03_CERTIFIED,
-              _R04_CERTIFIED, _R05_CERTIFIED]
+              _R04_CERTIFIED, _R05_CERTIFIED, _R06_CERTIFIED]
     certified = set().union(*map(set, rounds))
     head = [n for n in QUERIES if n not in certified]
     redo = [n for n in _RECERTIFY if n in QUERIES and n in certified]

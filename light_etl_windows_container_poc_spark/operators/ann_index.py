@@ -33,6 +33,15 @@ from .similarity import (_nprobe_clusters_expr, _prep, assign_nearest_cluster,
                          kmeans_lite)
 
 
+def load_centroids(spark: SparkSession,
+                   index_path: str) -> list[tuple[int, list[float]]]:
+    """The persisted coarse quantizer as the (cluster, vector) list the
+    assignment/probe helpers take."""
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    return [(int(r["cluster"]), [float(x) for x in r["cv"]])
+            for r in cents.collect()]
+
+
 def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
                     index_path: str, n_clusters: int = 8,
                     train_sample_fraction: float | None = None) -> int:
@@ -82,9 +91,7 @@ def query_ivf_index(spark: SparkSession, index_path: str,
     the vectors scan prunes to the probed directories (nprobe/k of the
     corpus); scoring then broadcasts the query batch into those
     partitions. Returns (q_id, n_id, sim, rank)."""
-    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
-    centroids = [(int(r["cluster"]), [float(x) for x in r["cv"]])
-                 for r in cents.collect()]
+    centroids = load_centroids(spark, index_path)
     q = _prep(queries, id_col, vec_col, "q_id", "qv", "nq")
     q_probes = (q.withColumn(
         "probes", _nprobe_clusters_expr(F.col("qv"), centroids, nprobe))
@@ -149,6 +156,34 @@ def build_pq_index(corpus: DataFrame, id_col: str, vec_col: str,
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise
+
+
+def append_to_ivf_index(batch: DataFrame, id_col: str, vec_col: str,
+                        index_path: str) -> int:
+    """Append a new batch to an EXISTING IVF index — the 100 TB serving
+    pattern (daily arrivals land in the index without re-reading or
+    re-clustering the corpus). Assignment uses the PERSISTED centroids
+    (map-only, one pass over the batch); rows append into the existing
+    cluster directories. Returns the number of appended vectors.
+
+    Atomicity: a multi-file parquet append is NOT atomic — a crash can
+    leave some of the batch's files visible. Queries stay correct
+    (extra rows are real vectors, never wrong neighbors, because the
+    quantizer is unchanged); replaying the batch would duplicate rows,
+    so replays need the `incremental_exact_dedup` batch-tag pattern or
+    an id-keyed compaction sweep. Recall drift: centroids age as the
+    corpus grows — appended vectors can land in a cluster whose
+    centroid no longer represents them, shaving nprobe<k recall (the
+    drift-bound test measures it); periodic `build_ivf_index` rebuilds
+    are the re-centering lever, and probe-all queries stay exact at
+    ANY drift."""
+    centroids = load_centroids(batch.sparkSession, index_path)
+    c = _prep(batch, id_col, vec_col, "n_id", "nv", "nn")
+    assigned = assign_nearest_cluster(c, "nv", centroids)
+    n = assigned.count()
+    (assigned.write.partitionBy("cluster").mode("append")
+     .parquet(os.path.join(index_path, "vectors")))
+    return n
 
 
 def load_pq_books(spark: SparkSession,
@@ -217,3 +252,137 @@ def query_pq_index(spark: SparkSession, index_path: str, corpus: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "sim", "rank"))
+
+
+# --------------------------------------------------------------------------
+# Persistent IVF-PQ index: the FAISS-standard serving layout — a coarse
+# quantizer prunes WHICH codes a query scans (cluster-partitioned
+# directories → PartitionFilters), PQ shrinks WHAT the scan reads
+# (8 ints/vector), the exact re-rank restores precision. The composed
+# tier the two indexes above exist to feed.
+# --------------------------------------------------------------------------
+
+def build_ivfpq_index(corpus: DataFrame, id_col: str, vec_col: str,
+                      index_path: str, n_clusters: int = 8, m: int = 8,
+                      ksub: int = 16, sample_limit: int = 4096,
+                      train_sample_fraction: float | None = None,
+                      centroids: list[tuple[int, list[float]]] | None = None,
+                      books: list[list[list[float]]] | None = None) -> int:
+    """Train both quantizers (coarse k-means + sampled PQ codebooks),
+    then assign AND encode the corpus in ONE map-only pass (the cluster
+    id rides `pq_encode`'s passthrough — no corpus-sized join), landing:
+
+        index/
+          centroids/  k rows (cluster, centroid vector)
+          books/      m·ksub rows (subspace, code, centroid array)
+          codes/      (n_id, codes array<int>) PARTITIONED BY cluster
+
+    Codes are RAW-vector PQ (not residual): one shared ADC lookup table
+    serves every cluster — see `ann_ivfpq_topk`. Partitioning codes by
+    cluster is what turns nprobe into PartitionFilters at the scan
+    (plan-asserted in tests): query cost follows probed fraction ×
+    8 bytes/vector, the product of both tiers' savings. Same atomic
+    staging+rename contract as the other builders (a crash mid-build
+    leaves the previous index serving — new centroids against old
+    cluster directories would silently mis-prune).
+
+    ``centroids``/``books`` accept pre-trained artifacts (used by the
+    append-equality tests to rebuild at FIXED quantizers). Returns the
+    number of indexed vectors."""
+    import shutil
+    import tempfile
+
+    from .similarity import pq_encode, pq_train
+
+    parent = os.path.dirname(os.path.abspath(index_path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix=".ivfpq_staging_", dir=parent)
+    try:
+        spark = corpus.sparkSession
+        if centroids is None:
+            cents = kmeans_lite(corpus, id_col, vec_col, k=n_clusters,
+                                sample_fraction=train_sample_fraction)
+            centroids = [(int(r["cluster"]), [float(x) for x in r["cv"]])
+                         for r in cents.collect()]
+        (spark.createDataFrame(centroids, "cluster int, cv array<double>")
+         .write.parquet(os.path.join(staging, "centroids")))
+        if books is None:
+            books = pq_train(corpus, id_col, vec_col, m=m, ksub=ksub,
+                             sample_limit=sample_limit)
+        rows = [(j, c, books[j][c]) for j in range(len(books))
+                for c in range(len(books[j]))]
+        (spark.createDataFrame(rows,
+                               "subspace int, code int, centroid array<double>")
+         .write.parquet(os.path.join(staging, "books")))
+        c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
+        assigned = assign_nearest_cluster(c, "nv", centroids)
+        codes = pq_encode(assigned, "n_id", "nv", books,
+                          passthrough=("cluster",))
+        (codes.write.partitionBy("cluster")
+         .parquet(os.path.join(staging, "codes")))
+        n = spark.read.parquet(os.path.join(staging, "codes")).count()
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    if os.path.isdir(index_path):
+        shutil.rmtree(index_path)
+    os.replace(staging, index_path)  # same-filesystem rename — atomic
+    return n
+
+
+def append_to_ivfpq_index(batch: DataFrame, id_col: str, vec_col: str,
+                          index_path: str) -> int:
+    """Append a batch to an existing IVF-PQ index: assign + encode with
+    the PERSISTED quantizers (one map-only pass), append into the
+    cluster directories. Query-after-append provably equals a rebuild
+    at the same fixed centroids/books (tested), because neither
+    quantizer changes — only the code set grows. Same non-atomic-append
+    and recall-drift caveats as `append_to_ivf_index`; probe-all +
+    rerank ≥ corpus stays exact at any drift."""
+    from .similarity import pq_encode
+
+    spark = batch.sparkSession
+    centroids = load_centroids(spark, index_path)
+    books = load_pq_books(spark, index_path)
+    c = _prep(batch, id_col, vec_col, "n_id", "nv", "nn")
+    assigned = assign_nearest_cluster(c, "nv", centroids)
+    codes = pq_encode(assigned, "n_id", "nv", books,
+                      passthrough=("cluster",))
+    n = codes.count()
+    (codes.write.partitionBy("cluster").mode("append")
+     .parquet(os.path.join(index_path, "codes")))
+    return n
+
+
+def query_ivfpq_index(spark: SparkSession, index_path: str,
+                      corpus: DataFrame, queries: DataFrame, id_col: str,
+                      vec_col: str, k: int = 5, nprobe: int = 3,
+                      rerank: int = 128) -> DataFrame:
+    """Top-k against the persisted IVF-PQ index: the probed cluster set
+    becomes an `isin` filter on the PARTITION column (the codes scan
+    prunes to nprobe/k of the directories — PartitionFilters, plan-
+    asserted), the ADC scan reads 8 ints/vector with per-query cluster
+    masking (a code row scores only for queries that probed its
+    cluster), and the exact re-rank runs on candidate ids against the
+    corpus vectors. Identical results to `ann_ivfpq_topk` at the same
+    quantizers — proven in tests — without re-training or re-encoding.
+    Returns (q_id, n_id, sim, rank)."""
+    import numpy as np
+
+    from ..session import ensure_package_on_executors
+    from .similarity import (adc_scan_candidates, exact_rerank_topk,
+                             nprobe_sets)
+
+    ensure_package_on_executors(spark)
+    centroids = load_centroids(spark, index_path)
+    books = load_pq_books(spark, index_path)
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([[float(x) for x in r[1]] for r in q_rows],
+                  dtype=np.float64)
+    mask, probe_ids = nprobe_sets(qm, centroids, nprobe)
+    codes = (spark.read.parquet(os.path.join(index_path, "codes"))
+             .filter(F.col("cluster").isin(probe_ids)))
+    cand = adc_scan_candidates(codes, books, q_ids, qm, rerank,
+                               probe_mask=mask)
+    return exact_rerank_topk(cand, corpus, queries, id_col, vec_col, k)

@@ -775,11 +775,18 @@ def pq_train(corpus: DataFrame, id_col: str, vec_col: str, m: int = 8,
 
 
 def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
-              books: list[list[list[float]]]) -> DataFrame:
-    """(id, codes array<int>) — map-only Arrow-batched encoding: per
-    subspace, argmin distance to its codebook. The codes relation is the
-    persistable PQ index (8 ints/vector); nothing here shuffles."""
+              books: list[list[list[float]]],
+              passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """(n_id, codes array<int>[, passthrough…]) — map-only Arrow-batched
+    encoding: per subspace, argmin distance to its codebook. The codes
+    relation is the persistable PQ index (8 ints/vector); nothing here
+    shuffles. ``passthrough`` columns (e.g. an IVF cluster id computed
+    upstream in the same map stage) ride along so composed index builds
+    stay single-pass instead of re-joining corpus-sized relations."""
     import numpy as np
+
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
 
     from ..session import ensure_package_on_executors
 
@@ -787,6 +794,10 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
     B = [np.array(b, dtype=np.float64) for b in books]
     m = len(B)
     dsub = B[0].shape[1]
+    out_schema = StructType(
+        [StructField("n_id", LongType()),
+         StructField("codes", ArrayType(LongType()))]
+        + [corpus.schema[c] for c in passthrough])
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -799,11 +810,13 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
                 S = X[:, j * dsub:(j + 1) * dsub]
                 dist = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = dist.argmin(axis=1)
-            yield pd.DataFrame({"n_id": pdf[id_col].to_numpy(),
-                                "codes": list(codes)})
+            out = {"n_id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        encode, "n_id long, codes array<bigint>")
+    return corpus.select(id_col, vec_col, *passthrough).mapInPandas(
+        encode, out_schema)
 
 
 def ann_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
@@ -853,6 +866,18 @@ def ann_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                                 "n_id": cid[idx.ravel()][keep]})
 
     cand = codes.mapInPandas(adc, "q_id long, n_id long")
+    return exact_rerank_topk(cand, corpus, queries, id_col, vec_col, k)
+
+
+def exact_rerank_topk(cand: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, id_col: str, vec_col: str,
+                      k: int) -> DataFrame:
+    """Exact fold re-score of a (q_id, n_id) candidate relation against
+    the corpus vectors + per-query top-k window — the precision-
+    restoring tail every approximate candidate generator (ADC, LSH,
+    per-batch GEMM) shares. Candidates ≈ output-sized, so the joins and
+    the window are cheap; sims are bit-identical to the naive plan
+    (same `dot/(n·n)` subtree). Returns (q_id, n_id, sim, rank)."""
     q = _prep(queries, id_col, vec_col, "q_id", "qv", "nq")
     c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
     scored = (cand.join(F.broadcast(q), "q_id").join(c, "n_id")
@@ -863,3 +888,117 @@ def ann_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "sim", "rank"))
+
+
+def nprobe_sets(qm, centroids: list[tuple[int, list[float]]],
+                nprobe: int):
+    """Driver-side probe assignment for a collected query matrix:
+    (probe boolean matrix (nq, max_cluster+1), sorted probed ids).
+    Same ordering contract as `_nprobe_clusters_expr` — cosine sim
+    descending, ties to the LOWER cluster id — so plan-literal and
+    numpy probing agree."""
+    import numpy as np
+
+    ordered = sorted(centroids)
+    cl_ids = np.array([c for c, _ in ordered], dtype=np.int64)
+    cm = _l2_normalize_rows(np.array([v for _, v in ordered],
+                                     dtype=np.float64))
+    sims = _l2_normalize_rows(qm) @ cm.T  # (nq, k)
+    order = np.lexsort((np.broadcast_to(cl_ids, sims.shape), -sims),
+                       axis=1)[:, :nprobe]
+    probed = cl_ids[order]  # (nq, nprobe) cluster ids
+    mask = np.zeros((qm.shape[0], int(cl_ids.max()) + 1), dtype=bool)
+    rows = np.repeat(np.arange(qm.shape[0]), probed.shape[1])
+    mask[rows, probed.ravel()] = True
+    return mask, sorted({int(x) for x in probed.ravel()})
+
+
+def adc_scan_candidates(codes: DataFrame, books: list[list[list[float]]],
+                        q_ids, qm, rerank: int,
+                        probe_mask=None) -> DataFrame:
+    """Per-Arrow-batch ADC scan over a (n_id, codes[, cluster]) relation:
+    lookup-table sums against the collected query matrix, emitting each
+    batch's local top-``rerank`` candidates per query — tie-safe
+    (`_local_topt_ids`) and self-match-free. With ``probe_mask``
+    ((nq, n_clusters) boolean; requires a ``cluster`` column), a code
+    row only scores for queries that probed its cluster — the IVF-PQ
+    composition. Shuffles carry |q|·n_batches·rerank rows only."""
+    import numpy as np
+
+    B = [np.array(b, dtype=np.float64) for b in books]
+    dsub = B[0].shape[1]
+    qmn = _l2_normalize_rows(np.asarray(qm, dtype=np.float64))
+    qi = np.asarray(q_ids, dtype=np.int64)
+    lut = np.stack([qmn[:, j * dsub:(j + 1) * dsub] @ B[j].T
+                    for j in range(len(B))], axis=1)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (b, m)
+            cid = pdf["n_id"].to_numpy(dtype=np.int64)
+            sims = lut[:, np.arange(C.shape[1])[None, :], C].sum(axis=2)
+            if probe_mask is not None:
+                cl = pdf["cluster"].to_numpy(dtype=np.int64)
+                sims[~probe_mask[:, cl]] = -np.inf
+            sims[qi[:, None] == cid[None, :]] = -np.inf
+            t = min(rerank, sims.shape[1])
+            idx = _local_topt_ids(sims, cid, t)
+            vals = np.take_along_axis(sims, idx, axis=1).ravel()
+            keep = np.isfinite(vals)
+            yield pd.DataFrame({"q_id": np.repeat(qi, t)[keep],
+                                "n_id": cid[idx.ravel()][keep]})
+
+    return codes.mapInPandas(adc, "q_id long, n_id long")
+
+
+def ann_ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                   vec_col: str, k: int = 5, n_clusters: int = 8,
+                   nprobe: int = 3, m: int = 8, ksub: int = 16,
+                   rerank: int = 128,
+                   centroids: list[tuple[int, list[float]]] | None = None,
+                   books: list[list[list[float]]] | None = None,
+                   train_sample_fraction: float | None = None) -> DataFrame:
+    """IVF-PQ (the FAISS-standard serving layout) as a one-shot
+    composition of the two existing tiers: a coarse quantizer prunes
+    WHICH codes are scanned (IVF), product quantization shrinks WHAT a
+    scan reads (8 ints/vector), and the exact fold re-rank restores
+    precision on the candidates. Codes are RAW-vector PQ, not
+    residual: one shared (nq, m, ksub) ADC lookup table serves every
+    cluster (residual codes need a per-(cluster, subspace) table — k×
+    the LUT memory for recall the re-rank step already recovers here).
+
+    Map-only assignment + encoding in ONE pass (cluster rides
+    `pq_encode`'s passthrough — no corpus-sized join), masked ADC scan
+    (a code row scores only for queries that probed its cluster), and
+    shuffles carry only candidate rows. With ``nprobe == n_clusters``
+    and ``rerank ≥ |corpus|`` every code scores for every query, so
+    the result provably equals `ann_bruteforce_topk` — the
+    certification twin. ``centroids``/``books`` accept pre-trained
+    artifacts (a persisted index's halves) so index-vs-direct equality
+    is testable at fixed quantizers."""
+    import numpy as np
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(corpus.sparkSession)
+    if centroids is None:
+        centroids = [(int(r["cluster"]), [float(x) for x in r["cv"]])
+                     for r in kmeans_lite(
+                         corpus, id_col, vec_col, k=n_clusters,
+                         sample_fraction=train_sample_fraction).collect()]
+    if books is None:
+        books = pq_train(corpus, id_col, vec_col, m=m, ksub=ksub)
+    c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
+    assigned = assign_nearest_cluster(c, "nv", centroids)
+    codes = pq_encode(assigned, "n_id", "nv", books,
+                      passthrough=("cluster",))
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([[float(x) for x in r[1]] for r in q_rows],
+                  dtype=np.float64)
+    mask, _probed = nprobe_sets(qm, centroids, nprobe)
+    cand = adc_scan_candidates(codes, books, q_ids, qm, rerank,
+                               probe_mask=mask)
+    return exact_rerank_topk(cand, corpus, queries, id_col, vec_col, k)

@@ -41,3 +41,4 @@ from . import breadth24  # noqa: F401,E402
 from . import breadth25  # noqa: F401,E402
 from . import breadth26  # noqa: F401,E402
 from . import breadth27  # noqa: F401,E402
+from . import breadth28  # noqa: F401,E402

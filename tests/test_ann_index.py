@@ -51,3 +51,147 @@ def test_probe_all_clusters_equals_bruteforce(spark, sf_dir, tmp_path):
     assert sorted((r["q_id"], r["n_id"], r["rank"])
                   for r in approx.collect()) == \
         sorted((r["q_id"], r["n_id"], r["rank"]) for r in exact.collect())
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: composed tier + append paths
+# --------------------------------------------------------------------------
+
+def _topk_set(df):
+    return sorted((r["q_id"], r["n_id"], r["rank"]) for r in df.collect())
+
+
+def test_ivfpq_build_query_pruning_and_recall(spark, sf_dir, tmp_path):
+    from light_etl_windows_container_poc_spark.operators.ann_index import (
+        build_ivfpq_index, query_ivfpq_index)
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    idx = str(tmp_path / "ivfpq")
+    n = build_ivfpq_index(emb, "vec_id", "embedding", idx, n_clusters=8)
+    assert n == emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = query_ivfpq_index(spark, idx, emb, queries, "vec_id",
+                            "embedding", k=5, nprobe=3, rerank=64)
+    # nprobe must reach the CODES scan as directory pruning
+    plan = formatted_plan(res)
+    assert "PartitionFilters" in plan and "cluster" in plan
+    rows = res.collect()
+    assert {r["q_id"] for r in rows} == {0, 1, 2, 3, 4}
+    exact = ann_bruteforce_topk(emb, queries, "vec_id", "embedding", k=5)
+    truth = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    got = {(r["q_id"], r["n_id"]) for r in rows}
+    assert len(got & truth) / len(truth) >= 0.6
+
+
+def test_ivfpq_index_matches_direct_composition(spark, sf_dir, tmp_path):
+    """The persisted path (build → pruned scan → masked ADC → re-rank)
+    must equal the one-shot `ann_ivfpq_topk` at the SAME quantizers —
+    persistence is a layout change, never a semantics change."""
+    from light_etl_windows_container_poc_spark.operators.ann_index import (
+        build_ivfpq_index, load_centroids, load_pq_books,
+        query_ivfpq_index)
+    from light_etl_windows_container_poc_spark.operators.similarity import \
+        ann_ivfpq_topk
+
+    emb = (load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+           .filter(F.col("vec_id") < 400))
+    idx = str(tmp_path / "ivfpq_eq")
+    build_ivfpq_index(emb, "vec_id", "embedding", idx, n_clusters=4)
+    queries = emb.filter(F.col("vec_id") < 3)
+    # rerank covers the probed codes: below that, per-batch local top-t
+    # sets depend on file layout, which differs between the two paths
+    via_index = query_ivfpq_index(spark, idx, emb, queries, "vec_id",
+                                  "embedding", k=4, nprobe=2,
+                                  rerank=1 << 30)
+    direct = ann_ivfpq_topk(emb, queries, "vec_id", "embedding", k=4,
+                            n_clusters=4, nprobe=2, rerank=1 << 30,
+                            centroids=load_centroids(spark, idx),
+                            books=load_pq_books(spark, idx))
+    assert _topk_set(via_index) == _topk_set(direct)
+
+
+def test_ivfpq_probe_all_rerank_all_equals_bruteforce(spark, sf_dir,
+                                                      tmp_path):
+    from light_etl_windows_container_poc_spark.operators.ann_index import (
+        build_ivfpq_index, query_ivfpq_index)
+
+    emb = (load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+           .filter(F.col("vec_id") < 300))
+    idx = str(tmp_path / "ivfpq_all")
+    build_ivfpq_index(emb, "vec_id", "embedding", idx, n_clusters=4)
+    queries = emb.filter(F.col("vec_id") < 3)
+    approx = query_ivfpq_index(spark, idx, emb, queries, "vec_id",
+                               "embedding", k=4, nprobe=4, rerank=1 << 30)
+    exact = ann_bruteforce_topk(emb, queries, "vec_id", "embedding", k=4)
+    assert _topk_set(approx) == _topk_set(exact)
+
+
+def test_ivf_append_then_probe_all_is_exact_and_lands_in_partitions(
+        spark, sf_dir, tmp_path):
+    """Append a new batch to a built IVF index: rows must land in the
+    existing cluster directories (assignment against the PERSISTED
+    centroids) and a probe-all query over the grown index must equal
+    brute force over the grown corpus — exactness survives ANY
+    centroid drift; only partial-probe recall pays for it."""
+    from light_etl_windows_container_poc_spark.operators.ann_index import (
+        append_to_ivf_index, build_ivf_index, query_ivf_index)
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 350))
+    grown = emb.filter(F.col("vec_id") < 350)
+    idx = str(tmp_path / "ivf_app")
+    build_ivf_index(base, "vec_id", "embedding", idx, n_clusters=4)
+    n = append_to_ivf_index(batch, "vec_id", "embedding", idx)
+    assert n == batch.count()
+    stored = spark.read.parquet(str(tmp_path / "ivf_app" / "vectors"))
+    assert stored.count() == grown.count()
+    assert stored.select("cluster").distinct().count() <= 4
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = query_ivf_index(spark, idx, queries, "vec_id", "embedding",
+                          k=4, nprobe=4)
+    exact = ann_bruteforce_topk(grown, queries, "vec_id", "embedding", k=4)
+    assert _topk_set(got) == _topk_set(exact)
+    # drift bound: partial-probe recall on the grown index stays sane
+    part = query_ivf_index(spark, idx, queries, "vec_id", "embedding",
+                           k=4, nprobe=2)
+    truth = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    hits = {(r["q_id"], r["n_id"]) for r in part.collect()} & truth
+    assert len(hits) / len(truth) >= 0.5
+
+
+def test_ivfpq_append_equals_rebuild_at_fixed_quantizers(spark, sf_dir,
+                                                         tmp_path):
+    """query-after-append == query-after-rebuild when centroids AND
+    codebooks are held fixed: neither quantizer changes on append, so
+    the only difference is WHEN the codes landed — which must not be
+    observable. Compared at PARTIAL probe (pruning, masking, and ADC
+    all see the appended rows) with rerank ≥ probed codes: below that,
+    per-Arrow-batch local top-t candidate sets legitimately depend on
+    FILE LAYOUT (append vs rebuild lay codes out differently), which
+    is the documented rerank-recall trade, not an append defect."""
+    from light_etl_windows_container_poc_spark.operators.ann_index import (
+        append_to_ivfpq_index, build_ivfpq_index, load_centroids,
+        load_pq_books, query_ivfpq_index)
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 350))
+    grown = emb.filter(F.col("vec_id") < 350)
+    idx_a = str(tmp_path / "ivfpq_app")
+    build_ivfpq_index(base, "vec_id", "embedding", idx_a, n_clusters=4)
+    n = append_to_ivfpq_index(batch, "vec_id", "embedding", idx_a)
+    assert n == batch.count()
+    cents = load_centroids(spark, idx_a)
+    books = load_pq_books(spark, idx_a)
+    idx_b = str(tmp_path / "ivfpq_reb")
+    build_ivfpq_index(grown, "vec_id", "embedding", idx_b,
+                      centroids=cents, books=books)
+    queries = emb.filter(F.col("vec_id") < 3)
+    appended = query_ivfpq_index(spark, idx_a, grown, queries, "vec_id",
+                                 "embedding", k=4, nprobe=2,
+                                 rerank=1 << 30)
+    rebuilt = query_ivfpq_index(spark, idx_b, grown, queries, "vec_id",
+                                "embedding", k=4, nprobe=2,
+                                rerank=1 << 30)
+    assert _topk_set(appended) == _topk_set(rebuilt)

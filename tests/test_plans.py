@@ -66,7 +66,11 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
                                  "ann_ivf_fullprobe_exact",
                                  "hybrid_rrf_search",
                                  # PQ: Arrow-batched encode + ADC scan
-                                 "ann_pq", "ann_pq_recall_floor")]
+                                 "ann_pq", "ann_pq_recall_floor",
+                                 # IVF-PQ: the same encode/ADC paths
+                                 # behind the persisted index
+                                 "ann_ivfpq",
+                                 "ann_ivfpq_fullprobe_exact")]
     for name in jvm_queries:
         assert_no_python_udf(QUERIES[name](spark, sf_dir))
 
