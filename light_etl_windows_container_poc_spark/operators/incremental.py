@@ -11,11 +11,20 @@ directory (the `scale_discovery` / `ann_ivf_index` state-table shape):
 - ``exact/``  — (content_hash, keep_id): one row per kept document.
 - ``sigs/``   — (doc, sig array<bigint>): minhash signatures of KEPT docs.
 - ``bands/``  — (doc, band, band_hash): the LSH banding of ``sigs``,
-  pre-exploded so a batch probes history with ONE equi-join on
-  (band, band_hash) — per-batch cost follows batch size + collision
-  volume, never history size. At warehouse scale, bucket ``bands/`` by
-  band_hash (`scale_bucketed_join`) to make the probe join shuffle-free
-  on the history side; ``exact/`` likewise by content_hash.
+  pre-exploded so a batch probes history with ONE equi-join on the
+  band hash — per-batch cost follows batch size + collision volume,
+  never history size. Pass ``bucket_bands`` to `build_minhash_index`
+  to persist this table HASH-BUCKETED by band_hash: the probe join
+  then reads the history side `Bucketed: true` with NO Exchange (only
+  the batch shuffles, to the bucket count) — plan-asserted in tests.
+  Measured Spark constraint behind the key choice: a join on
+  (band, band_hash) DISABLES bucketed scans entirely ("disabled by
+  query planner" — join keys must equal the bucket keys), so the
+  probe joins on band_hash alone everywhere; a cross-band hash
+  collision can only ADD a candidate pair, and candidates are always
+  verified against full signatures, so keep decisions are identical
+  (tested bucketed-vs-plain). ``exact/`` could be bucketed by
+  content_hash the same way.
 
 Semantics — GREEDY-VS-KEPT (order-sequential by id), chosen because it
 is the semantics that makes batch processing EXACTLY equivalent to a
@@ -145,15 +154,95 @@ def _band_table(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
         band_hash_array(bands, rows)).alias("band", "band_hash"))
 
 
+def _bands_table_name(bands_path: str) -> str:
+    """Deterministic catalog name for a bucketed bands state table —
+    derived from the path so independent indexes never collide and a
+    fresh session can re-register the same table."""
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(bands_path).encode()).hexdigest()[:12]
+    return f"letl_bands_{h}"
+
+
+def _bucket_spec_path(bands_path: str) -> str:
+    # underscore prefix: hidden from parquet file listings, like _SUCCESS
+    return os.path.join(bands_path, "_bucket_spec.json")
+
+
+_BANDS_DDL_COLS = "doc BIGINT, band INT, band_hash BIGINT, batch_tag BIGINT"
+
+
+def _read_bands(spark: SparkSession, bands_path: str) -> DataFrame:
+    """The bands state table, as a BUCKETED catalog table when the
+    index was built with ``bucket_bands`` (re-registering it in a fresh
+    session from the _bucket_spec marker — bucket ids live in the file
+    names, so an external CLUSTERED BY table over the same location is
+    exactly the written layout), else a plain parquet read."""
+    import json
+
+    spec_path = _bucket_spec_path(bands_path)
+    if not os.path.exists(spec_path):
+        return spark.read.parquet(bands_path)
+    with open(spec_path) as f:
+        spec = json.load(f)
+    name = _bands_table_name(bands_path)
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} ({_BANDS_DDL_COLS}) USING PARQUET "
+            f"CLUSTERED BY (band_hash) INTO {spec['num_buckets']} BUCKETS "
+            f"LOCATION '{os.path.abspath(bands_path)}'")
+    return spark.table(name)
+
+
+def _write_bands(banded: DataFrame, bands_path: str, mode: str,
+                 bucket_bands: int | None) -> None:
+    """Land (doc, band, band_hash, batch_tag) rows as plain parquet or
+    as the hash-bucketed catalog table the shuffle-free probe reads.
+    Appends to a bucketed table re-register it first (a fresh session's
+    catalog is empty) and re-declare the same bucket spec."""
+    import json
+
+    if bucket_bands is None and not os.path.exists(
+            _bucket_spec_path(bands_path)):
+        banded.write.mode(mode).parquet(bands_path)
+        return
+    spark = banded.sparkSession
+    name = _bands_table_name(bands_path)
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if os.path.isdir(bands_path):
+            import shutil
+
+            shutil.rmtree(bands_path)
+        n_buckets = bucket_bands
+    else:
+        with open(_bucket_spec_path(bands_path)) as f:
+            n_buckets = json.load(f)["num_buckets"]
+        _read_bands(spark, bands_path)  # ensure the table is registered
+    (banded.write.mode(mode).format("parquet")
+     .bucketBy(n_buckets, "band_hash")
+     .option("path", os.path.abspath(bands_path)).saveAsTable(name))
+    with open(_bucket_spec_path(bands_path), "w") as f:
+        json.dump({"num_buckets": n_buckets, "key": "band_hash"}, f)
+
+
 def build_minhash_index(df: DataFrame, id_col: str, text_col: str,
                         index_dir: str, num_hashes: int = 128,
                         bands: int = 32, n: int = 3,
                         seed: int = 42,
-                        num_parts: int | None = None) -> None:
+                        num_parts: int | None = None,
+                        bucket_bands: int | None = None) -> None:
     """Initialize sigs/ + bands/ from an already-deduplicated corpus.
     Signatures are map-only; the band table is a posexplode of the same
     `band_hash_array` expression the in-corpus LSH join uses, so index
-    keys and batch keys are identical across runs (fixed seed)."""
+    keys and batch keys are identical across runs (fixed seed).
+
+    ``bucket_bands``: persist bands/ HASH-BUCKETED by band_hash into
+    that many buckets — the warehouse-scale layout that deletes the
+    history-side shuffle from every later probe join (the history side
+    of the probe is the table that grows with the corpus; the batch
+    side stays batch-sized). Size buckets so a bucket's rows fit an
+    executor's sort memory at full history."""
     # eager checkpoint, not persist: the signature fold is a large
     # generated expression, and checkpointing materializes it ONCE so
     # the band-table plan (and nothing downstream) re-embeds/re-compiles
@@ -162,10 +251,10 @@ def build_minhash_index(df: DataFrame, id_col: str, text_col: str,
                          num_parts=num_parts).localCheckpoint(eager=True)
     (sigs.withColumn("batch_tag", F.lit(-1).cast("long"))
      .write.mode("overwrite").parquet(os.path.join(index_dir, SIGS_SUBDIR)))
-    (_band_table(sigs, bands, num_hashes // bands)
-     .withColumn("batch_tag", F.lit(-1).cast("long"))
-     .write.mode("overwrite")
-     .parquet(os.path.join(index_dir, BANDS_SUBDIR)))
+    _write_bands(_band_table(sigs, bands, num_hashes // bands)
+                 .withColumn("batch_tag", F.lit(-1).cast("long")),
+                 os.path.join(index_dir, BANDS_SUBDIR),
+                 "overwrite", bucket_bands)
 
 
 def greedy_keep(ids: DataFrame, pairs: DataFrame,
@@ -284,9 +373,15 @@ def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
                           num_parts=num_parts).localCheckpoint(eager=True)
     bbands = _band_table(bsigs, bands, rows)
 
-    # --- history candidates: equi-join on the band key, verify on sigs
+    # --- history candidates: equi-join on the band hash, verify on sigs.
+    # band_hash ALONE is the join key (not (band, band_hash)): bucketed
+    # scans require join keys == bucket keys — the composite key plans
+    # "Bucketed: false (disabled by query planner)" and shuffles the
+    # history side every probe. A cross-band hash collision can only ADD
+    # a candidate pair, and every candidate is verified against full
+    # signatures below, so keep decisions are unchanged.
     if has_history:
-        hist_bands = spark.read.parquet(bands_path)
+        hist_bands = _read_bands(spark, bands_path)
         hist_sigs = spark.read.parquet(sigs_path)
         if batch_tag is not None:
             if "batch_tag" in hist_bands.columns:
@@ -296,8 +391,9 @@ def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
                 hist_sigs = hist_sigs.filter(
                     F.col("batch_tag") != batch_tag)
         cand_h = (bbands.join(hist_bands
-                              .withColumnRenamed("doc", "h_doc"),
-                              ["band", "band_hash"])
+                              .withColumnRenamed("doc", "h_doc")
+                              .select("h_doc", "band_hash"),
+                              "band_hash")
                   .select("doc", "h_doc").dropDuplicates(["doc", "h_doc"]))
         hist_sigs = hist_sigs \
             .select(F.col("doc").alias("h_doc"), F.col("sig").alias("h_sig"))
@@ -342,7 +438,7 @@ def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
         kept_sigs = bsigs.join(kept, "doc")
         kept_sigs.withColumn("batch_tag", tag) \
             .write.mode("append").parquet(sigs_path)
-        (_band_table(kept_sigs, bands, rows)
-         .withColumn("batch_tag", tag)
-         .write.mode("append").parquet(bands_path))
+        _write_bands(_band_table(kept_sigs, bands, rows)
+                     .withColumn("batch_tag", tag),
+                     bands_path, "append", None)
     return decisions

@@ -161,3 +161,116 @@ def test_greedy_keep_settles_at_exact_round_bound(spark):
 
     with _pytest.raises(RuntimeError, match="did not settle"):
         greedy_keep(ids, pairs, max_rounds=2).collect()
+
+
+# --------------------------------------------------------------------------
+# bucketed bands state table: shuffle-free history-side probe
+# --------------------------------------------------------------------------
+
+def test_bucketed_bands_probe_has_no_history_side_exchange(spark, docs,
+                                                           tmp_path):
+    """With bands/ bucketed by band_hash, the probe join must read the
+    history side `Bucketed: true` with NO Exchange above its scan —
+    only the (small) batch shuffles, to the bucket count. This is the
+    100 TB lever: the history table grows with the corpus; the probe
+    cost must not."""
+    from light_etl_windows_container_poc_spark.operators.incremental import (
+        _band_table, _minhash_sigs, _read_bands)
+
+    idx = str(tmp_path / "bidx")
+    build_minhash_index(docs, "doc_id", "text", idx, num_hashes=32,
+                        bands=8, num_parts=4, bucket_bands=8)
+    bands_path = os.path.join(idx, "bands")
+    assert os.path.exists(os.path.join(bands_path, "_bucket_spec.json"))
+    # the EXACT probe join the operator builds (its return value is
+    # checkpointed, so the probe plan must be asserted pre-checkpoint)
+    batch = (docs.limit(20)
+             .select((F.col("doc_id") + 10_000).alias("doc_id"), "text"))
+    bsigs = _minhash_sigs(batch, "doc_id", "text", 32, 3, 42, num_parts=4)
+    probe = (_band_table(bsigs, 8, 4)
+             .join(_read_bands(spark, bands_path)
+                   .withColumnRenamed("doc", "h_doc")
+                   .select("h_doc", "band_hash"), "band_hash"))
+    # a CERTIFICATION-sized batch broadcasts (BroadcastHashJoin — zero
+    # shuffle on either side, the right plan when the batch is tiny);
+    # the bucketing pays off when the batch outgrows broadcast, so
+    # force the sort-merge path to assert the at-scale shape
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert "Bucketed: true" in plan, plan
+    assert "disabled by query planner" not in plan, plan
+    # the history leg (the subtree containing the bands FileScan) must
+    # hold NO Exchange: in the plan text the bucketed scan's leg is the
+    # last child printed under the join — everything from that leg's
+    # opening Sort to the FileScan line must be exchange-free (the
+    # batch leg's Exchange prints before it)
+    scan_pos = plan.index("letl_bands_")
+    join_pos = max(plan.rfind("SortMergeJoin", 0, scan_pos),
+                   plan.rfind("ShuffledHashJoin", 0, scan_pos))
+    assert join_pos >= 0, plan
+    between = plan[join_pos:scan_pos]
+    hist_leg = between[between.rfind("+- Sort"):] if "+- Sort" in between \
+        else between
+    assert "Exchange" not in hist_leg, plan
+    # and the decisions through the full operator are real
+    dec = incremental_minhash_dedup(batch, "doc_id", "text", idx,
+                                    num_hashes=32, bands=8, num_parts=4,
+                                    update_index=False)
+    assert all(r.dup_of_history == 1 for r in dec.collect())
+
+
+def test_bucketed_bands_decisions_equal_plain(spark, docs, tmp_path):
+    """Bucketing (and the band_hash-only probe key) is a LAYOUT change:
+    keep decisions across build + two probe batches must be identical
+    to the plain-parquet index."""
+    variants = (docs.filter(F.col("doc_id") % 6 == 0)
+                .select((F.col("doc_id") + 10_000).alias("doc_id"),
+                        F.concat("text", F.lit(" tail")).alias("text")))
+    kw = dict(num_hashes=32, bands=8, threshold=0.8, seed=7, num_parts=4)
+    results = {}
+    for tag, bucket in (("plain", None), ("bucketed", 8)):
+        idx = str(tmp_path / tag)
+        build_minhash_index(docs, "doc_id", "text", idx, num_hashes=32,
+                            bands=8, seed=7, num_parts=4,
+                            bucket_bands=bucket)
+        got = {}
+        for b in (variants, variants.select(
+                (F.col("doc_id") + 5_000).alias("doc_id"), "text")):
+            for r in incremental_minhash_dedup(b, "doc_id", "text", idx,
+                                               **kw).collect():
+                got[r.doc_id] = (r.dup_of_history, r.keep)
+        results[tag] = got
+    assert results["plain"] == results["bucketed"]
+    assert any(v == (1, 0) for v in results["plain"].values())
+
+
+def test_bucketed_bands_reregisters_in_fresh_catalog(spark, docs,
+                                                     tmp_path):
+    """A new session's catalog is empty — the bucket spec marker must
+    re-register the external CLUSTERED BY table over the existing
+    files (bucket ids live in the file names), keeping later probes
+    shuffle-free and appends bucket-consistent."""
+    from light_etl_windows_container_poc_spark.operators.incremental import (
+        _bands_table_name, _read_bands)
+
+    idx = str(tmp_path / "ridx")
+    build_minhash_index(docs, "doc_id", "text", idx, num_hashes=32,
+                        bands=8, num_parts=4, bucket_bands=8)
+    bands_path = os.path.join(idx, "bands")
+    name = _bands_table_name(bands_path)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")  # simulate a fresh session
+    hist = _read_bands(spark, bands_path)
+    assert spark.catalog.tableExists(name)
+    n0 = hist.count()
+    # append through the re-registered table, then read back everything
+    batch = (docs.limit(7).select((F.col("doc_id") + 30_000)
+                                  .alias("doc_id"), "text"))
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    incremental_minhash_dedup(batch, "doc_id", "text", idx,
+                              num_hashes=32, bands=8, num_parts=4)
+    got = _read_bands(spark, bands_path).count()
+    assert got == n0  # all 7 were history dups → nothing appended
