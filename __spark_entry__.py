@@ -184,10 +184,10 @@ _RECERTIFY = [
     "window_percent_rank", "agg_stats_moments", "agg_median",
     "text_chunk", "agg_filter", "agg_misc", "agg_histogram",
     "sample_stratified", "inverted_index", "doc_cooccur",
-    "embed_centroid", "funnel", "cohort_retention",
-    # r7 code changes already r6-certified — the two most
-    # behavior-adjacent rows get fresh driver hashes too
-    "q11_important_parts", "knn_graph",
+    "embed_centroid", "funnel",
+    # q11's threshold was REBASED this round (the old one hash-passed
+    # an empty result) — its r6 record is stale, so it re-certifies
+    "q11_important_parts",
 ]
 
 

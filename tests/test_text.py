@@ -109,3 +109,144 @@ def test_gopher_rules_flags(spark):
     assert out[1].keep
     assert not out[2].pass_word_count and not out[2].keep
     assert not out[3].pass_alpha and not out[3].keep
+
+
+# --------------------------------------------------------------------------
+# Trigram Kneser-Ney backoff identities (queries/breadth28.py)
+# --------------------------------------------------------------------------
+
+def _kn_counts(texts):
+    """Reference counts with the exact conventions the operator
+    documents: everything derives from the trigram token stream."""
+    from collections import Counter
+
+    tris = []
+    for t in texts:
+        w = t.split()
+        tris += [(w[i], w[i + 1], w[i + 2]) for i in range(len(w) - 2)]
+    ty = set(tris)
+    return {
+        "c_tri": Counter(tris),
+        "c_ctx": Counter((a, b) for a, b, _ in tris),
+        "fan_hi": Counter((a, b) for a, b, _ in ty),
+        "mid_num": Counter((b, c) for _, b, c in ty),
+        "mid_den": Counter(b for _, b, _ in ty),
+        "fan_mid": Counter(),  # filled below
+        "cont_num": Counter(c for _, c in {(b, c) for _, b, c in ty}),
+        "bity": {(b, c) for _, b, c in ty},
+        "ty": ty, "tris": tris,
+    }
+
+
+def test_trigram_kn_distributions_sum_to_one_exactly():
+    """With every count derived from the trigram stream, interpolated
+    KN sums to EXACTLY 1 over the continuation vocabulary at both
+    backoff levels — verified in rational arithmetic (the identity the
+    integer micro-unit formula discretizes)."""
+    from fractions import Fraction as Fr
+
+    texts = ["a b c a b d a b c", "b c a b c d", "c a b a b c",
+             "d d d a b c d"]
+    K = _kn_counts(texts)
+    for b, c in K["bity"]:
+        K["fan_mid"][b] += 1
+    D = Fr(3, 4)
+    cont_den = len(K["bity"])
+    vocab = set(K["cont_num"])
+
+    def p_cont(w3):
+        return Fr(K["cont_num"][w3], cont_den)
+
+    def p_mid(w2, w3):
+        md = K["mid_den"][w2]
+        lam2 = D * K["fan_mid"][w2] / md
+        base = (Fr(K["mid_num"][(w2, w3)]) - D) / md \
+            if (w2, w3) in K["bity"] else Fr(0)
+        return base + lam2 * p_cont(w3)
+
+    def p_hi(w1, w2, w3):
+        cc = K["c_ctx"][(w1, w2)]
+        lam = D * K["fan_hi"][(w1, w2)] / cc
+        base = (Fr(K["c_tri"][(w1, w2, w3)]) - D) / cc \
+            if (w1, w2, w3) in K["ty"] else Fr(0)
+        return base + lam * p_mid(w2, w3)
+
+    assert sum(p_cont(w) for w in vocab) == 1
+    for w2 in K["mid_den"]:
+        assert sum(p_mid(w2, w) for w in vocab) == 1, w2
+    for (w1, w2) in K["c_ctx"]:
+        assert sum(p_hi(w1, w2, w) for w in vocab) == 1, (w1, w2)
+
+
+def test_trigram_kn_query_matches_integer_reference(spark):
+    """The Spark plan's per-doc sums equal a pure-Python replay of the
+    SAME integer micro-unit formula over the same counts — truncating
+    div, 1e6 scale, trigram-stream conventions."""
+    from light_etl_windows_container_poc_spark.queries.breadth28 import \
+        trigram_kn_scores
+
+    texts = ["a b c a b d a b c", "b c a b c d", "c a b a b c",
+             "d d d a b c d", "a b"]  # last doc: no trigrams → no row
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_trigrams, r.sum_kn_micro, r.avg_kn_micro)
+           for r in trigram_kn_scores(docs).collect()}
+
+    K = _kn_counts(texts)
+    for b, c in K["bity"]:
+        K["fan_mid"][b] += 1
+    cont_den = len(K["bity"])
+    want = {}
+    for i, t in enumerate(texts):
+        w = t.split()
+        tot, n = 0, 0
+        for j in range(len(w) - 2):
+            w1, w2, w3 = w[j], w[j + 1], w[j + 2]
+            cc = K["c_ctx"][(w1, w2)]
+            md = K["mid_den"][w2]
+            p_cont = (1_000_000 * K["cont_num"][w3]) // cont_den
+            p_mid = ((1_000_000 * K["mid_num"][(w2, w3)] - 750_000) // md
+                     + ((750_000 * K["fan_mid"][w2]) // md) * p_cont
+                     // 1_000_000)
+            kn = ((1_000_000 * K["c_tri"][(w1, w2, w3)] - 750_000) // cc
+                  + ((750_000 * K["fan_hi"][(w1, w2)]) // cc) * p_mid
+                  // 1_000_000)
+            tot += kn
+            n += 1
+        if n:
+            want[i] = (n, tot, tot // n)
+    assert got == want
+
+
+def test_dedup_paragraph_drops_later_instances_and_reassembles(spark):
+    """A paragraph (10-word chunk) shared across docs survives only at
+    its first (doc_id, position) occurrence; reassembly stitches the
+    kept chunks back in order."""
+    para_a = "p q r s t u v w x y"          # shared chunk
+    tail_b = "one two three"
+    docs = spark.createDataFrame(
+        [(1, para_a + " a b c d e f g h i j"),
+         (2, para_a + " " + tail_b),         # loses para_a, keeps tail
+         (3, "a b c d e f g h i j " + para_a)],  # chunk0 dups doc1's 2nd
+        "doc_id long, text string")
+    from light_etl_windows_container_poc_spark.queries.breadth28 import \
+        dedup_paragraph
+
+    import types
+    # drive the registered query body over the synthetic docs by
+    # rebinding its loader — simpler: replicate via a temp view is
+    # overkill; call the pipeline pieces through a tiny sf_dir shim
+    got = {}
+    import light_etl_windows_container_poc_spark.queries.breadth28 as b28
+    orig = b28.load_tables
+    try:
+        b28.load_tables = lambda _s, _d, _t: {"documents": docs}
+        for r in dedup_paragraph(spark, "unused").collect():
+            got[r.doc_id] = (r.n_paras, r.n_kept, r.clean_text)
+    finally:
+        b28.load_tables = orig
+    assert got[1] == (2, 2, para_a + " a b c d e f g h i j")
+    assert got[2] == (2, 1, tail_b)   # shared chunk gone
+    # BOTH of doc 3's chunks duplicate doc 1's (in either order) — the
+    # whole doc dissolves, the fully-empty reassembly case
+    assert got[3] == (2, 0, "")
