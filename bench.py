@@ -112,6 +112,10 @@ def main() -> None:
     r6_names = set(_ent._R06_POPULATION)
     suite_r6_subset = round(sum(t for n, t in suite_times.items()
                                 if n in r6_names), 3)
+    # ...and the frozen round-7 population for round 8+
+    r7_names = set(_ent._R07_POPULATION)
+    suite_r7_subset = round(sum(t for n, t in suite_times.items()
+                                if n in r7_names), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -129,6 +133,7 @@ def main() -> None:
         "suite_r4_subset_sec": suite_r4_subset,
         "suite_r5_subset_sec": suite_r5_subset,
         "suite_r6_subset_sec": suite_r6_subset,
+        "suite_r7_subset_sec": suite_r7_subset,
         "sf": sf_val,
     }))
 

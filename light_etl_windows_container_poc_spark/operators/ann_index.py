@@ -330,6 +330,25 @@ def build_ivfpq_index(corpus: DataFrame, id_col: str, vec_col: str,
     return n
 
 
+def append_to_pq_index(batch: DataFrame, id_col: str, vec_col: str,
+                       index_path: str) -> int:
+    """Append a batch to an existing flat PQ index: encode with the
+    PERSISTED codebooks (map-only) and append to codes/. The codebooks
+    never change on append, so query-after-append equals a rebuild at
+    fixed books (tested); codebook drift mirrors the centroid-drift
+    story — quantization error grows if the data distribution moves,
+    the exact re-rank keeps returned sims true regardless. Same
+    non-atomic multi-file-append caveat as `append_to_ivf_index`."""
+    from .similarity import pq_encode
+
+    spark = batch.sparkSession
+    books = load_pq_books(spark, index_path)
+    codes = pq_encode(batch, id_col, vec_col, books)
+    n = codes.count()
+    codes.write.mode("append").parquet(os.path.join(index_path, "codes"))
+    return n
+
+
 def append_to_ivfpq_index(batch: DataFrame, id_col: str, vec_col: str,
                           index_path: str) -> int:
     """Append a batch to an existing IVF-PQ index: assign + encode with

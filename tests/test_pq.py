@@ -87,3 +87,46 @@ def test_pq_index_build_query_roundtrip(spark, sf_dir, tmp_path):
     again = query_pq_index(spark, idx, emb, qs2, "vec_id", "embedding",
                            k=3, rerank=128).collect()
     assert len(again) == qs2.count() * 3
+
+
+def test_pq_index_append_equals_rebuild_at_fixed_books(spark, sf_dir,
+                                                       tmp_path):
+    """Codebooks never change on append, so query-after-append must
+    equal a rebuild over the grown corpus encoded with the SAME books.
+    Compared at rerank ≥ corpus: below that, per-batch local top-t
+    candidate sets depend on file layout (append vs rebuild lay codes
+    out differently) — the documented rerank-recall trade."""
+    from light_etl_windows_container_poc_spark.operators.ann_index import (
+        append_to_pq_index, build_pq_index, load_pq_books, query_pq_index)
+    from light_etl_windows_container_poc_spark.operators.similarity import \
+        pq_encode
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 350))
+    grown = emb.filter(F.col("vec_id") < 350)
+    idx = str(tmp_path / "pq_app")
+    build_pq_index(base, "vec_id", "embedding", idx, m=8, ksub=16)
+    n = append_to_pq_index(batch, "vec_id", "embedding", idx)
+    assert n == batch.count()
+    books = load_pq_books(spark, idx)
+    # the appended codes must equal a fixed-books re-encode of the batch
+    import os
+
+    stored = spark.read.parquet(os.path.join(idx, "codes"))
+    assert stored.count() == grown.count()
+    want_codes = {r.n_id: list(r.codes)
+                  for r in pq_encode(grown, "vec_id", "embedding",
+                                     books).collect()}
+    got_codes = {r.n_id: list(r.codes) for r in stored.collect()}
+    assert got_codes == want_codes
+    qs = emb.filter(F.col("vec_id") < 3)
+    got = sorted((r.q_id, r.n_id, r.rank)
+                 for r in query_pq_index(spark, idx, grown, qs, "vec_id",
+                                         "embedding", k=4,
+                                         rerank=1 << 30).collect())
+    direct = sorted((r.q_id, r.n_id, r.rank)
+                    for r in ann_pq_topk(grown, qs, "vec_id", "embedding",
+                                         k=4, rerank=1 << 30,
+                                         books=books).collect())
+    assert got == direct and got

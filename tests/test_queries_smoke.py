@@ -93,6 +93,8 @@ def test_frozen_r5_population_is_subset_of_registry():
     assert len(ent._R05_POPULATION) == 201
     assert set(ent._R06_POPULATION) <= set(QUERIES)
     assert len(ent._R06_POPULATION) == 210
+    assert set(ent._R07_POPULATION) <= set(QUERIES)
+    assert len(ent._R07_POPULATION) == 218
 
 
 def test_q11_nonempty_at_realistic_sf(spark):
