@@ -267,7 +267,10 @@ def build_ivfpq_index(corpus: DataFrame, id_col: str, vec_col: str,
                       ksub: int = 16, sample_limit: int = 4096,
                       train_sample_fraction: float | None = None,
                       centroids: list[tuple[int, list[float]]] | None = None,
-                      books: list[list[list[float]]] | None = None) -> int:
+                      books: list[list[list[float]]] | None = None,
+                      residual: bool = False,
+                      anchors: list[tuple[int, list[float]]] | None = None,
+                      ) -> int:
     """Train both quantizers (coarse k-means + sampled PQ codebooks),
     then assign AND encode the corpus in ONE map-only pass (the cluster
     id rides `pq_encode`'s passthrough — no corpus-sized join), landing:
@@ -306,20 +309,70 @@ def build_ivfpq_index(corpus: DataFrame, id_col: str, vec_col: str,
                          for r in cents.collect()]
         (spark.createDataFrame(centroids, "cluster int, cv array<double>")
          .write.parquet(os.path.join(staging, "centroids")))
+        c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
+        assigned = assign_nearest_cluster(c, "nv", centroids)
+        if residual and anchors is not None:
+            # fixed-quantizer rebuild (append-equality contract): reuse
+            # the caller's anchors verbatim instead of re-deriving them
+            # from this corpus
+            (spark.createDataFrame(anchors,
+                                   "cluster int, av array<double>")
+             .write.parquet(os.path.join(staging, "anchors")))
+        elif residual:
+            # residual anchors = per-cluster MEANS OF NORMALIZED
+            # vectors (one distributed aggregation, k×dim result) —
+            # the mean minimizes within-cluster SSE, so residual
+            # variance ≤ raw variance by construction (subtracting the
+            # unit-norm centroid instead measurably WORSENS it on
+            # weakly-clustered data; see similarity.anchor_matrix)
+            nx = F.when(F.col("nn") == 0, F.lit(0.0))                 .otherwise(F.col("x") / F.col("nn"))
+            anchors_rows = (assigned
+                            .select("cluster", "nn",
+                                    F.posexplode("nv").alias("pos", "x"))
+                            .select("cluster", "pos", nx.alias("xn"))
+                            .groupBy("cluster", "pos")
+                            .agg(F.avg("xn").alias("m"))
+                            .groupBy("cluster")
+                            .agg(F.array_sort(F.collect_list(
+                                F.struct("pos", "m"))).alias("pm"))
+                            .select("cluster",
+                                    F.transform("pm",
+                                                lambda s: s.getField("m"))
+                                    .alias("av")))
+            anchors = [(int(r["cluster"]), [float(x) for x in r["av"]])
+                       for r in anchors_rows.collect()]
+            (spark.createDataFrame(anchors,
+                                   "cluster int, av array<double>")
+             .write.parquet(os.path.join(staging, "anchors")))
         if books is None:
-            books = pq_train(corpus, id_col, vec_col, m=m, ksub=ksub,
-                             sample_limit=sample_limit)
+            if residual:
+                from .similarity import pq_train_residual_sample
+
+                books = pq_train_residual_sample(
+                    corpus, id_col, vec_col, centroids, anchors,
+                    m=m, ksub=ksub, sample_limit=sample_limit)
+            else:
+                books = pq_train(corpus, id_col, vec_col, m=m, ksub=ksub,
+                                 sample_limit=sample_limit)
         rows = [(j, c, books[j][c]) for j in range(len(books))
                 for c in range(len(books[j]))]
         (spark.createDataFrame(rows,
                                "subspace int, code int, centroid array<double>")
          .write.parquet(os.path.join(staging, "books")))
-        c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
-        assigned = assign_nearest_cluster(c, "nv", centroids)
-        codes = pq_encode(assigned, "n_id", "nv", books,
-                          passthrough=("cluster",))
+        if residual:
+            from .similarity import pq_encode_residual
+
+            codes = pq_encode_residual(assigned, "n_id", "nv", books,
+                                       anchors)
+        else:
+            codes = pq_encode(assigned, "n_id", "nv", books,
+                              passthrough=("cluster",))
         (codes.write.partitionBy("cluster")
          .parquet(os.path.join(staging, "codes")))
+        import json
+
+        with open(os.path.join(staging, "_ivfpq_meta.json"), "w") as f:
+            json.dump({"residual": residual, "m": m, "ksub": ksub}, f)
         n = spark.read.parquet(os.path.join(staging, "codes")).count()
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
@@ -349,6 +402,26 @@ def append_to_pq_index(batch: DataFrame, id_col: str, vec_col: str,
     return n
 
 
+def load_anchors(spark: SparkSession,
+                 index_path: str) -> list[tuple[int, list[float]]]:
+    """The persisted residual anchors (cluster → mean of normalized
+    members) of a residual IVF-PQ index."""
+    rows = spark.read.parquet(os.path.join(index_path, "anchors")).collect()
+    return [(int(r["cluster"]), [float(x) for x in r["av"]]) for r in rows]
+
+
+def _ivfpq_meta(index_path: str) -> dict:
+    """Index metadata ({"residual": bool, ...}); indexes built before
+    the residual option default to raw-code semantics."""
+    import json
+
+    meta_path = os.path.join(index_path, "_ivfpq_meta.json")
+    if not os.path.exists(meta_path):
+        return {"residual": False}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
 def append_to_ivfpq_index(batch: DataFrame, id_col: str, vec_col: str,
                           index_path: str) -> int:
     """Append a batch to an existing IVF-PQ index: assign + encode with
@@ -365,8 +438,14 @@ def append_to_ivfpq_index(batch: DataFrame, id_col: str, vec_col: str,
     books = load_pq_books(spark, index_path)
     c = _prep(batch, id_col, vec_col, "n_id", "nv", "nn")
     assigned = assign_nearest_cluster(c, "nv", centroids)
-    codes = pq_encode(assigned, "n_id", "nv", books,
-                      passthrough=("cluster",))
+    if _ivfpq_meta(index_path).get("residual"):
+        from .similarity import pq_encode_residual
+
+        codes = pq_encode_residual(assigned, "n_id", "nv", books,
+                                   load_anchors(spark, index_path))
+    else:
+        codes = pq_encode(assigned, "n_id", "nv", books,
+                          passthrough=("cluster",))
     n = codes.count()
     (codes.write.partitionBy("cluster").mode("append")
      .parquet(os.path.join(index_path, "codes")))
@@ -400,8 +479,19 @@ def query_ivfpq_index(spark: SparkSession, index_path: str,
     qm = np.array([[float(x) for x in r[1]] for r in q_rows],
                   dtype=np.float64)
     mask, probe_ids = nprobe_sets(qm, centroids, nprobe)
+    cluster_scalar = None
+    if _ivfpq_meta(index_path).get("residual"):
+        # ADC over residual codes needs the q̂·a_cluster correction:
+        # a tiny (nq × k) matrix indexed by cluster id
+        from .similarity import _l2_normalize_rows, anchor_matrix
+
+        a_ids, am = anchor_matrix(load_anchors(spark, index_path))
+        qmn = _l2_normalize_rows(np.asarray(qm, dtype=np.float64))
+        cluster_scalar = np.zeros((qmn.shape[0], int(a_ids.max()) + 1))
+        cluster_scalar[:, a_ids] = qmn @ am.T
     codes = (spark.read.parquet(os.path.join(index_path, "codes"))
              .filter(F.col("cluster").isin(probe_ids)))
     cand = adc_scan_candidates(codes, books, q_ids, qm, rerank,
-                               probe_mask=mask)
+                               probe_mask=mask,
+                               cluster_scalar=cluster_scalar)
     return exact_rerank_topk(cand, corpus, queries, id_col, vec_col, k)

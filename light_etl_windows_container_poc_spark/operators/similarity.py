@@ -755,6 +755,16 @@ def pq_train(corpus: DataFrame, id_col: str, vec_col: str, m: int = 8,
             .limit(sample_limit).collect())
     X = _l2_normalize_rows(np.array(
         [[float(x) for x in r[1]] for r in rows], dtype=np.float64))
+    return pq_train_matrix(X, m=m, ksub=ksub, iters=iters)
+
+
+def pq_train_matrix(X, m: int = 8, ksub: int = 16,
+                    iters: int = 8) -> list[list[list[float]]]:
+    """The numpy Lloyd core of `pq_train` over an ALREADY-prepared
+    training matrix — factored out so residual IVF-PQ can train
+    codebooks on (vector − coarse centroid) rows with identical
+    determinism (seeds = first ksub rows, argmin ties to the lowest
+    centroid)."""
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -915,14 +925,19 @@ def nprobe_sets(qm, centroids: list[tuple[int, list[float]]],
 
 def adc_scan_candidates(codes: DataFrame, books: list[list[list[float]]],
                         q_ids, qm, rerank: int,
-                        probe_mask=None) -> DataFrame:
+                        probe_mask=None, cluster_scalar=None) -> DataFrame:
     """Per-Arrow-batch ADC scan over a (n_id, codes[, cluster]) relation:
     lookup-table sums against the collected query matrix, emitting each
     batch's local top-``rerank`` candidates per query — tie-safe
     (`_local_topt_ids`) and self-match-free. With ``probe_mask``
     ((nq, n_clusters) boolean; requires a ``cluster`` column), a code
     row only scores for queries that probed its cluster — the IVF-PQ
-    composition. Shuffles carry |q|·n_batches·rerank rows only."""
+    composition. ``cluster_scalar`` ((nq, n_clusters) float) adds the
+    RESIDUAL-encoding correction q·ĉ_cluster per row: with codes over
+    residuals, ADC(q, x) = q·ĉ_k + Σⱼ LUT[q, j, codeⱼ] — one shared
+    LUT still serves every cluster because the codebooks are trained
+    on POOLED residuals (the FAISS IVFPQ layout); only the tiny scalar
+    matrix is per-cluster. Shuffles carry |q|·n_batches·rerank rows."""
     import numpy as np
 
     B = [np.array(b, dtype=np.float64) for b in books]
@@ -939,6 +954,9 @@ def adc_scan_candidates(codes: DataFrame, books: list[list[list[float]]],
             C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (b, m)
             cid = pdf["n_id"].to_numpy(dtype=np.int64)
             sims = lut[:, np.arange(C.shape[1])[None, :], C].sum(axis=2)
+            if cluster_scalar is not None:
+                cl = pdf["cluster"].to_numpy(dtype=np.int64)
+                sims = sims + cluster_scalar[:, cl]
             if probe_mask is not None:
                 cl = pdf["cluster"].to_numpy(dtype=np.int64)
                 sims[~probe_mask[:, cl]] = -np.inf
@@ -1002,3 +1020,119 @@ def ann_ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     cand = adc_scan_candidates(codes, books, q_ids, qm, rerank,
                                probe_mask=mask)
     return exact_rerank_topk(cand, corpus, queries, id_col, vec_col, k)
+
+
+# --------------------------------------------------------------------------
+# Residual encoding for IVF-PQ (the FAISS IVFPQ default): codebooks
+# train on (x̂ − ĉ_assigned) POOLED across clusters — residuals carry
+# far less variance than raw vectors once the coarse quantizer has
+# absorbed cluster structure, so the same ksub spends its codes on
+# finer detail. One codebook set (and one ADC LUT) still serves the
+# whole index; only a tiny (nq × k) q·ĉ scalar matrix is per-cluster.
+# --------------------------------------------------------------------------
+
+def normalized_centroid_matrix(centroids: list[tuple[int, list[float]]]):
+    """(cluster ids ASC, L2-normalized k×dim centroid matrix) — the
+    shared artifact of residual encoding (subtract ĉ_k), the residual
+    ADC scalar (q·ĉ_k), and driver-side probe assignment."""
+    import numpy as np
+
+    ordered = sorted(centroids)
+    cl_ids = np.array([c for c, _ in ordered], dtype=np.int64)
+    cm = _l2_normalize_rows(np.array([v for _, v in ordered],
+                                     dtype=np.float64))
+    return cl_ids, cm
+
+
+def anchor_matrix(anchors: list[tuple[int, list[float]]]):
+    """(cluster ids ASC, UN-normalized k×dim anchor matrix). Residual
+    anchors are per-cluster MEANS OF NORMALIZED members, not normalized
+    centroids: the mean minimizes within-cluster SSE, so residual
+    variance ≤ raw variance is GUARANTEED (measured: subtracting the
+    unit-norm centroid instead INCREASED reconstruction error 0.54→0.71
+    on weakly-clustered uniform vectors — ‖x̂−ĉ‖² ≈ 2−2·x̂·ĉ > 1 when
+    cluster structure is weak). The ADC decomposition q̂·x̂ =
+    q̂·a_k + q̂·(x̂−a_k) is exact for ANY fixed per-cluster offset, so
+    correctness never depends on the anchor choice — only code-budget
+    efficiency does."""
+    import numpy as np
+
+    ordered = sorted(anchors)
+    cl_ids = np.array([c for c, _ in ordered], dtype=np.int64)
+    am = np.array([v for _, v in ordered], dtype=np.float64)
+    return cl_ids, am
+
+
+def pq_train_residual_sample(corpus: DataFrame, id_col: str, vec_col: str,
+                             centroids: list[tuple[int, list[float]]],
+                             anchors: list[tuple[int, list[float]]],
+                             m: int = 8, ksub: int = 16,
+                             sample_limit: int = 4096,
+                             iters: int = 8) -> list[list[list[float]]]:
+    """Residual codebooks from the lowest-id sample: normalize, assign
+    to the nearest centroid replicating `assign_nearest_cluster`'s
+    tie-break (argmax over centroids sorted by cluster id → lowest id
+    wins), subtract the cluster's residual ANCHOR, Lloyd per subspace —
+    same determinism contract as `pq_train`."""
+    import numpy as np
+
+    rows = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_limit).collect())
+    X = _l2_normalize_rows(np.array(
+        [[float(x) for x in r[1]] for r in rows], dtype=np.float64))
+    _cl_ids, cm = normalized_centroid_matrix(centroids)
+    assign = np.argmax(X @ cm.T, axis=1)
+    a_ids, am = anchor_matrix(anchors)
+    pos = np.full(int(a_ids.max()) + 1, -1, dtype=np.int64)
+    pos[a_ids] = np.arange(len(a_ids))
+    return pq_train_matrix(X - am[pos[_cl_ids[assign]]], m=m, ksub=ksub,
+                           iters=iters)
+
+
+def pq_encode_residual(assigned: DataFrame, id_col: str, vec_col: str,
+                       books: list[list[list[float]]],
+                       anchors: list[tuple[int, list[float]]],
+                       cluster_col: str = "cluster") -> DataFrame:
+    """(n_id, codes, cluster) — map-only residual encoding: normalize,
+    subtract the row's cluster residual ANCHOR (mean of normalized
+    members — see `anchor_matrix`), per-subspace argmin against the
+    residual codebooks. ``assigned`` must already carry ``cluster_col``
+    (from `assign_nearest_cluster`, the same map stage — the composed
+    index build stays single-pass)."""
+    import numpy as np
+
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(assigned.sparkSession)
+    B = [np.array(b, dtype=np.float64) for b in books]
+    m = len(B)
+    dsub = B[0].shape[1]
+    cl_ids, cm = anchor_matrix(anchors)
+    pos = np.full(int(cl_ids.max()) + 1, -1, dtype=np.int64)
+    pos[cl_ids] = np.arange(len(cl_ids))  # cluster id → anchor row
+    out_schema = StructType([StructField("n_id", LongType()),
+                             StructField("codes", ArrayType(LongType())),
+                             StructField("cluster", IntegerType())])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _l2_normalize_rows(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            cl = pdf[cluster_col].to_numpy(dtype=np.int64)
+            R = X - cm[pos[cl]]
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                S = R[:, j * dsub:(j + 1) * dsub]
+                dist = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame({"n_id": pdf[id_col].to_numpy(),
+                                "codes": list(codes),
+                                "cluster": cl.astype(np.int32)})
+
+    return assigned.select(id_col, vec_col, cluster_col).mapInPandas(
+        encode, out_schema)

@@ -195,3 +195,120 @@ def test_ivfpq_append_equals_rebuild_at_fixed_quantizers(spark, sf_dir,
                                 "embedding", k=4, nprobe=2,
                                 rerank=1 << 30)
     assert _topk_set(appended) == _topk_set(rebuilt)
+
+
+def test_ivfpq_residual_probe_all_equals_bruteforce_and_recall(
+        spark, sf_dir, tmp_path):
+    """Residual encoding (the FAISS IVFPQ default): codebooks train on
+    x̂ − ĉ_assigned pooled across clusters; ADC adds the q·ĉ_k scalar.
+    Degenerate settings must still equal brute force exactly (the
+    re-rank is encoding-agnostic), and at serving settings residual
+    recall must clear the same floor as raw codes."""
+    from light_etl_windows_container_poc_spark.operators.ann_index import (
+        build_ivfpq_index, query_ivfpq_index)
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    idx = str(tmp_path / "ivfpq_res")
+    n = build_ivfpq_index(emb, "vec_id", "embedding", idx, n_clusters=8,
+                          residual=True)
+    assert n == emb.count()
+    import json
+    import os
+
+    meta = json.load(open(os.path.join(idx, "_ivfpq_meta.json")))
+    assert meta["residual"] is True
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = ann_bruteforce_topk(emb, queries, "vec_id", "embedding", k=5)
+    full = query_ivfpq_index(spark, idx, emb, queries, "vec_id",
+                             "embedding", k=5, nprobe=8, rerank=1 << 30)
+    assert _topk_set(full) == _topk_set(exact)
+    part = query_ivfpq_index(spark, idx, emb, queries, "vec_id",
+                             "embedding", k=5, nprobe=3, rerank=64)
+    truth = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    got = {(r["q_id"], r["n_id"]) for r in part.collect()}
+    assert len(got & truth) / len(truth) >= 0.6
+
+
+def test_ivfpq_residual_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Appending to a residual index re-encodes with the persisted
+    centroids AND residual codebooks (the meta marker routes the
+    encode) — query-after-append == rebuild at fixed quantizers."""
+    from light_etl_windows_container_poc_spark.operators.ann_index import (
+        append_to_ivfpq_index, build_ivfpq_index, load_centroids,
+        load_pq_books, query_ivfpq_index)
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 350))
+    grown = emb.filter(F.col("vec_id") < 350)
+    idx_a = str(tmp_path / "res_app")
+    build_ivfpq_index(base, "vec_id", "embedding", idx_a, n_clusters=4,
+                      residual=True)
+    append_to_ivfpq_index(batch, "vec_id", "embedding", idx_a)
+    from light_etl_windows_container_poc_spark.operators.ann_index import \
+        load_anchors
+
+    idx_b = str(tmp_path / "res_reb")
+    build_ivfpq_index(grown, "vec_id", "embedding", idx_b,
+                      centroids=load_centroids(spark, idx_a),
+                      books=load_pq_books(spark, idx_a), residual=True,
+                      anchors=load_anchors(spark, idx_a))
+    queries = emb.filter(F.col("vec_id") < 3)
+    appended = query_ivfpq_index(spark, idx_a, grown, queries, "vec_id",
+                                 "embedding", k=4, nprobe=2,
+                                 rerank=1 << 30)
+    rebuilt = query_ivfpq_index(spark, idx_b, grown, queries, "vec_id",
+                                "embedding", k=4, nprobe=2,
+                                rerank=1 << 30)
+    assert _topk_set(appended) == _topk_set(rebuilt)
+
+
+def test_residual_codes_quantize_tighter_than_raw(spark, sf_dir,
+                                                  tmp_path):
+    """The reason residual is the FAISS default: with the coarse
+    centroid absorbed, the SAME m×ksub code budget reconstructs
+    vectors strictly better. Compare mean squared reconstruction
+    error of raw-PQ vs residual-PQ decode over the corpus."""
+    import numpy as np
+
+    from light_etl_windows_container_poc_spark.operators.ann_index import (
+        build_ivfpq_index, load_centroids, load_pq_books)
+    from light_etl_windows_container_poc_spark.operators.similarity import (
+        _l2_normalize_rows, anchor_matrix, normalized_centroid_matrix)
+
+    emb = (load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+           .filter(F.col("vec_id") < 1000))
+    errs = {}
+    for tag, residual in (("raw", False), ("res", True)):
+        idx = str(tmp_path / f"recon_{tag}")
+        build_ivfpq_index(emb, "vec_id", "embedding", idx, n_clusters=8,
+                          residual=residual)
+        books = [np.array(b) for b in load_pq_books(spark, idx)]
+        if residual:
+            from light_etl_windows_container_poc_spark.operators.ann_index \
+                import load_anchors
+
+            cl_ids, cm = anchor_matrix(load_anchors(spark, idx))
+        else:
+            cl_ids, cm = normalized_centroid_matrix(
+                load_centroids(spark, idx))
+        pos = np.full(int(cl_ids.max()) + 1, -1, dtype=np.int64)
+        pos[cl_ids] = np.arange(len(cl_ids))
+        import os
+
+        rows = (spark.read.parquet(os.path.join(idx, "codes"))
+                .join(emb.select(F.col("vec_id").alias("n_id"),
+                                 "embedding"), "n_id").collect())
+        dsub = books[0].shape[1]
+        se, n = 0.0, 0
+        for r in rows:
+            x = _l2_normalize_rows(np.array([r["embedding"]],
+                                            dtype=np.float64))[0]
+            rec = np.concatenate([books[j][r["codes"][j]]
+                                  for j in range(len(books))])
+            if residual:
+                rec = rec + cm[pos[r["cluster"]]]
+            se += float(((x - rec) ** 2).sum())
+            n += 1
+        errs[tag] = se / n
+    assert errs["res"] < errs["raw"], errs
