@@ -23,8 +23,9 @@ directory (the `scale_discovery` / `ann_ivf_index` state-table shape):
   probe joins on band_hash alone everywhere; a cross-band hash
   collision can only ADD a candidate pair, and candidates are always
   verified against full signatures, so keep decisions are identical
-  (tested bucketed-vs-plain). ``exact/`` could be bucketed by
-  content_hash the same way.
+  (tested bucketed-vs-plain). ``exact/`` buckets by content_hash the
+  same way (`build_exact_index(bucket_hashes=N)`) — there the probe
+  key already equals the bucket key, no relaxation needed.
 
 Semantics — GREEDY-VS-KEPT (order-sequential by id), chosen because it
 is the semantics that makes batch processing EXACTLY equivalent to a
@@ -71,15 +72,22 @@ def _exact_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def build_exact_index(df: DataFrame, id_col: str, text_col: str,
-                      index_dir: str) -> None:
+                      index_dir: str,
+                      bucket_hashes: int | None = None) -> None:
     """Initialize ``index_dir``/exact with the kept representative (min
-    id) per content hash. One shuffle on the 16-byte digest."""
-    (_exact_hashes(df, id_col, text_col)
-     .groupBy("content_hash").agg(F.min("doc").alias("keep_id"))
-     .select("content_hash", "keep_id",
-             F.lit(-1).cast("long").alias("batch_tag"))
-     .write.mode("overwrite")
-     .parquet(os.path.join(index_dir, EXACT_SUBDIR)))
+    id) per content hash. One shuffle on the 16-byte digest.
+
+    ``bucket_hashes``: persist exact/ HASH-BUCKETED by content_hash —
+    the probe join key IS the bucket key here (no key relaxation
+    needed), so later probes read the history side Bucketed: true with
+    no Exchange, exactly like the bands/ table."""
+    rows = (_exact_hashes(df, id_col, text_col)
+            .groupBy("content_hash").agg(F.min("doc").alias("keep_id"))
+            .select("content_hash", "keep_id",
+                    F.lit(-1).cast("long").alias("batch_tag")))
+    _write_state(rows, os.path.join(index_dir, EXACT_SUBDIR),
+                 "overwrite", "content_hash", _EXACT_DDL_COLS,
+                 bucket_hashes)
 
 
 def incremental_exact_dedup(batch: DataFrame, id_col: str, text_col: str,
@@ -106,7 +114,7 @@ def incremental_exact_dedup(batch: DataFrame, id_col: str, text_col: str,
     spark = batch.sparkSession
     path = os.path.join(index_dir, EXACT_SUBDIR)
     if os.path.exists(path):
-        hist = spark.read.parquet(path)
+        hist = _read_state(spark, path, _EXACT_DDL_COLS)
         if batch_tag is not None and "batch_tag" in hist.columns:
             hist = hist.filter(F.col("batch_tag") != batch_tag)
         hist = hist.select("content_hash", F.lit(1).alias("_hist"))
@@ -127,11 +135,12 @@ def incremental_exact_dedup(batch: DataFrame, id_col: str, text_col: str,
         # materialize BEFORE appending: the decisions plan reads the
         # index path it is about to extend
         decisions = decisions.localCheckpoint(eager=True)
-        (decisions.filter(F.col("keep") == 1)
-         .select("content_hash", F.col(id_col).alias("keep_id"),
-                 F.lit(batch_tag if batch_tag is not None else -1)
-                 .cast("long").alias("batch_tag"))
-         .write.mode("append").parquet(path))
+        _write_state(
+            decisions.filter(F.col("keep") == 1)
+            .select("content_hash", F.col(id_col).alias("keep_id"),
+                    F.lit(batch_tag if batch_tag is not None else -1)
+                    .cast("long").alias("batch_tag")),
+            path, "append", "content_hash", _EXACT_DDL_COLS, None)
     return decisions
 
 
@@ -154,76 +163,85 @@ def _band_table(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
         band_hash_array(bands, rows)).alias("band", "band_hash"))
 
 
-def _bands_table_name(bands_path: str) -> str:
-    """Deterministic catalog name for a bucketed bands state table —
-    derived from the path so independent indexes never collide and a
-    fresh session can re-register the same table."""
+def _state_table_name(path: str) -> str:
+    """Deterministic catalog name for a bucketed state table — derived
+    from the path so independent indexes never collide and a fresh
+    session can re-register the same table."""
     import hashlib
 
-    h = hashlib.md5(os.path.abspath(bands_path).encode()).hexdigest()[:12]
-    return f"letl_bands_{h}"
+    h = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    return f"letl_state_{h}"
 
 
-def _bucket_spec_path(bands_path: str) -> str:
+def _bucket_spec_path(path: str) -> str:
     # underscore prefix: hidden from parquet file listings, like _SUCCESS
-    return os.path.join(bands_path, "_bucket_spec.json")
+    return os.path.join(path, "_bucket_spec.json")
 
 
 _BANDS_DDL_COLS = "doc BIGINT, band INT, band_hash BIGINT, batch_tag BIGINT"
+_EXACT_DDL_COLS = "content_hash STRING, keep_id BIGINT, batch_tag BIGINT"
+
+
+def _read_state(spark: SparkSession, path: str, ddl_cols: str) -> DataFrame:
+    """A dedup state table, as a BUCKETED catalog table when the index
+    was built bucketed (re-registering it in a fresh session from the
+    _bucket_spec marker — bucket ids live in the file names, so an
+    external CLUSTERED BY table over the same location is exactly the
+    written layout), else a plain parquet read."""
+    import json
+
+    spec_path = _bucket_spec_path(path)
+    if not os.path.exists(spec_path):
+        return spark.read.parquet(path)
+    with open(spec_path) as f:
+        spec = json.load(f)
+    name = _state_table_name(path)
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl_cols}) USING PARQUET "
+            f"CLUSTERED BY ({spec['key']}) INTO {spec['num_buckets']} "
+            f"BUCKETS LOCATION '{os.path.abspath(path)}'")
+    return spark.table(name)
+
+
+def _write_state(df: DataFrame, path: str, mode: str, key: str,
+                 ddl_cols: str, num_buckets: int | None) -> None:
+    """Land state rows as plain parquet or as the hash-bucketed catalog
+    table the shuffle-free probe reads. Appends to a bucketed table
+    re-register it first (a fresh session's catalog is empty) and
+    re-declare the same bucket spec."""
+    import json
+
+    if num_buckets is None and not os.path.exists(_bucket_spec_path(path)):
+        df.write.mode(mode).parquet(path)
+        return
+    spark = df.sparkSession
+    name = _state_table_name(path)
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+    else:
+        with open(_bucket_spec_path(path)) as f:
+            num_buckets = json.load(f)["num_buckets"]
+        _read_state(spark, path, ddl_cols)  # ensure table is registered
+    (df.write.mode(mode).format("parquet")
+     .bucketBy(num_buckets, key)
+     .option("path", os.path.abspath(path)).saveAsTable(name))
+    with open(_bucket_spec_path(path), "w") as f:
+        json.dump({"num_buckets": num_buckets, "key": key}, f)
 
 
 def _read_bands(spark: SparkSession, bands_path: str) -> DataFrame:
-    """The bands state table, as a BUCKETED catalog table when the
-    index was built with ``bucket_bands`` (re-registering it in a fresh
-    session from the _bucket_spec marker — bucket ids live in the file
-    names, so an external CLUSTERED BY table over the same location is
-    exactly the written layout), else a plain parquet read."""
-    import json
-
-    spec_path = _bucket_spec_path(bands_path)
-    if not os.path.exists(spec_path):
-        return spark.read.parquet(bands_path)
-    with open(spec_path) as f:
-        spec = json.load(f)
-    name = _bands_table_name(bands_path)
-    if not spark.catalog.tableExists(name):
-        spark.sql(
-            f"CREATE TABLE {name} ({_BANDS_DDL_COLS}) USING PARQUET "
-            f"CLUSTERED BY (band_hash) INTO {spec['num_buckets']} BUCKETS "
-            f"LOCATION '{os.path.abspath(bands_path)}'")
-    return spark.table(name)
+    return _read_state(spark, bands_path, _BANDS_DDL_COLS)
 
 
 def _write_bands(banded: DataFrame, bands_path: str, mode: str,
                  bucket_bands: int | None) -> None:
-    """Land (doc, band, band_hash, batch_tag) rows as plain parquet or
-    as the hash-bucketed catalog table the shuffle-free probe reads.
-    Appends to a bucketed table re-register it first (a fresh session's
-    catalog is empty) and re-declare the same bucket spec."""
-    import json
-
-    if bucket_bands is None and not os.path.exists(
-            _bucket_spec_path(bands_path)):
-        banded.write.mode(mode).parquet(bands_path)
-        return
-    spark = banded.sparkSession
-    name = _bands_table_name(bands_path)
-    if mode == "overwrite":
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        if os.path.isdir(bands_path):
-            import shutil
-
-            shutil.rmtree(bands_path)
-        n_buckets = bucket_bands
-    else:
-        with open(_bucket_spec_path(bands_path)) as f:
-            n_buckets = json.load(f)["num_buckets"]
-        _read_bands(spark, bands_path)  # ensure the table is registered
-    (banded.write.mode(mode).format("parquet")
-     .bucketBy(n_buckets, "band_hash")
-     .option("path", os.path.abspath(bands_path)).saveAsTable(name))
-    with open(_bucket_spec_path(bands_path), "w") as f:
-        json.dump({"num_buckets": n_buckets, "key": "band_hash"}, f)
+    _write_state(banded, bands_path, mode, "band_hash", _BANDS_DDL_COLS,
+                 bucket_bands)
 
 
 def build_minhash_index(df: DataFrame, id_col: str, text_col: str,

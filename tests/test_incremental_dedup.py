@@ -208,7 +208,7 @@ def test_bucketed_bands_probe_has_no_history_side_exchange(spark, docs,
     # last child printed under the join — everything from that leg's
     # opening Sort to the FileScan line must be exchange-free (the
     # batch leg's Exchange prints before it)
-    scan_pos = plan.index("letl_bands_")
+    scan_pos = plan.index("letl_state_")
     join_pos = max(plan.rfind("SortMergeJoin", 0, scan_pos),
                    plan.rfind("ShuffledHashJoin", 0, scan_pos))
     assert join_pos >= 0, plan
@@ -255,13 +255,13 @@ def test_bucketed_bands_reregisters_in_fresh_catalog(spark, docs,
     files (bucket ids live in the file names), keeping later probes
     shuffle-free and appends bucket-consistent."""
     from light_etl_windows_container_poc_spark.operators.incremental import (
-        _bands_table_name, _read_bands)
+        _read_bands, _state_table_name)
 
     idx = str(tmp_path / "ridx")
     build_minhash_index(docs, "doc_id", "text", idx, num_hashes=32,
                         bands=8, num_parts=4, bucket_bands=8)
     bands_path = os.path.join(idx, "bands")
-    name = _bands_table_name(bands_path)
+    name = _state_table_name(bands_path)
     spark.sql(f"DROP TABLE IF EXISTS {name}")  # simulate a fresh session
     hist = _read_bands(spark, bands_path)
     assert spark.catalog.tableExists(name)
@@ -274,3 +274,45 @@ def test_bucketed_bands_reregisters_in_fresh_catalog(spark, docs,
                               num_hashes=32, bands=8, num_parts=4)
     got = _read_bands(spark, bands_path).count()
     assert got == n0  # all 7 were history dups → nothing appended
+
+
+def test_bucketed_exact_probe_and_decision_parity(spark, docs, tmp_path):
+    """exact/ bucketed by content_hash: the probe join key IS the
+    bucket key, so the history scan reads Bucketed: true with no
+    Exchange under the sort-merge path — and decisions are identical
+    to the plain-parquet index."""
+    from light_etl_windows_container_poc_spark.operators.incremental import (
+        _EXACT_DDL_COLS, _exact_hashes, _read_state)
+
+    results = {}
+    for tag, buckets in (("plain", None), ("bucketed", 8)):
+        idx = str(tmp_path / f"ex_{tag}")
+        build_exact_index(docs, "doc_id", "text", idx,
+                          bucket_hashes=buckets)
+        copies = (docs.filter(F.col("doc_id") % 5 == 0)
+                  .select((F.col("doc_id") + 10_000).alias("doc_id"),
+                          "text"))
+        dec = incremental_exact_dedup(copies, "doc_id", "text", idx)
+        results[tag] = {r.doc_id: (r.dup_of_history, r.keep)
+                        for r in dec.collect()}
+    assert results["plain"] == results["bucketed"]
+    assert results["plain"] and all(
+        v == (1, 0) for v in results["plain"].values())
+    # plan shape: forced-SMJ probe against the bucketed history
+    ex_path = os.path.join(str(tmp_path / "ex_bucketed"), "exact")
+    hist = _read_state(spark, ex_path, _EXACT_DDL_COLS)
+    probe = _exact_hashes(docs.limit(30), "doc_id", "text").join(
+        hist.select("content_hash", "keep_id"), "content_hash")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert "Bucketed: true" in plan, plan
+    scan_pos = plan.index("letl_state_")
+    between = plan[max(plan.rfind("SortMergeJoin", 0, scan_pos),
+                       plan.rfind("ShuffledHashJoin", 0, scan_pos)):scan_pos]
+    hist_leg = between[between.rfind("+- Sort"):] if "+- Sort" in between \
+        else between
+    assert "Exchange" not in hist_leg, plan
