@@ -206,10 +206,8 @@ def query_pq_index(spark: SparkSession, index_path: str, corpus: DataFrame,
     codebooks — proven in tests — without re-training or re-encoding."""
     import numpy as np
 
-    from ..functions.vectors import dot as _dot
     from ..session import ensure_package_on_executors
     from .similarity import _l2_normalize_rows, _local_topt_ids
-    from .similarity import _prep as prep
 
     ensure_package_on_executors(spark)
     books = load_pq_books(spark, index_path)
@@ -242,16 +240,9 @@ def query_pq_index(spark: SparkSession, index_path: str, corpus: DataFrame,
                                 "n_id": cid[idx.ravel()][keep]})
 
     cand = codes.mapInPandas(adc, "q_id long, n_id long")
-    q = prep(queries, id_col, vec_col, "q_id", "qv", "nq")
-    c = prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
-    scored = (cand.join(F.broadcast(q), "q_id").join(c, "n_id")
-              .filter(F.col("q_id") != F.col("n_id"))
-              .withColumn("sim", _dot(F.col("qv"), F.col("nv"))
-                          / (F.col("nq") * F.col("nn"))))
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "n_id", "sim", "rank"))
+    from .similarity import exact_rerank_topk
+
+    return exact_rerank_topk(cand, corpus, queries, id_col, vec_col, k)
 
 
 # --------------------------------------------------------------------------

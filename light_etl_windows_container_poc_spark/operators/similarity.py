@@ -887,10 +887,15 @@ def exact_rerank_topk(cand: DataFrame, corpus: DataFrame,
     restoring tail every approximate candidate generator (ADC, LSH,
     per-batch GEMM) shares. Candidates ≈ output-sized, so the joins and
     the window are cheap; sims are bit-identical to the naive plan
-    (same `dot/(n·n)` subtree). Returns (q_id, n_id, sim, rank)."""
+    (same `dot/(n·n)` subtree). Candidates are DEDUPED on (q_id, n_id)
+    first: a replayed non-atomic index append duplicates code rows, and
+    a duplicated candidate would otherwise occupy two consecutive ranks
+    — this one candidate-sized exchange makes every index consumer
+    replay-tolerant. Returns (q_id, n_id, sim, rank)."""
     q = _prep(queries, id_col, vec_col, "q_id", "qv", "nq")
     c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
-    scored = (cand.join(F.broadcast(q), "q_id").join(c, "n_id")
+    scored = (cand.dropDuplicates(["q_id", "n_id"])
+              .join(F.broadcast(q), "q_id").join(c, "n_id")
               .filter(F.col("q_id") != F.col("n_id"))
               .withColumn("sim", dot(F.col("qv"), F.col("nv"))
                           / (F.col("nq") * F.col("nn"))))

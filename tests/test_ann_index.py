@@ -312,3 +312,34 @@ def test_residual_codes_quantize_tighter_than_raw(spark, sf_dir,
             n += 1
         errs[tag] = se / n
     assert errs["res"] < errs["raw"], errs
+
+
+def test_replayed_append_does_not_corrupt_query_results(spark, sf_dir,
+                                                        tmp_path):
+    """A crashed-and-replayed non-atomic append duplicates code rows;
+    the candidate dedupe in the re-rank must keep query results
+    identical to a clean index (duplicates would otherwise occupy two
+    consecutive ranks and evict a real neighbor)."""
+    from light_etl_windows_container_poc_spark.operators.ann_index import (
+        append_to_ivfpq_index, build_ivfpq_index, query_ivfpq_index)
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 300))
+    grown = emb.filter(F.col("vec_id") < 300)
+    idx_clean = str(tmp_path / "clean")
+    idx_replay = str(tmp_path / "replay")
+    for idx in (idx_clean, idx_replay):
+        build_ivfpq_index(base, "vec_id", "embedding", idx, n_clusters=4)
+    append_to_ivfpq_index(batch, "vec_id", "embedding", idx_clean)
+    append_to_ivfpq_index(batch, "vec_id", "embedding", idx_replay)
+    append_to_ivfpq_index(batch, "vec_id", "embedding", idx_replay)  # replay
+    queries = emb.filter(F.col("vec_id") < 3)
+    clean = query_ivfpq_index(spark, idx_clean, grown, queries, "vec_id",
+                              "embedding", k=4, nprobe=4, rerank=1 << 30)
+    replay = query_ivfpq_index(spark, idx_replay, grown, queries,
+                               "vec_id", "embedding", k=4, nprobe=4,
+                               rerank=1 << 30)
+    assert _topk_set(clean) == _topk_set(replay)
+    exact = ann_bruteforce_topk(grown, queries, "vec_id", "embedding", k=4)
+    assert _topk_set(replay) == _topk_set(exact)
