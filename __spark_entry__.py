@@ -184,10 +184,12 @@ _RECERTIFY = [
     "window_percent_rank", "agg_stats_moments", "agg_median",
     "text_chunk", "agg_filter", "agg_misc", "agg_histogram",
     "sample_stratified", "inverted_index", "doc_cooccur",
-    "embed_centroid", "funnel",
-    # q11's threshold was REBASED this round (the old one hash-passed
-    # an empty result) — its r6 record is stale, so it re-certifies
-    "q11_important_parts",
+    "embed_centroid",
+    # thresholds REBASED this round (both previously hash-passed an
+    # EMPTY result — the new gate guard caught them): their old
+    # records are stale, so they re-certify; funnel ages one round
+    # to make room
+    "q11_important_parts", "boilerplate_shingles",
 ]
 
 

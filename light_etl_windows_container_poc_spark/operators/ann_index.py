@@ -486,3 +486,40 @@ def query_ivfpq_index(spark: SparkSession, index_path: str,
                                probe_mask=mask,
                                cluster_scalar=cluster_scalar)
     return exact_rerank_topk(cand, corpus, queries, id_col, vec_col, k)
+
+
+def compact_ivfpq_codes(spark: SparkSession, index_path: str) -> int:
+    """The storage sweep the append/replay docstrings promise: rewrite
+    codes/ with exact duplicates removed (crash-window replays of a
+    non-atomic append duplicate whole batches — identical (n_id, codes,
+    cluster) rows, since the quantizers are frozen) and the
+    accumulated per-append small files coalesced. Queries are already
+    RESULT-safe against duplicates (candidate dedupe in the re-rank);
+    this reclaims the storage and scan cost. Atomic: the rewrite lands
+    in a staging directory and swaps in with one rename, so a crash
+    mid-compaction leaves the old codes serving. Returns the row count
+    after compaction."""
+    import shutil
+    import tempfile
+
+    codes_path = os.path.join(index_path, "codes")
+    parent = os.path.dirname(os.path.abspath(codes_path))
+    staging = tempfile.mkdtemp(prefix=".codes_compact_", dir=parent)
+    try:
+        codes = spark.read.parquet(codes_path)
+        # repartition BY the cluster column (partition count stays the
+        # session's shuffle parallelism): each cluster's rows land in
+        # one task, so the partitioned write emits ~one file per
+        # cluster directory — never a single task holding the corpus
+        deduped = (codes.dropDuplicates(["n_id"])
+                   .repartition(F.col("cluster")))
+        (deduped.write.partitionBy("cluster")
+         .parquet(os.path.join(staging, "codes")))
+        n = spark.read.parquet(os.path.join(staging, "codes")).count()
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    shutil.rmtree(codes_path)
+    os.replace(os.path.join(staging, "codes"), codes_path)
+    shutil.rmtree(staging, ignore_errors=True)
+    return n

@@ -84,3 +84,40 @@ def test_clean_replay_skips_applied_batch(spark, sf_dir, tmp_path):
     os.remove(os.path.join(idx, "_applied_batches", "batch_7"))
     handler(batch, 7)
     assert spark.read.parquet(os.path.join(idx, "codes")).count() == 300
+
+
+def test_codes_compaction_removes_replay_duplicates(spark, sf_dir,
+                                                    tmp_path):
+    """The storage sweep: after a crash-window replay duplicated a
+    batch's codes, compaction drops the exact-duplicate rows and
+    coalesces append small-files — queries identical before and
+    after (they already were, via candidate dedupe; compaction
+    reclaims the scan)."""
+    from light_etl_windows_container_poc_spark.operators.ann_index import \
+        compact_ivfpq_codes
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < 200)
+    batch = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 250))
+    grown = emb.filter(F.col("vec_id") < 250)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(base, "vec_id", "embedding", idx, n_clusters=4)
+    handler = ann_append_batch_handler(idx)
+    handler(batch, 1)
+    os.remove(os.path.join(idx, "_applied_batches", "batch_1"))
+    handler(batch, 1)  # crash-window replay → duplicate codes
+    codes_path = os.path.join(idx, "codes")
+    assert spark.read.parquet(codes_path).count() == 300
+    queries = emb.filter(F.col("vec_id") < 3)
+    before = sorted((r.q_id, r.n_id, r.rank) for r in
+                    query_ivfpq_index(spark, idx, grown, queries,
+                                      "vec_id", "embedding", k=4,
+                                      nprobe=4, rerank=1 << 30).collect())
+    n = compact_ivfpq_codes(spark, idx)
+    assert n == 250
+    assert spark.read.parquet(codes_path).count() == 250
+    after = sorted((r.q_id, r.n_id, r.rank) for r in
+                   query_ivfpq_index(spark, idx, grown, queries,
+                                     "vec_id", "embedding", k=4,
+                                     nprobe=4, rerank=1 << 30).collect())
+    assert before == after
