@@ -270,3 +270,78 @@ def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,
     drop = comp.filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))
     return df.join(drop, id_col, "left_anti")
+
+
+def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
+                         n: int = 3, tau_num: int = 4, tau_den: int = 5,
+                         max_df: int | None = None) -> DataFrame:
+    """EXACT Jaccard >= tau pair join via PREFIX FILTERING (the
+    AllPairs/PPJoin family) — the deterministic scale path next to
+    minhash's probabilistic one.
+
+    Under any total order on shingles, a pair with J(a,b) >= tau shares
+    at least one token among the first |s| - ceil(tau*|s|) + 1 tokens of
+    each side (else the remaining suffixes are too short to reach the
+    required overlap ceil(tau*max(|a|,|b|))). Ordering by GLOBAL
+    document frequency ascending puts the RAREST shingles in the
+    prefix, so the candidate self-join runs over the smallest possible
+    buckets: sum(bucket^2) over rare keys instead of all keys — and
+    unlike LSH the result is exact, no recall tradeoff. Candidates are
+    then verified with a full intersection count and the integer
+    cross-multiplied threshold inter*tau_den >= tau_num*(|a|+|b|-inter).
+
+    ``max_df`` keeps the dedup_ngram_jaccard contract (drop shingles in
+    more than that many docs BEFORE sizing/prefixing — boilerplate
+    guard); prefix filtering itself already avoids joining on hot keys.
+    tau = tau_num/tau_den stays rational so every comparison is BIGINT.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.texts import word_shingles
+
+    # word_shingles returns per-doc DISTINCT shingles — no extra
+    # distinct shuffle needed
+    sh = df.select(F.col(id_col).alias("doc"),
+                   F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+    if max_df is not None:
+        hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+               .filter(F.col("df_") > max_df).select("s"))
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    # the shingle stream is re-used three times (df ranking, prefix,
+    # verification) — one materialization
+    sh = sh.localCheckpoint()
+
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+    w_doc = W.partitionBy("doc").orderBy("df_", "s")
+    ranked = (sh.join(dfreq, "s")
+              .select("doc", "s",
+                      F.row_number().over(w_doc).alias("pos"),
+                      F.count(F.lit(1)).over(
+                          W.partitionBy("doc")).alias("sz")))
+    # prefix_len = sz - ceil(tau*sz) + 1, ceil via (num*sz + den-1) div den
+    plen = (F.col("sz")
+            - F.expr(f"({tau_num} * sz + {tau_den} - 1) div {tau_den}")
+            + F.lit(1))
+    pref = ranked.filter(F.col("pos") <= plen).select("doc", "s")
+    cand = (pref.alias("a").join(pref.alias("b"), "s")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(F.col("a.doc").alias("a_id"),
+                    F.col("b.doc").alias("b_id"))
+            .distinct())
+
+    a_sh = sh.select(F.col("doc").alias("a_id"), "s")
+    b_sh = sh.select(F.col("doc").alias("b_id"), "s")
+    inter = (cand.join(a_sh, "a_id").join(b_sh, ["b_id", "s"])
+             .groupBy("a_id", "b_id")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc").alias("a_id"), F.col("n").alias("sa"))
+    sb = sizes.select(F.col("doc").alias("b_id"), F.col("n").alias("sb"))
+    return (inter.join(sa, "a_id").join(sb, "b_id")
+            .filter(F.col("inter") * tau_den
+                    >= tau_num * (F.col("sa") + F.col("sb")
+                                  - F.col("inter")))
+            .select("a_id", "b_id",
+                    F.col("inter").cast("long").alias("inter"),
+                    F.col("sa").cast("long").alias("sa"),
+                    F.col("sb").cast("long").alias("sb")))

@@ -42,3 +42,5 @@ from . import breadth25  # noqa: F401,E402
 from . import breadth26  # noqa: F401,E402
 from . import breadth27  # noqa: F401,E402
 from . import breadth28  # noqa: F401,E402
+from . import breadth29  # noqa: F401,E402
+from . import breadth30  # noqa: F401,E402
