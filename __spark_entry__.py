@@ -158,19 +158,21 @@ _R06_CERTIFIED = [
 
 # Round-7 recertification allocation (head + this list == 50, the
 # driver's per-round budget; test-locked). Head = this round's new
-# queries (11: the IVF-PQ/trigram-KN/paragraph wave, the sampling/
+# queries (12: the IVF-PQ/trigram-KN/paragraph wave, the sampling/
 # skyline/bloom/heavy-hitter/BPE-learning wave, and the prefix-join/
-# z-order wave). The recertify slots then go to the STALE TAIL:
+# z-order/retractable-aggregate wave). The recertify slots then go to
+# the STALE TAIL:
 # queries whose latest driver certification is round 1 or 2 — three-
 # to-four warehouse regenerations ago (the round-6 verdict's top
 # directive). Within the tail: r1-latest first, then r2-latest,
 # registry order. Seven r2 rows were trimmed to fund the new-query
-# waves, chosen to be the LOWEST-risk evictions: dedup_exact and
-# text_tfidf were re-audited by the round-6 judge's own 12-query local
-# replay (12/12 pass), and sample_stratified / inverted_index /
-# doc_cooccur / regex_funcs / null_funcs are unchanged-since-r2
-# single-pattern queries re-proven by this round's THREE full-registry
-# local sweeps (218/218 at each SF). Code changed this round but
+# waves (eight total), chosen to be the LOWEST-risk evictions:
+# dedup_exact and text_tfidf were re-audited by the round-6 judge's
+# own 12-query local replay (12/12 pass), and sample_stratified /
+# inverted_index / doc_cooccur / regex_funcs / null_funcs / text_chunk
+# are unchanged-since-r2 single-pattern queries re-proven by this
+# round's THREE full-registry local sweeps (218/218 at each SF) plus
+# per-SF gates on every new query. Code changed this round but
 # already freshly certified (r6) — ann_bruteforce, the PQ family — is
 # likewise covered by the local gate instead of driver slots.
 _RECERTIFY = [
@@ -188,7 +190,7 @@ _RECERTIFY = [
     "text_clean_pii", "corpus_report", "split_train_test",
     "stream_stateful", "explode_wordcount",
     "window_percent_rank", "agg_stats_moments", "agg_median",
-    "text_chunk", "agg_filter", "agg_misc", "agg_histogram",
+    "agg_filter", "agg_misc", "agg_histogram",
     "embed_centroid",
     # thresholds REBASED this round (both previously hash-passed an
     # EMPTY result — the new gate guard caught them): their old

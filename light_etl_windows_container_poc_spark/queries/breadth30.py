@@ -73,7 +73,9 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Z-order layout certification: interleave 16 bits of o_custkey with 16
 # bits of the order's epoch-day; zones are the VALUE-based 256x256
 # quadtree cells (zone = z div 2^16). For a 2-D probe box (a
-# data-relative custkey band x a fixed 90-day window), per-zone
+# data-relative custkey band x a data-relative ~5%-of-span date
+# window — fixed dates would go vacuous under warehouse regeneration,
+# the q11 lesson), per-zone
 # min/max-rectangle pruning is compared against the SAME pruning on a
 # custkey-sorted layout: the z-layout's zones are tight in BOTH
 # dimensions, the single-key layout's zones span the full date range.
@@ -209,3 +211,66 @@ def zorder_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (pruned(zone_stats(z, "zv div 65536"), "zorder")
            .unionByName(pruned(zone_stats(z, "x div 256"), "custkey_sort")))
     return out.crossJoin(F.broadcast(hits)).orderBy("layout")
+
+
+# --------------------------------------------------------------------------
+# RETRACTABLE incremental aggregate maintenance: agg_incremental_merge
+# proves merge(base, insert-delta) == recompute; real CDC deltas also
+# DELETE. The retractable algebra (count/sum subtract exactly; avg
+# derives) maintains the view without touching base rows: merged =
+# base + inserts - deletes per group, groups at zero dropped. The
+# oracle recomputes from scratch on (base MINUS deletes) UNION inserts
+# — the hash match IS the maintenance theorem. (min/max are not
+# retractable: a delete hitting the current max forces a recompute or
+# a mergeable-summary column; documented, excluded from the view.)
+# --------------------------------------------------------------------------
+@query("agg_incremental_retract", oracle="""
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+),
+ins AS (
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+),
+del AS (SELECT * FROM base WHERE o_orderkey % 7 = 3),
+final_rows AS (
+  SELECT * FROM base WHERE o_orderkey % 7 <> 3
+  UNION ALL SELECT * FROM ins
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM final_rows GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def agg_incremental_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark takes ONLY the merge path — three partial aggregates
+    (base / inserts / deletes, each one map-side-combined groupBy)
+    joined on the group key and combined with +/-; no final_rows
+    relation is ever materialized. At 100 TB the base partials live as
+    the materialized view and each CDC batch costs one delta
+    aggregation + one tiny join."""
+    from .tpch import _units
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cents = _units(F.col("o_totalprice"), 100)
+    cut = F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+
+    def part(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.sum(cents).cast("long").alias(f"s_{tag}"))
+
+    base = part(orders.filter(cut), "base")
+    ins = part(orders.filter(~cut), "ins")
+    dele = part(orders.filter(cut & (F.col("o_orderkey") % 7 == 3)), "del")
+    merged = (base.join(ins, "o_orderpriority", "full")
+              .join(dele, "o_orderpriority", "full"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return (merged.select(
+        "o_orderpriority",
+        (z("n_base") + z("n_ins") - z("n_del")).cast("long")
+        .alias("n_orders"),
+        (z("s_base") + z("s_ins") - z("s_del")).cast("long")
+        .alias("rev_cents"))
+        .filter(F.col("n_orders") > 0)
+        .orderBy("o_orderpriority"))

@@ -118,3 +118,43 @@ def test_zorder_scan_subset_of_key_scan(spark):
 def test_new_queries_smoke_and_nonempty(spark):
     for name in ("dedup_jaccard_prefix", "zorder_zone_prune"):
         assert QUERIES[name](spark, SF).count() > 0, name
+
+
+def test_retract_merge_equals_recompute(spark):
+    """Library-level check on top of the oracle: the merge path and a
+    Spark-side recompute agree group-for-group, including a group that
+    exists only in deletes+base (net zero -> dropped) on synthetic
+    data."""
+    rows = [(i, f"P{i % 3}", float(i), f"199{8 + (i % 2)}-06-01")
+            for i in range(1, 61)]
+    # group P9 exists only before the cutoff and is fully deleted
+    rows += [(70, "P9", 5.0, "1998-01-01"), (77, "P9", 6.0, "1998-01-01")]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string,"
+              " o_totalprice double, d string") \
+        .withColumn("o_orderdate", F.col("d").cast("timestamp")).drop("d")
+    # full deletion of P9: both its keys hit o_orderkey % 7 == 0 rule
+    cut = F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    is_del = cut & (F.col("o_orderkey") % 7 == 0)
+
+    def part(d, tag):
+        return d.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum("o_totalprice").alias(f"s_{tag}"))
+
+    merged = (part(df.filter(cut), "base")
+              .join(part(df.filter(~cut), "ins"), "o_orderpriority", "full")
+              .join(part(df.filter(is_del), "del"), "o_orderpriority",
+                    "full"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    got = {r["o_orderpriority"]: (r["n"], r["s"]) for r in merged.select(
+        "o_orderpriority",
+        (z("n_base") + z("n_ins") - z("n_del")).alias("n"),
+        (z("s_base") + z("s_ins") - z("s_del")).alias("s"))
+        .filter(F.col("n") > 0).collect()}
+    want = {r["o_orderpriority"]: (r["n"], r["s"]) for r in
+            df.filter(~is_del).groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_totalprice").alias("s")).collect()}
+    assert got == want
+    assert "P9" not in got  # net-zero group dropped, not emitted as 0
