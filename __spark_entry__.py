@@ -156,47 +156,58 @@ _R06_CERTIFIED = [
     "range_join", "window_rolling_time",
 ]
 
-# Round-7 recertification allocation (head + this list == 50, the
-# driver's per-round budget; test-locked). Head = this round's new
-# queries (12: the IVF-PQ/trigram-KN/paragraph wave, the sampling/
-# skyline/bloom/heavy-hitter/BPE-learning wave, and the prefix-join/
-# z-order/retractable-aggregate wave). The recertify slots then go to
-# the STALE TAIL:
-# queries whose latest driver certification is round 1 or 2 — three-
-# to-four warehouse regenerations ago (the round-6 verdict's top
-# directive). Within the tail: r1-latest first, then r2-latest,
-# registry order. Seven r2 rows were trimmed to fund the new-query
-# waves (eight total), chosen to be the LOWEST-risk evictions:
-# dedup_exact and text_tfidf were re-audited by the round-6 judge's
-# own 12-query local replay (12/12 pass), and sample_stratified /
-# inverted_index / doc_cooccur / regex_funcs / null_funcs / text_chunk
-# are unchanged-since-r2 single-pattern queries re-proven by this
-# round's THREE full-registry local sweeps (218/218 at each SF) plus
-# per-SF gates on every new query. Code changed this round but
-# already freshly certified (r6) — ann_bruteforce, the PQ family — is
-# likewise covered by the local gate instead of driver slots.
+_R07_CERTIFIED = [
+    "agg_approx_distinct", "agg_filter", "agg_histogram",
+    "agg_incremental_retract", "agg_median", "agg_misc",
+    "agg_stats_moments", "ann_ivfpq", "ann_ivfpq_fullprobe_exact",
+    "bloom_zone_prune", "boilerplate_shingles", "bpe_learn",
+    "corpus_report", "dedup_jaccard_prefix", "dedup_ngram_jaccard",
+    "dedup_paragraph", "dedup_simhash", "embed_centroid",
+    "etl_clean_columns", "etl_dedup_rows", "etl_drop_empty_rows",
+    "etl_enrich_metadata", "etl_file_stats", "etl_json_extract",
+    "etl_pattern_route", "etl_processing_stats", "etl_scd2_merge",
+    "etl_snapshot_diff", "etl_type_coercion", "etl_validate_rows",
+    "explode_wordcount", "heavy_hitters", "interval_join",
+    "q11_important_parts", "q12_late_priority", "q20_promo_suppliers",
+    "q21_waiting_supplier", "q8_market_share", "skyline_parts",
+    "split_train_test", "stream_stateful", "text_clean_pii",
+    "text_fingerprint", "text_langid", "text_quality",
+    "text_token_count", "text_trigram_kn", "weighted_sample",
+    "window_percent_rank", "zorder_zone_prune",
+]
+
+# Round-8 recertification allocation (head + this list == 50, the
+# driver's per-round budget; test-locked). Head = this round's 6 new
+# queries (bpe_apply_large, bpe_symbol_census, curate_corpus_v2,
+# stream_heavy_hitters_cert, ann_ivfpq_recall_floor,
+# zorder_write_roundtrip). The 44 recertify slots drain the stale
+# tail COMPLETELY: all 10 remaining r2-latest rows plus the entire
+# 34-row r3-latest bucket — after this round no query's latest
+# certification predates r4. Code changed this round but freshly
+# certified (the IVF-PQ family — crash-safe swap + full-anchor
+# builds — and the minhash/incremental family behind
+# operators/incremental.py's overwrite fix) is re-proven by the
+# local 3-SF gate instead of driver slots (12-query sweep green at
+# every SF; SURVEY §7 r8).
 _RECERTIFY = [
-    # r1-latest (oldest certifications in the registry)
-    "agg_approx_distinct", "q20_promo_suppliers", "q8_market_share",
-    "q12_late_priority", "q21_waiting_supplier", "etl_clean_columns",
-    "etl_type_coercion", "etl_drop_empty_rows", "etl_dedup_rows",
-    "etl_enrich_metadata",
-    # r2-latest
-    "interval_join", "etl_pattern_route", "etl_processing_stats",
-    "etl_file_stats", "etl_validate_rows", "etl_json_extract",
-    "etl_scd2_merge", "etl_snapshot_diff",
-    "dedup_ngram_jaccard", "dedup_simhash", "text_token_count",
-    "text_quality", "text_langid", "text_fingerprint",
-    "text_clean_pii", "corpus_report", "split_train_test",
-    "stream_stateful", "explode_wordcount",
-    "window_percent_rank", "agg_stats_moments", "agg_median",
-    "agg_filter", "agg_misc", "agg_histogram",
-    "embed_centroid",
-    # thresholds REBASED this round (both previously hash-passed an
-    # EMPTY result — the new gate guard caught them): their old
-    # records are stale, so they re-certify; funnel ages one round
-    # to make room
-    "q11_important_parts", "boilerplate_shingles",
+    # r2-latest (the oldest remaining certifications)
+    "cohort_retention", "dedup_exact", "doc_cooccur",
+    "funnel", "inverted_index", "null_funcs",
+    "regex_funcs", "sample_stratified", "text_chunk",
+    "text_tfidf",
+    # r3-latest (the whole bucket — drained this round)
+    "array_set_ops", "boilerplate_strip", "cdc_apply",
+    "contamination", "domain_cap", "embed_quantize",
+    "embed_standardize", "etl_quality_profile", "event_streaks",
+    "gap_fill_daily", "grouped_ols", "hash_funcs",
+    "impute_forward_fill", "impute_group_mean", "impute_linear_interp",
+    "join_semi", "mm_decode_real", "mm_media_meta",
+    "pack_sequences", "quality_gopher_rules", "rolling_uniques",
+    "safe_casts", "session_window_agg", "sketch_approx_percentile",
+    "sketch_hll_mergeable", "skew_profile", "text_bigram_lm",
+    "text_rarity", "text_repetition", "time_rollup",
+    "window_moving_avg", "window_range_value", "window_share",
+    "zscore_outliers",
 ]
 
 
@@ -362,8 +373,12 @@ _R06_POPULATION = [
 
 # The FROZEN round-7 query population (218 names) — bench.py's
 # suite_r7_subset tripwire for round 8+ (same rationale as the earlier
-# freezes). Frozen at the round-7 close with every registered query
-# included (the four round-6 breadth27 stragglers fold in here).
+# freezes). The 218-name freeze PREDATES the round-7 closing waves
+# (like _R06_POPULATION's breadth27 note): the 8 closing-wave queries
+# (weighted_sample, skyline_parts, bloom_zone_prune, heavy_hitters,
+# bpe_learn, dedup_jaccard_prefix, zorder_zone_prune,
+# agg_incremental_retract) are registered but intentionally outside
+# this tripwire; they enter the round-8 freeze.
 _R07_POPULATION = [
     "agg_approx_distinct", "agg_cube", "agg_filter", "agg_grouping_sets",
     "agg_histogram", "agg_incremental_merge", "agg_median", "agg_misc",
@@ -434,6 +449,94 @@ _R07_POPULATION = [
     "window_running", "window_share", "zonemap_stats", "zscore_outliers",
 ]
 
+# The FROZEN round-8 query population (232 names) — bench.py's
+# suite_r8_subset tripwire for round 9+. Frozen at the round-8 OPEN
+# (after the first r8 wave: bpe_apply_large, bpe_symbol_census,
+# curate_corpus_v2, stream_heavy_hitters_cert, ann_ivfpq_recall_floor,
+# zorder_write_roundtrip); any later r8 closing-wave queries stay out
+# of this list and enter the round-9 freeze, like every earlier freeze.
+_R08_POPULATION = [
+    "agg_approx_distinct", "agg_cube", "agg_filter",
+    "agg_grouping_sets", "agg_histogram", "agg_incremental_merge",
+    "agg_incremental_retract", "agg_median", "agg_misc",
+    "agg_rollup", "agg_stats_moments", "ann_bruteforce",
+    "ann_ivf", "ann_ivf_fullprobe_exact", "ann_ivfpq",
+    "ann_ivfpq_fullprobe_exact", "ann_ivfpq_recall_floor", "ann_lsh",
+    "ann_lsh_recall_floor", "ann_pq", "ann_pq_recall_floor",
+    "anti_contamination_split", "approx_distinct_bounds", "array_funcs",
+    "array_set_ops", "asof_join", "benford_digit_profile",
+    "bloom_zone_prune", "bm25_search", "boilerplate_shingles",
+    "boilerplate_strip", "bpe_apply_large", "bpe_learn",
+    "bpe_symbol_census",
+    "budget_sample_apply", "cc_convergence", "cdc_apply",
+    "chi2_independence", "cohort_retention", "compaction_roundtrip",
+    "contamination", "corpus_report", "curate_corpus",
+    "curate_corpus_v2", "daily_anomaly_mad", "dedup_blocked_invariance",
+    "dedup_clusters", "dedup_embedding", "dedup_embedding_blocked",
+    "dedup_exact", "dedup_incremental_consistency", "dedup_incremental_exact",
+    "dedup_jaccard_prefix", "dedup_keep_one", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_paragraph", "dedup_simhash",
+    "degree_distribution", "doc_cooccur", "domain_cap",
+    "domain_temperature_sample", "dq_rules", "dsir_weights",
+    "dup_source_overlap", "dup_span_census", "dup_span_strip",
+    "embed_centroid", "embed_outliers", "embed_pca",
+    "embed_quantize", "embed_robust_scale", "embed_standardize",
+    "equidepth_histogram", "etl_clean_columns", "etl_dedup_rows",
+    "etl_drop_empty_rows", "etl_enrich_metadata", "etl_file_stats",
+    "etl_json_extract", "etl_pattern_route", "etl_processing_stats",
+    "etl_quality_profile", "etl_scd2_merge", "etl_snapshot_diff",
+    "etl_type_coercion", "etl_validate_rows", "event_streaks",
+    "event_transitions", "ewma_halflife", "explode_wordcount",
+    "fingerprint_winnowing", "first_touch_attribution", "funnel",
+    "fuzzy_join_parts", "gap_fill_daily", "graph_triangles",
+    "grouped_ols", "hash_funcs", "heavy_hitters",
+    "hybrid_rrf_search", "impute_forward_fill", "impute_group_mean",
+    "impute_linear_interp", "interval_join", "inverted_index",
+    "join_anti", "join_null_safe", "join_semi",
+    "journey_trigrams", "kmeans_inertia_monotone", "knn_graph",
+    "length_histogram_log2", "lm_perplexity_filter", "mad_outliers",
+    "map_funcs", "market_basket_lift", "minhash_band_containment",
+    "mm_decode_real", "mm_features", "mm_frame_sample",
+    "mm_media_meta", "mm_resize_real", "ngram_novelty",
+    "null_funcs", "ohlc_bars", "pack_sequences",
+    "pagerank_invariants", "pagerank_words", "pca_invariants",
+    "pct_change_wow", "percentiles", "pivot_wide",
+    "q10_returned_items", "q11_important_parts", "q12_late_priority",
+    "q13_cust_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_supplier_counts", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_discount_revenue", "q1_pricing_summary", "q20_promo_suppliers",
+    "q21_waiting_supplier", "q22_sales_opportunity", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "quality_gopher_rules", "quality_logistic_score",
+    "quantile_bands_daily", "range_join", "regex_funcs",
+    "rolling_uniques", "safe_casts", "salted_join_agg",
+    "sample_stratified", "seasonality_dow", "semdedup_keep",
+    "semdedup_soundness", "session_window_agg", "sessionize",
+    "set_ops", "shard_assign", "simhash_pigeonhole",
+    "sink_partitioned_roundtrip", "sketch_approx_percentile", "sketch_hll_bounds",
+    "sketch_hll_merge_consistent", "sketch_hll_mergeable", "sketch_pct_bounds",
+    "skew_profile", "skyline_parts", "source_gini",
+    "split_train_test", "src_excel", "src_excel_xls",
+    "src_excel_xlsb", "stream_dedup", "stream_heavy_hitters_cert",
+    "stream_ohlc_final", "stream_session_window", "stream_stateful",
+    "stream_stateful_final", "stream_static_join", "stream_stream_join",
+    "stream_window_agg", "string_funcs", "subquery_scalar",
+    "text_bigram_kn", "text_bigram_lm", "text_bpe_tokenize",
+    "text_chunk", "text_clean_pii", "text_fingerprint",
+    "text_langid", "text_quality", "text_rarity",
+    "text_repetition", "text_tfidf", "text_token_count",
+    "text_trigram_kn", "text_word_entropy", "time_functions",
+    "time_rollup", "time_window_agg", "token_budget_mix",
+    "top_movers", "topk_per_group", "unpivot_long",
+    "user_rfm", "vocab_growth", "weighted_sample",
+    "window_lag_delta", "window_moving_avg", "window_ntile_firstlast",
+    "window_percent_rank", "window_range_value", "window_rolling_time",
+    "window_running", "window_share", "zonemap_stats",
+    "zorder_write_roundtrip", "zorder_zone_prune", "zscore_outliers",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -444,7 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r4 tail even if r1 also covered it).
     """
     rounds = [_R01_CERTIFIED, _R02_CERTIFIED, _R03_CERTIFIED,
-              _R04_CERTIFIED, _R05_CERTIFIED, _R06_CERTIFIED]
+              _R04_CERTIFIED, _R05_CERTIFIED, _R06_CERTIFIED,
+              _R07_CERTIFIED]
     certified = set().union(*map(set, rounds))
     head = [n for n in QUERIES if n not in certified]
     redo = [n for n in _RECERTIFY if n in QUERIES and n in certified]

@@ -116,6 +116,10 @@ def main() -> None:
     r7_names = set(_ent._R07_POPULATION)
     suite_r7_subset = round(sum(t for n, t in suite_times.items()
                                 if n in r7_names), 3)
+    # ...and the frozen round-8 population for round 9+
+    r8_names = set(_ent._R08_POPULATION)
+    suite_r8_subset = round(sum(t for n, t in suite_times.items()
+                                if n in r8_names), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -134,6 +138,7 @@ def main() -> None:
         "suite_r5_subset_sec": suite_r5_subset,
         "suite_r6_subset_sec": suite_r6_subset,
         "suite_r7_subset_sec": suite_r7_subset,
+        "suite_r8_subset_sec": suite_r8_subset,
         "sf": sf_val,
     }))
 

@@ -33,6 +33,23 @@ from .similarity import (_nprobe_clusters_expr, _prep, assign_nearest_cluster,
                          kmeans_lite)
 
 
+def _swap_in(staging: str, live_path: str) -> None:
+    """Crash-safe directory swap: move the live dir ASIDE (atomic
+    rename), rename staging in, then delete the old copy. Every crash
+    window leaves either the old or the new tree at ``live_path`` —
+    rmtree-before-rename had a window with NOTHING serving. The
+    ``.old`` sibling is outside every reader's subpath and is swept on
+    the next swap."""
+    import shutil
+
+    old = live_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(live_path):
+        os.replace(live_path, old)
+    os.replace(staging, live_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def load_centroids(spark: SparkSession,
                    index_path: str) -> list[tuple[int, list[float]]]:
     """The persisted coarse quantizer as the (cluster, vector) list the
@@ -76,9 +93,7 @@ def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    if os.path.isdir(index_path):
-        shutil.rmtree(index_path)
-    os.replace(staging, index_path)  # same-filesystem rename — atomic
+    _swap_in(staging, index_path)
     return n
 
 
@@ -149,9 +164,7 @@ def build_pq_index(corpus: DataFrame, id_col: str, vec_col: str,
         codes = pq_encode(corpus, id_col, vec_col, books)
         codes.write.parquet(os.path.join(staging, "codes"))
         n = spark.read.parquet(os.path.join(staging, "codes")).count()
-        if os.path.exists(index_path):
-            shutil.rmtree(index_path)
-        os.replace(staging, index_path)
+        _swap_in(staging, index_path)
         return n
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
@@ -332,6 +345,15 @@ def build_ivfpq_index(corpus: DataFrame, id_col: str, vec_col: str,
                                     .alias("av")))
             anchors = [(int(r["cluster"]), [float(x) for x in r["av"]])
                        for r in anchors_rows.collect()]
+            # an anchor row for EVERY centroid, zero vector where the
+            # cluster had no members at build — later appends can
+            # assign vectors to such a centroid, and a missing row
+            # would silently wrap to the wrong anchor in the encoder's
+            # cluster→row map (and zero out its ADC scalar)
+            have = {c for c, _ in anchors}
+            dim = len(centroids[0][1])
+            anchors += [(int(c), [0.0] * dim)
+                        for c, _ in centroids if c not in have]
             (spark.createDataFrame(anchors,
                                    "cluster int, av array<double>")
              .write.parquet(os.path.join(staging, "anchors")))
@@ -368,9 +390,7 @@ def build_ivfpq_index(corpus: DataFrame, id_col: str, vec_col: str,
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    if os.path.isdir(index_path):
-        shutil.rmtree(index_path)
-    os.replace(staging, index_path)  # same-filesystem rename — atomic
+    _swap_in(staging, index_path)
     return n
 
 
@@ -440,6 +460,59 @@ def append_to_ivfpq_index(batch: DataFrame, id_col: str, vec_col: str,
     n = codes.count()
     (codes.write.partitionBy("cluster").mode("append")
      .parquet(os.path.join(index_path, "codes")))
+    return n
+
+
+# the streaming maintainer's applied-batch markers live INSIDE the
+# index directory so a refresh can carry them forward atomically with
+# the quantizer swap (streaming/ann_maintenance.py imports this name)
+APPLIED_SUBDIR = "_applied_batches"
+
+
+def refresh_ivfpq_index(corpus: DataFrame, id_col: str, vec_col: str,
+                        index_path: str, **build_kwargs) -> int:
+    """Retrain-and-swap: the index lifecycle step appends cannot cover.
+
+    Appends encode against FROZEN quantizers, so as the data
+    distribution drifts the coarse partition and the codebooks go stale
+    (recall at fixed nprobe degrades — the documented drift envelope in
+    the append docstrings). This rebuilds the WHOLE index — fresh
+    k-means centroids, fresh PQ codebooks (and residual anchors when
+    ``residual=True``), every vector re-assigned and re-encoded — into
+    a staging directory and swaps it in with the same crash-safe
+    two-rename `_swap_in` the builders use: readers of the old index
+    stay correct for the entire rebuild, and a crash at any point
+    leaves either the old or the new index fully serving (never
+    mixed-generation quantizers/codes, never nothing).
+
+    ``corpus`` must be the FULL current vector set (base build plus
+    every appended/streamed batch — at 100 TB that is the upstream
+    embeddings table, which is the source of truth; the index is a
+    derived artifact). The streaming maintainer's applied-batch
+    markers are carried forward into the new index, so a maintainer
+    checkpoint survives the refresh: replays of already-applied
+    batches keep skipping, and only genuinely new arrivals append —
+    against the NEW quantizers. ``build_kwargs`` forward to
+    `build_ivfpq_index` (n_clusters, m, ksub, residual, ...). Returns
+    the number of indexed vectors."""
+    import shutil
+    import tempfile
+
+    parent = os.path.dirname(os.path.abspath(index_path)) or "."
+    staging_root = tempfile.mkdtemp(prefix=".ivfpq_refresh_", dir=parent)
+    new_index = os.path.join(staging_root, "index")
+    try:
+        n = build_ivfpq_index(corpus, id_col, vec_col, new_index,
+                              **build_kwargs)
+        markers = os.path.join(index_path, APPLIED_SUBDIR)
+        if os.path.isdir(markers):
+            shutil.copytree(markers, os.path.join(new_index,
+                                                  APPLIED_SUBDIR))
+    except BaseException:
+        shutil.rmtree(staging_root, ignore_errors=True)
+        raise
+    _swap_in(new_index, index_path)
+    shutil.rmtree(staging_root, ignore_errors=True)
     return n
 
 
@@ -519,7 +592,13 @@ def compact_ivfpq_codes(spark: SparkSession, index_path: str) -> int:
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    shutil.rmtree(codes_path)
+    # Same crash-safe ordering as build: old codes move ASIDE first, so
+    # every crash window leaves either the old or the new codes at
+    # codes_path ("codes.old" is a sibling dir no reader touches).
+    old = codes_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(codes_path, old)
     os.replace(os.path.join(staging, "codes"), codes_path)
+    shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     return n

@@ -212,7 +212,19 @@ def _write_state(df: DataFrame, path: str, mode: str, key: str,
     re-declare the same bucket spec."""
     import json
 
-    if num_buckets is None and not os.path.exists(_bucket_spec_path(path)):
+    if num_buckets is None and (mode == "overwrite"
+                                or not os.path.exists(
+                                    _bucket_spec_path(path))):
+        # overwrite honors the CALLER's layout choice: num_buckets=None
+        # over a previously-bucketed index rebuilds as plain parquet
+        # (drop the stale spec + catalog entry) instead of inheriting
+        # the bucketed branch, where bucketBy(None, ...) would raise
+        # AFTER the old index was already destroyed
+        spark = df.sparkSession
+        if os.path.exists(_bucket_spec_path(path)):
+            spark.sql(
+                f"DROP TABLE IF EXISTS {_state_table_name(path)}")
+            os.remove(_bucket_spec_path(path))
         df.write.mode(mode).parquet(path)
         return
     spark = df.sparkSession

@@ -1129,6 +1129,17 @@ def pq_encode_residual(assigned: DataFrame, id_col: str, vec_col: str,
             X = _l2_normalize_rows(
                 np.array(pdf[vec_col].tolist(), dtype=np.float64))
             cl = pdf[cluster_col].to_numpy(dtype=np.int64)
+            # a cluster id with no anchor row must fail loudly — the
+            # -1 sentinel would otherwise wrap to the LAST anchor and
+            # encode against the wrong residual origin (builds since
+            # round 8 persist an anchor for every centroid, so this
+            # only trips on a pre-fix index)
+            if (cl >= len(pos)).any() or (pos[np.clip(cl, 0, len(pos) - 1)]
+                                          < 0).any():
+                raise ValueError(
+                    "pq_encode_residual: cluster id without an anchor "
+                    "row — rebuild the index (anchors must cover every "
+                    "centroid)")
             R = X - cm[pos[cl]]
             codes = np.empty((len(pdf), m), dtype=np.int64)
             for j in range(m):

@@ -84,6 +84,15 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nothing). Everything is integer arithmetic replayed exactly in
 # DuckDB.
 # --------------------------------------------------------------------------
+# 16-bit envelope: the interleave keeps the LOW 16 bits of each key, so
+# keys above 65535 alias into the same z-cells (o_custkey reaches that
+# at TPC-H sf≈0.5: 150k customers at sf1). Both engines compute the
+# identical expression, so the certification hash stays valid and
+# min/max pruning stays SOUND at any SF (zones just get looser, never
+# wrong). For a production layout above the envelope, widen _ZBITS (a
+# 32-bit interleave fits in the same BIGINT zv) or pre-shift keys by
+# ceil(log2(max_key)) − _ZBITS; the oracle string is static, so the
+# certified form pins 16.
 _ZBITS = 16
 
 

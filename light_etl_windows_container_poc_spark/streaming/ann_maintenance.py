@@ -29,7 +29,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-APPLIED_SUBDIR = "_applied_batches"
+from ..operators.ann_index import APPLIED_SUBDIR  # noqa: E402 — shared
+# with `refresh_ivfpq_index`, which carries the markers across a
+# quantizer refresh so this maintainer's checkpoint survives it
 
 
 def _marker_path(index_path: str, batch_id: int) -> str:

@@ -16,6 +16,20 @@ guarantees). The MG bounds (est <= true, deficit <= n/(k+1),
 heavy => present) hold for ANY merge tree over the partials, which is
 what makes the read-time merge and the compacted form
 interchangeable.
+
+Compaction crash-safety (generation manifest): the folded summary
+lands under ``batch_tag=compacted_G`` and ``_compact_manifest.json``
+is the single atomically-replaced publication point — it names the
+ACTIVE compacted generation and the subsumed-batch WATERMARK (every
+batch id <= W is folded into it; ids are monotonic, so the manifest
+stays O(1) forever). Readers take the active generation plus every
+batch tag above the watermark and
+ignore unpublished compacted dirs, so every crash window is safe: the
+old partials are never deleted before the manifest that replaces them
+is live, and the double-count window (new summary visible alongside
+the partials it folded) is closed by the subsume list rather than by
+deletion ordering. A replayed subsumed batch re-lands its partial but
+stays excluded — its mass is already in the active summary.
 """
 
 from __future__ import annotations
@@ -54,28 +68,111 @@ def start_heavy_hitters_stream(stream: DataFrame, state_dir: str,
             .start())
 
 
+_MANIFEST = "_compact_manifest.json"
+
+
+def _read_manifest(state_dir: str) -> dict:
+    import json
+
+    path = os.path.join(state_dir, _MANIFEST)
+    if not os.path.exists(path):
+        return {"active": None, "max_subsumed_batch": -1}
+    with open(path) as f:
+        return json.load(f)
+
+
+def live_partial_dirs(state_dir: str) -> list[str]:
+    """The partial directories a reader should merge: the manifest's
+    active compacted generation (if any) plus every batch tag ABOVE the
+    subsumed watermark. Structured Streaming batch ids are monotonic,
+    so "every id <= W is folded into the active summary" is exact and
+    keeps the manifest O(1) across any number of compactions — a
+    subsumed-id LIST would grow with ingest history and a later
+    generation's list would have to carry every earlier one forward.
+    Unpublished compacted dirs (renamed in but crashed before the
+    manifest swap) are ignored — their mass is still fully present in
+    the partials they would have replaced."""
+    man = _read_manifest(state_dir)
+    watermark = man["max_subsumed_batch"]
+    out = []
+    for d in sorted(os.listdir(state_dir)):
+        if not d.startswith("batch_tag="):
+            continue
+        tag = d.split("=", 1)[1]
+        if tag.startswith("compacted"):
+            if d == man["active"]:
+                out.append(d)
+        elif int(tag) > watermark:
+            out.append(d)
+    return out
+
+
 def read_heavy_hitters(spark: SparkSession, state_dir: str,
                        k: int) -> DataFrame:
     """Global <= k-row summary over everything ingested so far."""
     from ..operators.sketches import mg_merge
 
-    partials = (spark.read.schema(_SCHEMA).parquet(state_dir)
+    dirs = live_partial_dirs(state_dir)
+    if not dirs:
+        return spark.createDataFrame([], _SCHEMA)
+    paths = [os.path.join(state_dir, d) for d in dirs]
+    partials = (spark.read.schema(_SCHEMA).parquet(*paths)
                 .select("token", "est"))
     return mg_merge(partials, k)
 
 
 def compact_state(spark: SparkSession, state_dir: str, k: int) -> None:
-    """Fold all per-batch partials into one summary directory (written
-    under a reserved tag, other tags removed). Atomicity note: the
-    sweep stages the merged summary first and removes old tags after —
-    a crash between the two leaves EXTRA partials, which only tightens
-    estimates on re-merge, never corrupts them (merge associativity)."""
+    """Fold the live partials into one <= k-row summary generation.
+
+    Crash-safe ordering — no step deletes data that is not yet
+    replaced by a PUBLISHED equivalent:
+
+    1. merge the live partials into ``_compact_staging`` (invisible);
+    2. rename staging to ``batch_tag=compacted_{G+1}`` — still ignored
+       by readers because the manifest does not name it;
+    3. atomically replace the manifest (tmp + ``os.replace``) naming
+       the new generation active and raising the subsumed-batch
+       watermark over every folded id — the single publication point;
+    4. only then delete the subsumed dirs (storage sweep; readers
+       already skip them).
+
+    A crash at any point leaves a state whose read-time merge equals
+    the pre- or post-compaction summary exactly; re-running
+    ``compact_state`` sweeps any orphan staging/unpublished dirs."""
+    import json
     import shutil
 
-    merged = read_heavy_hitters(spark, state_dir, k)
+    live = live_partial_dirs(state_dir)
+    if not live:
+        return
+    man = _read_manifest(state_dir)
+    gen = 0
+    if man["active"]:
+        gen = int(man["active"].rsplit("_", 1)[1])
+    new_tag = f"batch_tag=compacted_{gen + 1}"
+
+    # merge from the SNAPSHOT of live dirs (not a re-listing): a batch
+    # landing while the merge runs must stay out of this generation or
+    # it would be counted both in the summary and as a live partial
+    from ..operators.sketches import mg_merge
+
+    paths = [os.path.join(state_dir, d) for d in live]
+    merged = mg_merge(spark.read.schema(_SCHEMA).parquet(*paths)
+                      .select("token", "est"), k)
     staged = os.path.join(state_dir, "_compact_staging")
     merged.write.mode("overwrite").parquet(staged)
-    for d in os.listdir(state_dir):
-        if d.startswith("batch_tag="):
-            shutil.rmtree(os.path.join(state_dir, d))
-    os.rename(staged, os.path.join(state_dir, "batch_tag=compacted"))
+
+    # orphan from a crashed previous attempt at this generation
+    shutil.rmtree(os.path.join(state_dir, new_tag), ignore_errors=True)
+    os.rename(staged, os.path.join(state_dir, new_tag))
+
+    batch_ids = [int(d.split("=", 1)[1]) for d in live
+                 if not d.split("=", 1)[1].startswith("compacted")]
+    watermark = max([man["max_subsumed_batch"], *batch_ids])
+    tmp = os.path.join(state_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"active": new_tag, "max_subsumed_batch": watermark}, f)
+    os.replace(tmp, os.path.join(state_dir, _MANIFEST))
+
+    for d in live:
+        shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)

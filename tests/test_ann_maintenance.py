@@ -121,3 +121,112 @@ def test_codes_compaction_removes_replay_duplicates(spark, sf_dir,
                                      "vec_id", "embedding", k=4,
                                      nprobe=4, rerank=1 << 30).collect())
     assert before == after
+
+
+def test_refresh_mid_stream_carries_markers_and_stays_exact(
+        spark, sf_dir, tmp_path):
+    """The lifecycle gap `refresh_ivfpq_index` closes: stream a batch
+    in, retrain-and-swap, stream more. The applied-batch markers
+    survive the swap (a replay of a pre-refresh batch stays a no-op),
+    post-refresh appends encode against the NEW quantizers, and
+    probe-all + rerank >= corpus over the final index equals brute
+    force on the full corpus."""
+    from light_etl_windows_container_poc_spark.operators.ann_index import \
+        refresh_ivfpq_index
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < 200)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(base, "vec_id", "embedding", idx, n_clusters=4)
+
+    arrivals = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                for r in emb.filter((F.col("vec_id") >= 200)
+                                    & (F.col("vec_id") < 300)).collect()]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_vec_file(src / "day1.json", arrivals[:50])
+    os.utime(src / "day1.json", (1_000_000, 1_000_000))
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    start_ann_index_maintenance(
+        stream, idx, str(tmp_path / "ckpt")).awaitTermination(120)
+    markers_before = set(os.listdir(os.path.join(idx, "_applied_batches")))
+    assert markers_before  # batch 0 applied
+
+    # refresh on the FULL current corpus (base + streamed day1)
+    current = emb.filter(F.col("vec_id") < 250)
+    n = refresh_ivfpq_index(current, "vec_id", "embedding", idx,
+                            n_clusters=6)
+    assert n == 250
+    # markers carried forward through the swap
+    assert set(os.listdir(
+        os.path.join(idx, "_applied_batches"))) == markers_before
+    # retrained coarse quantizer is really the new one (6 clusters)
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    assert cents.count() == 6
+
+    # a handler replay of the pre-refresh batch id stays a no-op
+    handler = ann_append_batch_handler(idx)
+    replay = spark.createDataFrame(
+        [(v, e) for v, e in arrivals[:50]], SCHEMA)
+    handler(replay, 0)
+    assert spark.read.parquet(os.path.join(idx, "codes")).count() == 250
+
+    # post-refresh stream continues from the same checkpoint: only the
+    # new file lands, encoded against the new quantizers
+    _write_vec_file(src / "day2.json", arrivals[50:])
+    os.utime(src / "day2.json", (2_000_000, 2_000_000))
+    stream2 = (spark.readStream.schema(SCHEMA)
+               .option("maxFilesPerTrigger", 1).json(str(src)))
+    start_ann_index_maintenance(
+        stream2, idx, str(tmp_path / "ckpt")).awaitTermination(120)
+    grown = emb.filter(F.col("vec_id") < 300)
+    assert spark.read.parquet(
+        os.path.join(idx, "codes")).count() == grown.count()
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = query_ivfpq_index(spark, idx, grown, queries, "vec_id",
+                            "embedding", k=4, nprobe=6, rerank=1 << 30)
+    exact = ann_bruteforce_topk(grown, queries, "vec_id", "embedding", k=4)
+    assert sorted((r.q_id, r.n_id, r.rank) for r in got.collect()) == \
+        sorted((r.q_id, r.n_id, r.rank) for r in exact.collect())
+
+
+def test_refresh_improves_recall_on_drifted_data(spark, sf_dir, tmp_path):
+    """Quantizer drift in miniature: append a population the build
+    never saw (negated embeddings — unit-sphere antipodes of the
+    training set), measure recall@5 for drifted queries at a fixed
+    serving budget, refresh, re-measure. The retrained quantizers must
+    serve the drifted region at least as well, and clear a floor the
+    stale ones miss."""
+    from light_etl_windows_container_poc_spark.operators.ann_index import \
+        refresh_ivfpq_index
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < 250).select("vec_id", "embedding")
+    drifted = (base
+               .select((F.col("vec_id") + 10_000).alias("vec_id"),
+                       F.transform("embedding",
+                                   lambda x: -x).alias("embedding")))
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(base, "vec_id", "embedding", idx, n_clusters=6)
+    handler = ann_append_batch_handler(idx)
+    handler(drifted, 0)
+    full = base.unionByName(drifted)
+    queries = drifted.filter(F.col("vec_id") < 10_005)
+    exact = ann_bruteforce_topk(full, queries, "vec_id", "embedding", k=5)
+    truth = {(r.q_id, r.n_id) for r in exact.collect()}
+
+    def recall():
+        got = query_ivfpq_index(spark, idx, full, queries, "vec_id",
+                                "embedding", k=5, nprobe=2, rerank=32)
+        hits = {(r.q_id, r.n_id) for r in got.collect()}
+        return len(hits & truth) / len(truth)
+
+    # deterministic (seeded k-means, fixed embeddings): measured
+    # 0.58 -> 0.68 at these settings; assert the direction + a floor
+    before = recall()
+    refresh_ivfpq_index(full, "vec_id", "embedding", idx, n_clusters=6)
+    after = recall()
+    assert after > before, (before, after)
+    assert after >= 0.65, (before, after)

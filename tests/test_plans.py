@@ -70,7 +70,11 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
                                  # IVF-PQ: the same encode/ADC paths
                                  # behind the persisted index
                                  "ann_ivfpq",
-                                 "ann_ivfpq_fullprobe_exact")]
+                                 "ann_ivfpq_fullprobe_exact",
+                                 # Misra-Gries: per-partition stateful
+                                 # k-bounded fold Catalyst cannot express;
+                                 # Arrow-batched mapInPandas summary
+                                 "heavy_hitters")]
     for name in jvm_queries:
         assert_no_python_udf(QUERIES[name](spark, sf_dir))
 

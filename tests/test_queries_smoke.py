@@ -73,7 +73,8 @@ def test_certification_budget_is_exactly_allocated():
 
     certified = set().union(ent._R01_CERTIFIED, ent._R02_CERTIFIED,
                             ent._R03_CERTIFIED, ent._R04_CERTIFIED,
-                            ent._R05_CERTIFIED, ent._R06_CERTIFIED)
+                            ent._R05_CERTIFIED, ent._R06_CERTIFIED,
+                            ent._R07_CERTIFIED)
     head = [n for n in QUERIES if n not in certified]
     assert len(head) + len(ent._RECERTIFY) == 50, (
         f"head={len(head)} + recertify={len(ent._RECERTIFY)} != 50 — "

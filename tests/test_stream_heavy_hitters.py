@@ -96,7 +96,7 @@ def test_compaction_preserves_guarantees(spark, tmp_path):
     compact_state(spark, state, K)
     # one summary directory remains; guarantees still hold
     tags = [d for d in os.listdir(state) if d.startswith("batch_tag=")]
-    assert tags == ["batch_tag=compacted"]
+    assert tags == ["batch_tag=compacted_1"]
     sketch = {r["token"]: r["est"]
               for r in read_heavy_hitters(spark, state, K).collect()}
     _check_guarantees(sketch, stream_rows)
@@ -108,3 +108,73 @@ def test_compaction_preserves_guarantees(spark, tmp_path):
     sketch2 = {r["token"]: r["est"]
                for r in read_heavy_hitters(spark, state, K).collect()}
     _check_guarantees(sketch2, stream_rows + ["hot"] * 50 + ["cold9"] * 3)
+
+
+def test_compaction_twice_and_subsumed_replay(spark, tmp_path):
+    """Second compaction advances the generation; replaying a batch the
+    manifest subsumes re-lands its partial but stays EXCLUDED from the
+    merge (its mass is already in the active summary) — no double
+    count."""
+    src, stream_rows = _stream_tokens(tmp_path)
+    state = str(tmp_path / "state")
+    s = (spark.readStream.schema(SCHEMA)
+         .option("maxFilesPerTrigger", 1).json(str(src)))
+    start_heavy_hitters_stream(
+        s, state, str(tmp_path / "ckpt"), "token", K).awaitTermination(120)
+    compact_state(spark, state, K)
+    handler = heavy_hitters_batch_handler(state, "token", K)
+    handler(spark.createDataFrame([("hot",)] * 40, "token string"), 7)
+    compact_state(spark, state, K)
+    tags = [d for d in os.listdir(state) if d.startswith("batch_tag=")]
+    assert tags == ["batch_tag=compacted_2"]
+    before = sorted(read_heavy_hitters(spark, state, K).collect())
+    # replay micro-batch 0 — subsumed by generation 1, so invisible
+    batch0 = spark.read.schema(SCHEMA).json(str(src / "a.json"))
+    handler(batch0, 0)
+    after = sorted(read_heavy_hitters(spark, state, K).collect())
+    assert before == after
+    _check_guarantees({r["token"]: r["est"] for r in after},
+                      stream_rows + ["hot"] * 40)
+
+
+def test_compaction_crash_windows_lose_nothing(spark, tmp_path):
+    """Every crash window in compact_state leaves a readable state
+    whose merge preserves the MG guarantees: (a) staged-but-unrenamed,
+    (b) renamed-but-unpublished (no manifest), both must read as the
+    PRE-compaction state; re-running compact_state recovers."""
+    from light_etl_windows_container_poc_spark.operators.sketches import (
+        mg_merge)
+    from light_etl_windows_container_poc_spark.streaming.heavy_hitters import (
+        _SCHEMA, live_partial_dirs)
+
+    src, stream_rows = _stream_tokens(tmp_path)
+    state = str(tmp_path / "state")
+    s = (spark.readStream.schema(SCHEMA)
+         .option("maxFilesPerTrigger", 1).json(str(src)))
+    start_heavy_hitters_stream(
+        s, state, str(tmp_path / "ckpt"), "token", K).awaitTermination(120)
+    before = sorted(read_heavy_hitters(spark, state, K).collect())
+
+    # window (a): staging written, crash before rename
+    live = live_partial_dirs(state)
+    paths = [os.path.join(state, d) for d in live]
+    merged = mg_merge(spark.read.schema(_SCHEMA).parquet(*paths)
+                      .select("token", "est"), K)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state, "_compact_staging"))
+    assert sorted(read_heavy_hitters(spark, state, K).collect()) == before
+
+    # window (b): renamed in, crash before the manifest swap —
+    # readers must IGNORE the unpublished compacted dir
+    os.rename(os.path.join(state, "_compact_staging"),
+              os.path.join(state, "batch_tag=compacted_1"))
+    assert "batch_tag=compacted_1" not in live_partial_dirs(state)
+    assert sorted(read_heavy_hitters(spark, state, K).collect()) == before
+
+    # recovery: a re-run completes the compaction and answers match
+    compact_state(spark, state, K)
+    assert sorted(read_heavy_hitters(spark, state, K).collect()) == before
+    _check_guarantees(
+        {r["token"]: r["est"]
+         for r in read_heavy_hitters(spark, state, K).collect()},
+        stream_rows)
