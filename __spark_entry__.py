@@ -177,18 +177,22 @@ _R07_CERTIFIED = [
 ]
 
 # Round-8 recertification allocation (head + this list == 50, the
-# driver's per-round budget; test-locked). Head = this round's 6 new
+# driver's per-round budget; test-locked). Head = this round's 9 new
 # queries (bpe_apply_large, bpe_symbol_census, curate_corpus_v2,
 # stream_heavy_hitters_cert, ann_ivfpq_recall_floor,
-# zorder_write_roundtrip). The 44 recertify slots drain the stale
-# tail COMPLETELY: all 10 remaining r2-latest rows plus the entire
-# 34-row r3-latest bucket — after this round no query's latest
-# certification predates r4. Code changed this round but freshly
-# certified (the IVF-PQ family — crash-safe swap + full-anchor
-# builds — and the minhash/incremental family behind
-# operators/incremental.py's overwrite fix) is re-proven by the
-# local 3-SF gate instead of driver slots (12-query sweep green at
-# every SF; SURVEY §7 r8).
+# zorder_write_roundtrip, zorder_optimize_roundtrip,
+# dedup_containment_prefix, hilbert_zone_prune — 9 total). The 41
+# recertify slots drain ALL 10 remaining r2-latest rows plus 31 of
+# the 34-row r3-latest bucket — after this round no query's latest
+# certification predates r3, and only three r3 rows remain
+# (window_moving_avg, window_share, rolling_uniques — all
+# unchanged-since-r3 single-pattern queries re-proven by this
+# round's full-registry local sweeps; they head the r9 recertify
+# list). Code changed this round but freshly certified (the IVF-PQ
+# family — crash-safe swap + full-anchor builds — and the
+# minhash/incremental family behind operators/incremental.py's
+# overwrite fix) is re-proven by the local 3-SF gate instead of
+# driver slots (12-query sweep green at every SF; SURVEY §7 r8).
 _RECERTIFY = [
     # r2-latest (the oldest remaining certifications)
     "cohort_retention", "dedup_exact", "doc_cooccur",
@@ -202,12 +206,11 @@ _RECERTIFY = [
     "gap_fill_daily", "grouped_ols", "hash_funcs",
     "impute_forward_fill", "impute_group_mean", "impute_linear_interp",
     "join_semi", "mm_decode_real", "mm_media_meta",
-    "pack_sequences", "quality_gopher_rules", "rolling_uniques",
+    "pack_sequences", "quality_gopher_rules",
     "safe_casts", "session_window_agg", "sketch_approx_percentile",
     "sketch_hll_mergeable", "skew_profile", "text_bigram_lm",
     "text_rarity", "text_repetition", "time_rollup",
-    "window_moving_avg", "window_range_value", "window_share",
-    "zscore_outliers",
+    "window_range_value", "zscore_outliers",
 ]
 
 
@@ -449,11 +452,10 @@ _R07_POPULATION = [
     "window_running", "window_share", "zonemap_stats", "zscore_outliers",
 ]
 
-# The FROZEN round-8 query population (232 names) — bench.py's
+# The FROZEN round-8 query population (235 names) — bench.py's
 # suite_r8_subset tripwire for round 9+. Frozen at the round-8 OPEN
-# (after the first r8 wave: bpe_apply_large, bpe_symbol_census,
-# curate_corpus_v2, stream_heavy_hitters_cert, ann_ivfpq_recall_floor,
-# zorder_write_roundtrip); any later r8 closing-wave queries stay out
+# (after the first two r8 waves, through zorder_optimize_roundtrip
+# and dedup_containment_prefix); any later r8 closing-wave queries stay out
 # of this list and enter the round-9 freeze, like every earlier freeze.
 _R08_POPULATION = [
     "agg_approx_distinct", "agg_cube", "agg_filter",
@@ -467,29 +469,29 @@ _R08_POPULATION = [
     "array_set_ops", "asof_join", "benford_digit_profile",
     "bloom_zone_prune", "bm25_search", "boilerplate_shingles",
     "boilerplate_strip", "bpe_apply_large", "bpe_learn",
-    "bpe_symbol_census",
-    "budget_sample_apply", "cc_convergence", "cdc_apply",
-    "chi2_independence", "cohort_retention", "compaction_roundtrip",
-    "contamination", "corpus_report", "curate_corpus",
-    "curate_corpus_v2", "daily_anomaly_mad", "dedup_blocked_invariance",
-    "dedup_clusters", "dedup_embedding", "dedup_embedding_blocked",
-    "dedup_exact", "dedup_incremental_consistency", "dedup_incremental_exact",
-    "dedup_jaccard_prefix", "dedup_keep_one", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_paragraph", "dedup_simhash",
-    "degree_distribution", "doc_cooccur", "domain_cap",
-    "domain_temperature_sample", "dq_rules", "dsir_weights",
-    "dup_source_overlap", "dup_span_census", "dup_span_strip",
-    "embed_centroid", "embed_outliers", "embed_pca",
-    "embed_quantize", "embed_robust_scale", "embed_standardize",
-    "equidepth_histogram", "etl_clean_columns", "etl_dedup_rows",
-    "etl_drop_empty_rows", "etl_enrich_metadata", "etl_file_stats",
-    "etl_json_extract", "etl_pattern_route", "etl_processing_stats",
-    "etl_quality_profile", "etl_scd2_merge", "etl_snapshot_diff",
-    "etl_type_coercion", "etl_validate_rows", "event_streaks",
-    "event_transitions", "ewma_halflife", "explode_wordcount",
-    "fingerprint_winnowing", "first_touch_attribution", "funnel",
-    "fuzzy_join_parts", "gap_fill_daily", "graph_triangles",
-    "grouped_ols", "hash_funcs", "heavy_hitters",
+    "bpe_symbol_census", "budget_sample_apply", "cc_convergence",
+    "cdc_apply", "chi2_independence", "cohort_retention",
+    "compaction_roundtrip", "contamination", "corpus_report",
+    "curate_corpus", "curate_corpus_v2", "daily_anomaly_mad",
+    "dedup_blocked_invariance", "dedup_clusters", "dedup_containment_prefix",
+    "dedup_embedding", "dedup_embedding_blocked", "dedup_exact",
+    "dedup_incremental_consistency", "dedup_incremental_exact", "dedup_jaccard_prefix",
+    "dedup_keep_one", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_paragraph", "dedup_simhash", "degree_distribution",
+    "doc_cooccur", "domain_cap", "domain_temperature_sample",
+    "dq_rules", "dsir_weights", "dup_source_overlap",
+    "dup_span_census", "dup_span_strip", "embed_centroid",
+    "embed_outliers", "embed_pca", "embed_quantize",
+    "embed_robust_scale", "embed_standardize", "equidepth_histogram",
+    "etl_clean_columns", "etl_dedup_rows", "etl_drop_empty_rows",
+    "etl_enrich_metadata", "etl_file_stats", "etl_json_extract",
+    "etl_pattern_route", "etl_processing_stats", "etl_quality_profile",
+    "etl_scd2_merge", "etl_snapshot_diff", "etl_type_coercion",
+    "etl_validate_rows", "event_streaks", "event_transitions",
+    "ewma_halflife", "explode_wordcount", "fingerprint_winnowing",
+    "first_touch_attribution", "funnel", "fuzzy_join_parts",
+    "gap_fill_daily", "graph_triangles", "grouped_ols",
+    "hash_funcs", "heavy_hitters", "hilbert_zone_prune",
     "hybrid_rrf_search", "impute_forward_fill", "impute_group_mean",
     "impute_linear_interp", "interval_join", "inverted_index",
     "join_anti", "join_null_safe", "join_semi",
@@ -533,7 +535,8 @@ _R08_POPULATION = [
     "window_lag_delta", "window_moving_avg", "window_ntile_firstlast",
     "window_percent_rank", "window_range_value", "window_rolling_time",
     "window_running", "window_share", "zonemap_stats",
-    "zorder_write_roundtrip", "zorder_zone_prune", "zscore_outliers",
+    "zorder_optimize_roundtrip", "zorder_write_roundtrip", "zorder_zone_prune",
+    "zscore_outliers",
 ]
 
 

@@ -345,3 +345,68 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
                     F.col("inter").cast("long").alias("inter"),
                     F.col("sa").cast("long").alias("sa"),
                     F.col("sb").cast("long").alias("sb")))
+
+
+def containment_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
+                             n: int = 3, tau_num: int = 9,
+                             tau_den: int = 10,
+                             max_df: int | None = None) -> DataFrame:
+    """EXACT set-CONTAINMENT >= tau pair join (ordered pairs: a's
+    shingles mostly inside b) via the ASYMMETRIC prefix filter — the
+    quote/subset-duplicate detector Jaccard misses (a short doc quoted
+    inside a long one scores high containment but low Jaccard, because
+    the union is dominated by the long side).
+
+    Prefix theorem, containment form: C(a->b) = |a∩b|/|a| >= tau
+    requires inter >= ceil(tau*|a|); if every token of a's
+    (|a| - ceil(tau*|a|) + 1)-prefix missed b, the suffix alone
+    (ceil(tau*|a|) - 1 tokens) could not reach it. So candidates join
+    a's PREFIX against b's FULL posting list — asymmetric: only the
+    probing side shrinks, which is also why containment has no
+    symmetric size filter. Global-df-ascending order keeps the joined
+    keys the rarest ones. Verification is the full intersection count
+    with the BIGINT cross-multiplied threshold. ``max_df`` drops
+    boilerplate shingles first (the dedup_ngram_jaccard contract).
+    Returns ordered (a_id, b_id, inter, sa) pairs, a_id != b_id."""
+    from pyspark.sql import Window as W
+
+    from ..functions.texts import word_shingles
+
+    sh = df.select(F.col(id_col).alias("doc"),
+                   F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+    if max_df is not None:
+        hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+               .filter(F.col("df_") > max_df).select("s"))
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sh = sh.localCheckpoint()
+
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+    w_doc = W.partitionBy("doc").orderBy("df_", "s")
+    ranked = (sh.join(dfreq, "s")
+              .select("doc", "s",
+                      F.row_number().over(w_doc).alias("pos"),
+                      F.count(F.lit(1)).over(
+                          W.partitionBy("doc")).alias("sz")))
+    plen = (F.col("sz")
+            - F.expr(f"({tau_num} * sz + {tau_den} - 1) div {tau_den}")
+            + F.lit(1))
+    pref = ranked.filter(F.col("pos") <= plen).select("doc", "s")
+    cand = (pref.alias("a")
+            .join(sh.alias("b"), "s")
+            .filter(F.col("a.doc") != F.col("b.doc"))
+            .select(F.col("a.doc").alias("a_id"),
+                    F.col("b.doc").alias("b_id"))
+            .distinct())
+
+    a_sh = sh.select(F.col("doc").alias("a_id"), "s")
+    b_sh = sh.select(F.col("doc").alias("b_id"), "s")
+    inter = (cand.join(a_sh, "a_id").join(b_sh, ["b_id", "s"])
+             .groupBy("a_id", "b_id")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc").alias("a_id"), F.col("n").alias("sa"))
+    return (inter.join(sa, "a_id")
+            .filter(F.col("inter") * tau_den >= tau_num * F.col("sa"))
+            .select("a_id", "b_id",
+                    F.col("inter").cast("long").alias("inter"),
+                    F.col("sa").cast("long").alias("sa")))

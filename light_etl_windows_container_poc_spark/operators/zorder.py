@@ -215,3 +215,87 @@ def optimize_zorder(spark: SparkSession, path: str,
             os.remove(p)
     return {"rewritten": len(affected), "linked": linked,
             "delta_files": len(delta)}
+
+
+# --------------------------------------------------------------------------
+# Hilbert curve index — the better-locality alternative to the Morton
+# interleave above (every unit step on the Hilbert curve is a unit step
+# in the grid, so zone rectangles have no Morton "seams"; this is the
+# clustering modern lakehouse OPTIMIZE implementations moved to).
+# Expressed as `bits` chained integer projections (one per curve
+# level), pure CASE/div/mod arithmetic — the same expression text runs
+# in Spark and DuckDB, which is what makes the layout certifiable.
+# --------------------------------------------------------------------------
+
+def hilbert_d_py(x: int, y: int, bits: int = 16) -> int:
+    """Pure-Python reference (Wikipedia xy2d): property-tested
+    bijective + unit-step-adjacent; the SQL stages below are proven
+    equal to this in tests."""
+    n = 1 << bits
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def hilbert_stage_exprs(x: str, y: str, d: str, lvl: int, bits: int,
+                        dialect_spark: bool) -> tuple[str, str, str]:
+    """(new_x, new_y, new_d) expression strings for one curve level —
+    shared text modulo the integer-division spelling. All operands stay
+    non-negative (coordinates live in [0, 2^bits)), so % and div are
+    engine-identical."""
+    div = "div" if dialect_spark else "//"
+    n = 1 << bits
+    s = 1 << lvl
+    rx = f"(({x} {div} {s}) % 2)"
+    ry = f"(({y} {div} {s}) % 2)"
+    nd = (f"{d} + {s * s} * (CASE WHEN {rx} = 1 THEN "
+          f"(CASE WHEN {ry} = 1 THEN 2 ELSE 3 END) ELSE {ry} END)")
+    nx = (f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+          f"THEN {n - 1} - {y} ELSE {y} END) ELSE {x} END")
+    ny = (f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+          f"THEN {n - 1} - {x} ELSE {x} END) ELSE {y} END")
+    return nx, ny, nd
+
+
+def hilbert_df(df: DataFrame, x_col: str, y_col: str,
+               out_col: str = "hv", bits: int = 16) -> DataFrame:
+    """Append the Hilbert index of (x_col, y_col) — `bits` chained
+    codegen projections, all other columns passed through. Same 16-bit
+    envelope as `z_expr` (keys above 2^bits-1 alias; pruning stays
+    sound)."""
+    cur = df.selectExpr("*", f"CAST({x_col} AS BIGINT) AS _hx",
+                        f"CAST({y_col} AS BIGINT) AS _hy",
+                        "CAST(0 AS BIGINT) AS _hd")
+    keep = df.columns
+    for lvl in range(bits - 1, -1, -1):
+        nx, ny, nd = hilbert_stage_exprs("_hx", "_hy", "_hd", lvl, bits,
+                                         dialect_spark=True)
+        cur = cur.selectExpr(*keep, f"({nx}) AS _hx", f"({ny}) AS _hy",
+                             f"({nd}) AS _hd")
+    return cur.selectExpr(*keep, f"_hd AS {out_col}")
+
+
+def hilbert_sql_ctes(base_cte: str, cols: str, x: str, y: str,
+                     bits: int = 16, prefix: str = "h") -> str:
+    """DuckDB CTE chain computing the same index: `{prefix}{bits}` is
+    the base with (_hx, _hy, _hd) seeded; `{prefix}0` carries the final
+    `_hd`. ``cols`` are passthrough columns kept at every stage."""
+    parts = [f"{prefix}{bits} AS (SELECT {cols}, CAST({x} AS BIGINT) AS _hx,"
+             f" CAST({y} AS BIGINT) AS _hy, CAST(0 AS BIGINT) AS _hd"
+             f" FROM {base_cte})"]
+    for lvl in range(bits - 1, -1, -1):
+        nx, ny, nd = hilbert_stage_exprs("_hx", "_hy", "_hd", lvl, bits,
+                                         dialect_spark=False)
+        parts.append(
+            f"{prefix}{lvl} AS (SELECT {cols}, ({nx}) AS _hx,"
+            f" ({ny}) AS _hy, ({nd}) AS _hd FROM {prefix}{lvl + 1})")
+    return ",\n".join(parts)

@@ -552,3 +552,293 @@ def bpe_symbol_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("word").cast("long")
                  .alias("n_distinct_words"))
             .orderBy("symbol"))
+
+
+# --------------------------------------------------------------------------
+# The OPTIMIZE loop, hash-certified end to end: z-write a base slice,
+# land two unsorted delta appends, run the incremental optimize
+# (manifest-published generation swap, only overlapped files
+# rewritten), then aggregate the maintained table through a pruned box
+# read — row-exact against the plain table. Complements the tests-only
+# zorder_optimize surface with a driver-checked roundtrip the way
+# compaction_roundtrip does for compact_files.
+# --------------------------------------------------------------------------
+@query("zorder_optimize_roundtrip", oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS x,
+         CAST(greatest(date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)), 0)
+              AS BIGINT) AS y
+  FROM orders
+),
+box AS (
+  SELECT CAST(max(x) * 25 // 100 AS BIGINT) AS lo_x,
+         CAST(max(x) * 75 // 100 AS BIGINT) AS hi_x,
+         CAST(min(y) + (max(y) - min(y)) * 40 // 100 AS BIGINT) AS lo_y,
+         CAST(min(y) + (max(y) - min(y)) * 45 // 100 AS BIGINT) AS hi_y
+  FROM base
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(x), 0) AS BIGINT) AS sum_x,
+       CAST(coalesce(sum(y), 0) AS BIGINT) AS sum_y,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_key
+FROM base, box
+WHERE x BETWEEN lo_x AND hi_x AND y BETWEEN lo_y AND hi_y
+""")
+def zorder_optimize_roundtrip(spark: SparkSession, sf_dir: str,
+                              ) -> DataFrame:
+    """Write 6/7 of orders z-sorted, append the other 1/7 as two
+    unsorted deltas, optimize (incremental fold), box-aggregate the
+    result. Any row lost or duplicated by the link/rewrite/swap/sweep
+    machinery flips the hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.zorder import (append_zorder_delta, optimize_zorder,
+                                    read_zordered, write_zordered)
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("x"),
+        F.greatest(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1992-01-01").cast("date")).cast("long"),
+            F.lit(0).cast("long")).alias("y"))
+    box = base.agg(
+        F.expr("CAST(max(x) * 25 div 100 AS BIGINT)").alias("lo_x"),
+        F.expr("CAST(max(x) * 75 div 100 AS BIGINT)").alias("hi_x"),
+        F.expr("CAST(min(y) + (max(y) - min(y)) * 40 div 100 AS BIGINT)")
+        .alias("lo_y"),
+        F.expr("CAST(min(y) + (max(y) - min(y)) * 45 div 100 AS BIGINT)")
+        .alias("hi_y")).collect()[0]
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_zopt_{h}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_zordered(base.filter(F.col("k") % 7 != 0), path, "x", "y",
+                   n_files=8)
+    append_zorder_delta(
+        base.filter((F.col("k") % 7 == 0) & (F.col("k") % 2 == 0)),
+        path, "x", "y")
+    append_zorder_delta(
+        base.filter((F.col("k") % 7 == 0) & (F.col("k") % 2 == 1)),
+        path, "x", "y")
+    optimize_zorder(spark, path)
+
+    back = (read_zordered(spark, path)
+            .filter((F.col("x") >= F.lit(int(box["lo_x"])))
+                    & (F.col("x") <= F.lit(int(box["hi_x"])))
+                    & (F.col("y") >= F.lit(int(box["lo_y"])))
+                    & (F.col("y") <= F.lit(int(box["hi_y"])))))
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("sum_x"),
+        F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("sum_y"),
+        F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_key"))
+
+
+# --------------------------------------------------------------------------
+# Exact set-CONTAINMENT >= 0.9 ordered-pair join via the ASYMMETRIC
+# prefix filter — the quote/subset-duplicate tier of the dedup stack
+# (a short doc embedded in a long one: high containment, low Jaccard,
+# so dedup_jaccard_prefix and minhash both miss it by design). The
+# oracle is the brute-force all-shingle join, so the hash proves the
+# asymmetric prefix theorem's completeness the way dedup_jaccard_prefix
+# proves the symmetric one. Same n=3 / max_df=500 shingle contract as
+# dedup_ngram_jaccard so the dedup surfaces stay comparable.
+# --------------------------------------------------------------------------
+from .llm import _NGRAM_MAX_DF, _SHINGLE_CTE  # noqa: E402
+
+
+@query("dedup_containment_prefix", oracle=f"""
+WITH {_SHINGLE_CTE},
+fil AS (
+  SELECT * FROM sh
+  WHERE s NOT IN (SELECT s FROM sh GROUP BY s
+                  HAVING count(*) > {_NGRAM_MAX_DF})
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       FROM fil GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM fil a JOIN fil b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a_id, b_id
+)
+SELECT p.a_id, p.b_id, p.inter, sa.n AS sa
+FROM pairs p JOIN sz sa ON sa.doc_id = p.a_id
+WHERE p.inter * 10 >= 9 * sa.n
+ORDER BY p.a_id, p.b_id
+""")
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str,
+                             ) -> DataFrame:
+    """Ordered containment pairs over `documents`. Scale shape: only
+    the PROBING side shrinks to its rarest-shingle prefix; the probed
+    side stays the full posting list (asymmetry is inherent — a
+    contained doc constrains nothing about its container), so the join
+    cost is sum over prefix keys of df(s), bounded by the max_df
+    boilerplate guard, never doc-pairs."""
+    from ..operators.dedup import containment_prefix_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = containment_prefix_pairs(docs, "doc_id", "text", n=3,
+                                     tau_num=9, tau_den=10,
+                                     max_df=_NGRAM_MAX_DF)
+    return pairs.orderBy("a_id", "b_id")
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout certification — the locality upgrade over the
+# Morton interleave (zorder_zone_prune): every unit step on the Hilbert
+# curve is a unit grid step, so value-contiguous zones have no Morton
+# "seams" and their (x, y) rectangles run tighter on the same zone
+# budget. The curve is `bits` chained integer projections whose
+# EXPRESSION TEXT is shared with the DuckDB oracle (CASE/div/mod only),
+# making the whole layout — curve, zones, box, pruning — byte-identical
+# cross-engine. Three layouts are compared on the same budget: hilbert,
+# zorder, and a single-key sort.
+# --------------------------------------------------------------------------
+def _hilbert_oracle() -> str:
+    from ..operators.zorder import hilbert_sql_ctes
+    from .breadth30 import _z_terms
+
+    ctes = hilbert_sql_ctes("base", "x, y", "x", "y", bits=16)
+    return f"""
+WITH base AS (
+  SELECT o_custkey AS x,
+         CAST(greatest(date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)), 0)
+              AS BIGINT) AS y
+  FROM orders
+),
+{ctes},
+hv AS (SELECT x, y, _hd AS hv FROM h0),
+zv AS (SELECT x, y, {_z_terms('x', 'y', '', False)} AS zv FROM base),
+box AS (
+  SELECT CAST(max(x) * 25 // 100 AS BIGINT) AS lo_x,
+         CAST(max(x) * 30 // 100 AS BIGINT) AS hi_x,
+         CAST(min(y) + (max(y) - min(y)) * 40 // 100 AS BIGINT) AS lo_y,
+         CAST(min(y) + (max(y) - min(y)) * 45 // 100 AS BIGINT) AS hi_y
+  FROM base
+),
+zones_h AS (
+  SELECT hv // 65536 AS zone, count(*) AS rows_in_zone,
+         min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y
+  FROM hv GROUP BY 1
+),
+zones_z AS (
+  SELECT zv // 65536 AS zone, count(*) AS rows_in_zone,
+         min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y
+  FROM zv GROUP BY 1
+),
+zones_k AS (
+  SELECT x // 256 AS zone, count(*) AS rows_in_zone,
+         min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y
+  FROM base GROUP BY 1
+),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS rows_in_box
+  FROM base, box b
+  WHERE x BETWEEN b.lo_x AND b.hi_x AND y BETWEEN b.lo_y AND b.hi_y
+),
+cand AS (
+  SELECT 'hilbert' AS layout,
+         CAST(count(*) AS BIGINT) AS zones_total,
+         CAST(sum(CASE WHEN max_x >= lo_x AND min_x <= hi_x
+                        AND max_y >= lo_y AND min_y <= hi_y
+                  THEN 1 ELSE 0 END) AS BIGINT) AS candidate_zones,
+         CAST(sum(CASE WHEN max_x >= lo_x AND min_x <= hi_x
+                        AND max_y >= lo_y AND min_y <= hi_y
+                  THEN rows_in_zone ELSE 0 END) AS BIGINT) AS rows_scanned
+  FROM zones_h, box
+  UNION ALL
+  SELECT 'zorder', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN max_x >= lo_x AND min_x <= hi_x
+                        AND max_y >= lo_y AND min_y <= hi_y
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN max_x >= lo_x AND min_x <= hi_x
+                        AND max_y >= lo_y AND min_y <= hi_y
+                  THEN rows_in_zone ELSE 0 END) AS BIGINT)
+  FROM zones_z, box
+  UNION ALL
+  SELECT 'custkey_sort', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN max_x >= lo_x AND min_x <= hi_x
+                        AND max_y >= lo_y AND min_y <= hi_y
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN max_x >= lo_x AND min_x <= hi_x
+                        AND max_y >= lo_y AND min_y <= hi_y
+                  THEN rows_in_zone ELSE 0 END) AS BIGINT)
+  FROM zones_k, box
+)
+SELECT layout, zones_total, candidate_zones, rows_scanned,
+       hits.rows_in_box
+FROM cand CROSS JOIN hits
+ORDER BY layout
+"""
+
+
+@query("hilbert_zone_prune", oracle=_hilbert_oracle())
+def hilbert_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-budget pruning comparison across hilbert / zorder /
+    single-key layouts on the breadth30 data-relative box. Cost shape
+    identical to zorder_zone_prune: three zone-stat aggregations
+    (output ∝ zones) + a broadcast 1-row box; the Hilbert chain is 16
+    codegen projections, corpus scanned once per layout stat."""
+    from ..operators.zorder import hilbert_df
+    from .breadth30 import _z_terms
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        F.col("o_custkey").alias("x"),
+        F.greatest(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1992-01-01").cast("date")).cast("long"),
+            F.lit(0).cast("long")).alias("y"))
+    hv = hilbert_df(base, "x", "y", out_col="hv", bits=16)
+    zv = base.withColumn("zv", F.expr(_z_terms("x", "y", "", True)))
+    box = base.agg(
+        F.expr("CAST(max(x) * 25 div 100 AS BIGINT)").alias("lo_x"),
+        F.expr("CAST(max(x) * 30 div 100 AS BIGINT)").alias("hi_x"),
+        F.expr("CAST(min(y) + (max(y) - min(y)) * 40 div 100 AS BIGINT)")
+        .alias("lo_y"),
+        F.expr("CAST(min(y) + (max(y) - min(y)) * 45 div 100 AS BIGINT)")
+        .alias("hi_y"))
+
+    def zone_stats(df: DataFrame, zone_expr: str) -> DataFrame:
+        return (df.groupBy(F.expr(zone_expr).alias("zone"))
+                .agg(F.count(F.lit(1)).alias("rows_in_zone"),
+                     F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                     F.min("y").alias("min_y"), F.max("y").alias("max_y")))
+
+    def pruned(stats: DataFrame, layout: str) -> DataFrame:
+        hit = ((F.col("max_x") >= F.col("lo_x"))
+               & (F.col("min_x") <= F.col("hi_x"))
+               & (F.col("max_y") >= F.col("lo_y"))
+               & (F.col("min_y") <= F.col("hi_y")))
+        return (stats.crossJoin(F.broadcast(box))
+                .agg(F.count(F.lit(1)).cast("long").alias("zones_total"),
+                     F.sum(hit.cast("long")).cast("long")
+                     .alias("candidate_zones"),
+                     F.sum(F.when(hit, F.col("rows_in_zone"))
+                           .otherwise(F.lit(0))).cast("long")
+                     .alias("rows_scanned"))
+                .select(F.lit(layout).alias("layout"), "zones_total",
+                        "candidate_zones", "rows_scanned"))
+
+    hits = (base.crossJoin(F.broadcast(box))
+            .filter((F.col("x") >= F.col("lo_x"))
+                    & (F.col("x") <= F.col("hi_x"))
+                    & (F.col("y") >= F.col("lo_y"))
+                    & (F.col("y") <= F.col("hi_y")))
+            .agg(F.count(F.lit(1)).cast("long").alias("rows_in_box")))
+    out = (pruned(zone_stats(hv, "hv div 65536"), "hilbert")
+           .unionByName(pruned(zone_stats(zv, "zv div 65536"), "zorder"))
+           .unionByName(pruned(zone_stats(base, "x div 256"),
+                               "custkey_sort")))
+    return out.crossJoin(F.broadcast(hits)).orderBy("layout")

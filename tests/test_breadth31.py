@@ -233,3 +233,53 @@ def test_zorder_optimize_crash_window_and_resweep(spark, sf_dir,
     want2 = sorted(set(want) | set(ids(d2)))
     assert ids(read_zordered(spark, path)) == want2
     assert not os.path.exists(ghost)
+
+
+# --------------------------------------------------------------------------
+# Hilbert curve (operators/zorder.py)
+# --------------------------------------------------------------------------
+
+def test_hilbert_reference_is_bijective_and_adjacent():
+    """The property that defines the curve: on a 2^b x 2^b grid the
+    index is a bijection onto [0, 4^b) and consecutive indexes are
+    UNIT grid steps (the locality z-order lacks — Morton jumps at
+    quadrant seams)."""
+    from light_etl_windows_container_poc_spark.operators.zorder import \
+        hilbert_d_py
+
+    n = 16
+    seen = {}
+    for x in range(n):
+        for y in range(n):
+            d = hilbert_d_py(x, y, bits=4)
+            assert 0 <= d < n * n and d not in seen
+            seen[d] = (x, y)
+    for d in range(1, n * n):
+        (x0, y0), (x1, y1) = seen[d - 1], seen[d]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_hilbert_df_matches_reference(spark, sf_dir):
+    from light_etl_windows_container_poc_spark.operators.zorder import (
+        hilbert_d_py, hilbert_df)
+
+    base = _orders_xy(spark, sf_dir).limit(300)
+    rows = hilbert_df(base, "x", "y", out_col="hv", bits=16).collect()
+    assert rows
+    for r in rows:
+        assert r["hv"] == hilbert_d_py(int(r["x"]), int(r["y"]), 16)
+
+
+def test_hilbert_prunes_at_least_as_tight_as_zorder(spark, sf_dir):
+    """On the certified zone budget, Hilbert's candidate zones and
+    scanned rows never exceed z-order's (unit-step locality can only
+    tighten the per-zone rectangles on this box family)."""
+    rows = {r["layout"]: r for r in
+            QUERIES["hilbert_zone_prune"](spark, sf_dir).collect()}
+    assert set(rows) == {"hilbert", "zorder", "custkey_sort"}
+    h, z = rows["hilbert"], rows["zorder"]
+    assert h["rows_scanned"] <= z["rows_scanned"], (h, z)
+    assert h["candidate_zones"] <= z["candidate_zones"], (h, z)
+    # pruning is sound for every layout: scanned >= rows actually in box
+    for r in rows.values():
+        assert r["rows_scanned"] >= r["rows_in_box"]
