@@ -177,18 +177,18 @@ _R07_CERTIFIED = [
 ]
 
 # Round-8 recertification allocation (head + this list == 50, the
-# driver's per-round budget; test-locked). Head = this round's 9 new
+# driver's per-round budget; test-locked). Head = this round's 10 new
 # queries (bpe_apply_large, bpe_symbol_census, curate_corpus_v2,
 # stream_heavy_hitters_cert, ann_ivfpq_recall_floor,
 # zorder_write_roundtrip, zorder_optimize_roundtrip,
-# dedup_containment_prefix, hilbert_zone_prune — 9 total). The 41
-# recertify slots drain ALL 10 remaining r2-latest rows plus 31 of
-# the 34-row r3-latest bucket — after this round no query's latest
-# certification predates r3, and only three r3 rows remain
-# (window_moving_avg, window_share, rolling_uniques — all
-# unchanged-since-r3 single-pattern queries re-proven by this
-# round's full-registry local sweeps; they head the r9 recertify
-# list). Code changed this round but freshly certified (the IVF-PQ
+# dedup_containment_prefix, hilbert_zone_prune,
+# quality_curriculum_tiers — 10 total). The 40 recertify slots drain
+# ALL 10 remaining r2-latest rows plus 30 of the 34-row r3-latest
+# bucket — after this round no query's latest certification predates
+# r3, and only four r3 rows remain (window_moving_avg, window_share,
+# rolling_uniques, safe_casts — all unchanged-since-r3 single-pattern
+# queries re-proven by this round's full-registry local sweeps; they
+# head the r9 recertify list). Code changed this round but freshly certified (the IVF-PQ
 # family — crash-safe swap + full-anchor builds — and the
 # minhash/incremental family behind operators/incremental.py's
 # overwrite fix) is re-proven by the local 3-SF gate instead of
@@ -207,7 +207,7 @@ _RECERTIFY = [
     "impute_forward_fill", "impute_group_mean", "impute_linear_interp",
     "join_semi", "mm_decode_real", "mm_media_meta",
     "pack_sequences", "quality_gopher_rules",
-    "safe_casts", "session_window_agg", "sketch_approx_percentile",
+    "session_window_agg", "sketch_approx_percentile",
     "sketch_hll_mergeable", "skew_profile", "text_bigram_lm",
     "text_rarity", "text_repetition", "time_rollup",
     "window_range_value", "zscore_outliers",
@@ -348,7 +348,8 @@ _R06_POPULATION = [
     "q22_sales_opportunity", "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "quality_gopher_rules", "quality_logistic_score", "quantile_bands_daily",
+    "quality_curriculum_tiers", "quality_gopher_rules", "quality_logistic_score",
+    "quantile_bands_daily",
     "range_join", "regex_funcs", "rolling_uniques",
     "safe_casts", "salted_join_agg", "sample_stratified",
     "seasonality_dow", "semdedup_keep", "semdedup_soundness",
@@ -452,7 +453,7 @@ _R07_POPULATION = [
     "window_running", "window_share", "zonemap_stats", "zscore_outliers",
 ]
 
-# The FROZEN round-8 query population (235 names) — bench.py's
+# The FROZEN round-8 query population (236 names) — bench.py's
 # suite_r8_subset tripwire for round 9+. Frozen at the round-8 OPEN
 # (after the first two r8 waves, through zorder_optimize_roundtrip
 # and dedup_containment_prefix); any later r8 closing-wave queries stay out
@@ -510,7 +511,8 @@ _R08_POPULATION = [
     "q21_waiting_supplier", "q22_sales_opportunity", "q2_min_cost_supplier",
     "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "quality_gopher_rules", "quality_logistic_score",
+    "q9_product_profit", "quality_curriculum_tiers", "quality_gopher_rules",
+    "quality_logistic_score",
     "quantile_bands_daily", "range_join", "regex_funcs",
     "rolling_uniques", "safe_casts", "salted_join_agg",
     "sample_stratified", "seasonality_dow", "semdedup_keep",

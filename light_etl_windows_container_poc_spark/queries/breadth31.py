@@ -842,3 +842,105 @@ def hilbert_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
            .unionByName(pruned(zone_stats(base, "x div 256"),
                                "custkey_sort")))
     return out.crossJoin(F.broadcast(hits)).orderBy("layout")
+
+
+# --------------------------------------------------------------------------
+# Quality CURRICULUM tiers: the training-order artifact quality scores
+# exist to feed — docs bucketed into score quartiles (exact
+# percentile_disc cuts via the DISTRIBUTED exact_quantile_cuts helper,
+# never the all-distinct-values percentile buffer), reported per tier
+# with the doc/token mass a scheduler needs to anneal from high- to
+# low-quality data. Composes two certified surfaces
+# (quality_logistic_score's formula + equidepth_histogram's cut
+# contract) into the operator between them.
+# --------------------------------------------------------------------------
+@query("quality_curriculum_tiers", oracle="""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w,
+         length(text) AS nc
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000.0
+                    / greatest(nc, 1)) AS BIGINT) AS alpha_milli,
+         CAST(round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000.0
+                    / greatest(nc, 1)) AS BIGINT) AS digit_milli,
+         CAST(round(len(list_filter(w, x -> list_contains(
+                  ['the','a','and','of','to','in','is','it','that','for'],
+                  lower(x)))) * 1000.0 / greatest(len(w), 1)) AS BIGINT)
+           AS stopword_milli
+  FROM t
+), z AS (
+  SELECT doc_id, n_words,
+         1.5 * (alpha_milli - 600) / 1000.0
+           + 4.0 * (stopword_milli - 250) / 1000.0
+           - 2.0 * digit_milli / 1000.0
+           + least(n_words, 400) / 400.0
+           - 1.0 AS z
+  FROM sig
+),
+sc AS (
+  SELECT doc_id, n_words,
+         CAST(round(1000000.0 / (1.0 + exp(-z))) AS BIGINT) AS score_micro
+  FROM z
+),
+cd AS (SELECT score_micro, cume_dist() OVER (ORDER BY score_micro) AS cd
+       FROM sc),
+cuts AS (
+  SELECT min(CASE WHEN cd >= 0.25 THEN score_micro END) AS c25,
+         min(CASE WHEN cd >= 0.5 THEN score_micro END) AS c50,
+         min(CASE WHEN cd >= 0.75 THEN score_micro END) AS c75
+  FROM cd
+),
+tiers AS (
+  SELECT sc.doc_id, sc.n_words, sc.score_micro,
+         CAST(1 + CAST(sc.score_micro > c.c25 AS INT)
+                + CAST(sc.score_micro > c.c50 AS INT)
+                + CAST(sc.score_micro > c.c75 AS INT) AS INT) AS tier
+  FROM sc, cuts c
+)
+SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_tokens,
+       CAST(min(score_micro) AS BIGINT) AS min_score_micro,
+       CAST(max(score_micro) AS BIGINT) AS max_score_micro
+FROM tiers GROUP BY tier ORDER BY tier
+""")
+def quality_curriculum_tiers(spark: SparkSession, sf_dir: str,
+                             ) -> DataFrame:
+    """Tier 4 = top quartile (trained first in an annealing schedule).
+    Cuts come from `exact_quantile_cuts` (every data-sized step
+    distributed, ≤4096-row bounded window); tier assignment and the
+    report are one broadcast-join + one 4-group aggregate."""
+    from ..operators.scale import exact_quantile_cuts
+    from ..operators.text import quality_metrics
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sig = quality_metrics(docs.select("doc_id", "text"), "text")
+    z = (1.5 * (F.col("alpha_milli") - 600) / 1000.0
+         + 4.0 * (F.col("stopword_milli") - 250) / 1000.0
+         - 2.0 * F.col("digit_milli") / 1000.0
+         + F.least(F.col("n_words").cast("bigint"), F.lit(400)) / 400.0
+         - 1.0)
+    score = F.round(1_000_000.0 / (1.0 + F.exp(-z))).cast("long")
+    sc = sig.select("doc_id",
+                    F.col("n_words").cast("long").alias("n_words"),
+                    score.alias("score_micro"))
+    cuts = exact_quantile_cuts(sc, "score_micro",
+                               {"c25": 0.25, "c50": 0.5, "c75": 0.75})
+    tiers = (sc.crossJoin(F.broadcast(cuts))
+             .select("doc_id", "n_words", "score_micro",
+                     (F.lit(1)
+                      + (F.col("score_micro") > F.col("c25")).cast("int")
+                      + (F.col("score_micro") > F.col("c50")).cast("int")
+                      + (F.col("score_micro") > F.col("c75")).cast("int"))
+                     .cast("int").alias("tier")))
+    return (tiers.groupBy("tier")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("total_tokens"),
+                 F.min("score_micro").cast("long")
+                 .alias("min_score_micro"),
+                 F.max("score_micro").cast("long")
+                 .alias("max_score_micro"))
+            .orderBy("tier"))

@@ -74,7 +74,15 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
                                  # Misra-Gries: per-partition stateful
                                  # k-bounded fold Catalyst cannot express;
                                  # Arrow-batched mapInPandas summary
-                                 "heavy_hitters")]
+                                 "heavy_hitters",
+                                 # IVF-PQ recall floor runs the same
+                                 # ADC scan as its ann_ivfpq siblings
+                                 "ann_ivfpq_recall_floor",
+                                 # BPE kernel path: vocabulary-memoized
+                                 # Arrow tokenizer — the certified
+                                 # scale path for large merge tables
+                                 "bpe_apply_large",
+                                 "bpe_symbol_census")]
     for name in jvm_queries:
         assert_no_python_udf(QUERIES[name](spark, sf_dir))
 
