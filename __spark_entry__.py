@@ -177,18 +177,19 @@ _R07_CERTIFIED = [
 ]
 
 # Round-8 recertification allocation (head + this list == 50, the
-# driver's per-round budget; test-locked). Head = this round's 10 new
+# driver's per-round budget; test-locked). Head = this round's 11 new
 # queries (bpe_apply_large, bpe_symbol_census, curate_corpus_v2,
 # stream_heavy_hitters_cert, ann_ivfpq_recall_floor,
 # zorder_write_roundtrip, zorder_optimize_roundtrip,
-# dedup_containment_prefix, hilbert_zone_prune,
-# quality_curriculum_tiers — 10 total). The 40 recertify slots drain
-# ALL 10 remaining r2-latest rows plus 30 of the 34-row r3-latest
-# bucket — after this round no query's latest certification predates
-# r3, and only four r3 rows remain (window_moving_avg, window_share,
-# rolling_uniques, safe_casts — all unchanged-since-r3 single-pattern
-# queries re-proven by this round's full-registry local sweeps; they
-# head the r9 recertify list). Code changed this round but freshly certified (the IVF-PQ
+# dedup_containment_prefix, dedup_containment_keep,
+# hilbert_zone_prune, quality_curriculum_tiers — 11 total). The 39
+# recertify slots drain ALL 10 remaining r2-latest rows plus 29 of
+# the 34-row r3-latest bucket — after this round no query's latest
+# certification predates r3, and only five r3 rows remain
+# (window_moving_avg, window_share, rolling_uniques, safe_casts,
+# session_window_agg — all unchanged-since-r3 single-pattern queries
+# re-proven by this round's full-registry local sweeps; they head the
+# r9 recertify list). Code changed this round but freshly certified (the IVF-PQ
 # family — crash-safe swap + full-anchor builds — and the
 # minhash/incremental family behind operators/incremental.py's
 # overwrite fix) is re-proven by the local 3-SF gate instead of
@@ -207,7 +208,7 @@ _RECERTIFY = [
     "impute_forward_fill", "impute_group_mean", "impute_linear_interp",
     "join_semi", "mm_decode_real", "mm_media_meta",
     "pack_sequences", "quality_gopher_rules",
-    "session_window_agg", "sketch_approx_percentile",
+    "sketch_approx_percentile",
     "sketch_hll_mergeable", "skew_profile", "text_bigram_lm",
     "text_rarity", "text_repetition", "time_rollup",
     "window_range_value", "zscore_outliers",
@@ -453,7 +454,7 @@ _R07_POPULATION = [
     "window_running", "window_share", "zonemap_stats", "zscore_outliers",
 ]
 
-# The FROZEN round-8 query population (236 names) — bench.py's
+# The FROZEN round-8 query population (237 names) — bench.py's
 # suite_r8_subset tripwire for round 9+. Frozen at the round-8 OPEN
 # (after the first two r8 waves, through zorder_optimize_roundtrip
 # and dedup_containment_prefix); any later r8 closing-wave queries stay out
@@ -474,71 +475,70 @@ _R08_POPULATION = [
     "cdc_apply", "chi2_independence", "cohort_retention",
     "compaction_roundtrip", "contamination", "corpus_report",
     "curate_corpus", "curate_corpus_v2", "daily_anomaly_mad",
-    "dedup_blocked_invariance", "dedup_clusters", "dedup_containment_prefix",
-    "dedup_embedding", "dedup_embedding_blocked", "dedup_exact",
-    "dedup_incremental_consistency", "dedup_incremental_exact", "dedup_jaccard_prefix",
-    "dedup_keep_one", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_paragraph", "dedup_simhash", "degree_distribution",
-    "doc_cooccur", "domain_cap", "domain_temperature_sample",
-    "dq_rules", "dsir_weights", "dup_source_overlap",
-    "dup_span_census", "dup_span_strip", "embed_centroid",
-    "embed_outliers", "embed_pca", "embed_quantize",
-    "embed_robust_scale", "embed_standardize", "equidepth_histogram",
-    "etl_clean_columns", "etl_dedup_rows", "etl_drop_empty_rows",
-    "etl_enrich_metadata", "etl_file_stats", "etl_json_extract",
-    "etl_pattern_route", "etl_processing_stats", "etl_quality_profile",
-    "etl_scd2_merge", "etl_snapshot_diff", "etl_type_coercion",
-    "etl_validate_rows", "event_streaks", "event_transitions",
-    "ewma_halflife", "explode_wordcount", "fingerprint_winnowing",
-    "first_touch_attribution", "funnel", "fuzzy_join_parts",
-    "gap_fill_daily", "graph_triangles", "grouped_ols",
-    "hash_funcs", "heavy_hitters", "hilbert_zone_prune",
-    "hybrid_rrf_search", "impute_forward_fill", "impute_group_mean",
-    "impute_linear_interp", "interval_join", "inverted_index",
-    "join_anti", "join_null_safe", "join_semi",
-    "journey_trigrams", "kmeans_inertia_monotone", "knn_graph",
-    "length_histogram_log2", "lm_perplexity_filter", "mad_outliers",
-    "map_funcs", "market_basket_lift", "minhash_band_containment",
-    "mm_decode_real", "mm_features", "mm_frame_sample",
-    "mm_media_meta", "mm_resize_real", "ngram_novelty",
-    "null_funcs", "ohlc_bars", "pack_sequences",
-    "pagerank_invariants", "pagerank_words", "pca_invariants",
-    "pct_change_wow", "percentiles", "pivot_wide",
-    "q10_returned_items", "q11_important_parts", "q12_late_priority",
-    "q13_cust_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_supplier_counts", "q17_small_qty_revenue", "q18_large_orders",
-    "q19_discount_revenue", "q1_pricing_summary", "q20_promo_suppliers",
-    "q21_waiting_supplier", "q22_sales_opportunity", "q2_min_cost_supplier",
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "quality_curriculum_tiers", "quality_gopher_rules",
-    "quality_logistic_score",
-    "quantile_bands_daily", "range_join", "regex_funcs",
-    "rolling_uniques", "safe_casts", "salted_join_agg",
-    "sample_stratified", "seasonality_dow", "semdedup_keep",
-    "semdedup_soundness", "session_window_agg", "sessionize",
-    "set_ops", "shard_assign", "simhash_pigeonhole",
-    "sink_partitioned_roundtrip", "sketch_approx_percentile", "sketch_hll_bounds",
-    "sketch_hll_merge_consistent", "sketch_hll_mergeable", "sketch_pct_bounds",
-    "skew_profile", "skyline_parts", "source_gini",
-    "split_train_test", "src_excel", "src_excel_xls",
-    "src_excel_xlsb", "stream_dedup", "stream_heavy_hitters_cert",
-    "stream_ohlc_final", "stream_session_window", "stream_stateful",
-    "stream_stateful_final", "stream_static_join", "stream_stream_join",
-    "stream_window_agg", "string_funcs", "subquery_scalar",
-    "text_bigram_kn", "text_bigram_lm", "text_bpe_tokenize",
-    "text_chunk", "text_clean_pii", "text_fingerprint",
-    "text_langid", "text_quality", "text_rarity",
-    "text_repetition", "text_tfidf", "text_token_count",
-    "text_trigram_kn", "text_word_entropy", "time_functions",
-    "time_rollup", "time_window_agg", "token_budget_mix",
-    "top_movers", "topk_per_group", "unpivot_long",
-    "user_rfm", "vocab_growth", "weighted_sample",
-    "window_lag_delta", "window_moving_avg", "window_ntile_firstlast",
-    "window_percent_rank", "window_range_value", "window_rolling_time",
-    "window_running", "window_share", "zonemap_stats",
-    "zorder_optimize_roundtrip", "zorder_write_roundtrip", "zorder_zone_prune",
-    "zscore_outliers",
+    "dedup_blocked_invariance", "dedup_clusters", "dedup_containment_keep",
+    "dedup_containment_prefix", "dedup_embedding", "dedup_embedding_blocked",
+    "dedup_exact", "dedup_incremental_consistency", "dedup_incremental_exact",
+    "dedup_jaccard_prefix", "dedup_keep_one", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_paragraph", "dedup_simhash",
+    "degree_distribution", "doc_cooccur", "domain_cap",
+    "domain_temperature_sample", "dq_rules", "dsir_weights",
+    "dup_source_overlap", "dup_span_census", "dup_span_strip",
+    "embed_centroid", "embed_outliers", "embed_pca",
+    "embed_quantize", "embed_robust_scale", "embed_standardize",
+    "equidepth_histogram", "etl_clean_columns", "etl_dedup_rows",
+    "etl_drop_empty_rows", "etl_enrich_metadata", "etl_file_stats",
+    "etl_json_extract", "etl_pattern_route", "etl_processing_stats",
+    "etl_quality_profile", "etl_scd2_merge", "etl_snapshot_diff",
+    "etl_type_coercion", "etl_validate_rows", "event_streaks",
+    "event_transitions", "ewma_halflife", "explode_wordcount",
+    "fingerprint_winnowing", "first_touch_attribution", "funnel",
+    "fuzzy_join_parts", "gap_fill_daily", "graph_triangles",
+    "grouped_ols", "hash_funcs", "heavy_hitters",
+    "hilbert_zone_prune", "hybrid_rrf_search", "impute_forward_fill",
+    "impute_group_mean", "impute_linear_interp", "interval_join",
+    "inverted_index", "join_anti", "join_null_safe",
+    "join_semi", "journey_trigrams", "kmeans_inertia_monotone",
+    "knn_graph", "length_histogram_log2", "lm_perplexity_filter",
+    "mad_outliers", "map_funcs", "market_basket_lift",
+    "minhash_band_containment", "mm_decode_real", "mm_features",
+    "mm_frame_sample", "mm_media_meta", "mm_resize_real",
+    "ngram_novelty", "null_funcs", "ohlc_bars",
+    "pack_sequences", "pagerank_invariants", "pagerank_words",
+    "pca_invariants", "pct_change_wow", "percentiles",
+    "pivot_wide", "q10_returned_items", "q11_important_parts",
+    "q12_late_priority", "q13_cust_distribution", "q14_promo_effect",
+    "q15_top_supplier", "q16_supplier_counts", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_discount_revenue", "q1_pricing_summary",
+    "q20_promo_suppliers", "q21_waiting_supplier", "q22_sales_opportunity",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "quality_curriculum_tiers",
+    "quality_gopher_rules", "quality_logistic_score", "quantile_bands_daily",
+    "range_join", "regex_funcs", "rolling_uniques",
+    "safe_casts", "salted_join_agg", "sample_stratified",
+    "seasonality_dow", "semdedup_keep", "semdedup_soundness",
+    "session_window_agg", "sessionize", "set_ops",
+    "shard_assign", "simhash_pigeonhole", "sink_partitioned_roundtrip",
+    "sketch_approx_percentile", "sketch_hll_bounds", "sketch_hll_merge_consistent",
+    "sketch_hll_mergeable", "sketch_pct_bounds", "skew_profile",
+    "skyline_parts", "source_gini", "split_train_test",
+    "src_excel", "src_excel_xls", "src_excel_xlsb",
+    "stream_dedup", "stream_heavy_hitters_cert", "stream_ohlc_final",
+    "stream_session_window", "stream_stateful", "stream_stateful_final",
+    "stream_static_join", "stream_stream_join", "stream_window_agg",
+    "string_funcs", "subquery_scalar", "text_bigram_kn",
+    "text_bigram_lm", "text_bpe_tokenize", "text_chunk",
+    "text_clean_pii", "text_fingerprint", "text_langid",
+    "text_quality", "text_rarity", "text_repetition",
+    "text_tfidf", "text_token_count", "text_trigram_kn",
+    "text_word_entropy", "time_functions", "time_rollup",
+    "time_window_agg", "token_budget_mix", "top_movers",
+    "topk_per_group", "unpivot_long", "user_rfm",
+    "vocab_growth", "weighted_sample", "window_lag_delta",
+    "window_moving_avg", "window_ntile_firstlast", "window_percent_rank",
+    "window_range_value", "window_rolling_time", "window_running",
+    "window_share", "zonemap_stats", "zorder_optimize_roundtrip",
+    "zorder_write_roundtrip", "zorder_zone_prune", "zscore_outliers",
 ]
 
 

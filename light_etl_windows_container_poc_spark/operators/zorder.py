@@ -59,22 +59,38 @@ def z_expr(x: str, y: str, bits: int = 16) -> Column:
     return F.expr(" + ".join(terms)).cast("long")
 
 
+def _with_curve(df: DataFrame, x_col: str, y_col: str, bits: int,
+                curve: str) -> DataFrame:
+    """Append the clustering key ``zv`` under the chosen space-filling
+    curve. The maintenance machinery below (optimize/read) is
+    curve-agnostic — it only ever sees the ``zv`` column — so a table's
+    curve is fixed at write time and appends must reuse it."""
+    if curve == "morton":
+        return df.withColumn("zv", z_expr(x_col, y_col, bits))
+    if curve == "hilbert":
+        return hilbert_df(df, x_col, y_col, out_col="zv", bits=bits)
+    raise ValueError(f"unknown curve {curve!r}")
+
+
 def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str,
-                   n_files: int = 16, bits: int = 16) -> None:
-    """Land ``df`` physically z-ordered: range-partition on zv, sort
-    within files, so every file's footer carries a tight rectangle in
-    BOTH dimensions."""
-    z = df.withColumn("zv", z_expr(x_col, y_col, bits))
+                   n_files: int = 16, bits: int = 16,
+                   curve: str = "morton") -> None:
+    """Land ``df`` physically curve-ordered: range-partition on zv,
+    sort within files, so every file's footer carries a tight rectangle
+    in BOTH dimensions (``curve="hilbert"`` for the unit-step-locality
+    variant — see `hilbert_d_py`)."""
+    z = _with_curve(df, x_col, y_col, bits, curve)
     (z.repartitionByRange(n_files, "zv").sortWithinPartitions("zv")
      .write.mode("overwrite").parquet(path))
 
 
 def append_zorder_delta(df: DataFrame, path: str, x_col: str, y_col: str,
-                        bits: int = 16) -> None:
-    """Fast append: land the batch (with its zv) UNSORTED under
-    ``_delta/`` — arrival cost is a plain write; the layout debt is
-    paid by the next `optimize_zorder`, not the ingest path."""
-    z = df.withColumn("zv", z_expr(x_col, y_col, bits))
+                        bits: int = 16, curve: str = "morton") -> None:
+    """Fast append: land the batch (with its zv, SAME curve as the
+    table was written with) UNSORTED under ``_delta/`` — arrival cost
+    is a plain write; the layout debt is paid by the next
+    `optimize_zorder`, not the ingest path."""
+    z = _with_curve(df, x_col, y_col, bits, curve)
     z.write.mode("append").parquet(os.path.join(path, _DELTA))
 
 

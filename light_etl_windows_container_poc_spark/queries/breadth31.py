@@ -944,3 +944,78 @@ def quality_curriculum_tiers(spark: SparkSession, sf_dir: str,
                  F.max("score_micro").cast("long")
                  .alias("max_score_micro"))
             .orderBy("tier"))
+
+
+# --------------------------------------------------------------------------
+# Containment KEEP-ONE: the drop decision the containment pairs exist
+# to feed — a doc is dropped when its shingle set sits >= 0.9 inside a
+# LARGER doc's (the contained quote/subset duplicate; the container
+# carries all the information). Equal-size mutual containments break
+# ties by id (higher id drops), so the rule is a total decision with no
+# order dependence. Every doc gets a keep flag — the oracle replays the
+# same rule off the brute-force pair join.
+# --------------------------------------------------------------------------
+@query("dedup_containment_keep", oracle=f"""
+WITH {_SHINGLE_CTE},
+fil AS (
+  SELECT * FROM sh
+  WHERE s NOT IN (SELECT s FROM sh GROUP BY s
+                  HAVING count(*) > {_NGRAM_MAX_DF})
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       FROM fil GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM fil a JOIN fil b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a_id, b_id
+),
+contained AS (
+  SELECT DISTINCT p.a_id AS doc_id
+  FROM pairs p
+  JOIN sz sa ON sa.doc_id = p.a_id
+  JOIN sz sb ON sb.doc_id = p.b_id
+  WHERE p.inter * 10 >= 9 * sa.n
+    AND (sa.n < sb.n OR (sa.n = sb.n AND p.a_id > p.b_id))
+)
+SELECT d.doc_id,
+       CAST(d.doc_id NOT IN (SELECT doc_id FROM contained) AS INT)
+         AS keep
+FROM documents d
+ORDER BY d.doc_id
+""")
+def dedup_containment_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keep flags from the prefix-filtered containment join.
+    Scale: one extra |pairs|-row filter over the already-bounded
+    candidate relation; the decision needs no graph pass (containment
+    into a larger doc is acyclic by the size tie-break)."""
+    from ..operators.dedup import containment_prefix_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = containment_prefix_pairs(docs, "doc_id", "text", n=3,
+                                     tau_num=9, tau_den=10,
+                                     max_df=_NGRAM_MAX_DF)
+    # pairs carries sa but not sb (not every doc appears as an a_id),
+    # so derive b-side sizes with the operator's own shingle contract
+    from ..functions.texts import word_shingles
+
+    sh = docs.select(F.col("doc_id").alias("d"),
+                     F.explode(word_shingles(F.col("text"), 3)).alias("s"))
+    hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+           .filter(F.col("df_") > _NGRAM_MAX_DF).select("s"))
+    sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = sh.groupBy("d").agg(F.count(F.lit(1)).alias("nb"))
+    contained = (pairs
+                 .join(sizes.select(F.col("d").alias("b_id"), "nb"),
+                       "b_id")
+                 .filter((F.col("sa") < F.col("nb"))
+                         | ((F.col("sa") == F.col("nb"))
+                            & (F.col("a_id") > F.col("b_id"))))
+                 .select(F.col("a_id").alias("doc_id")).distinct())
+    return (docs.select("doc_id")
+            .join(contained.withColumn("drop", F.lit(1)), "doc_id",
+                  "left")
+            .select("doc_id",
+                    F.when(F.col("drop").isNull(), 1).otherwise(0)
+                    .cast("int").alias("keep"))
+            .orderBy("doc_id"))

@@ -283,3 +283,26 @@ def test_hilbert_prunes_at_least_as_tight_as_zorder(spark, sf_dir):
     # pruning is sound for every layout: scanned >= rows actually in box
     for r in rows.values():
         assert r["rows_scanned"] >= r["rows_in_box"]
+
+
+def test_zorder_optimize_roundtrip_hilbert_curve(spark, sf_dir, tmp_path):
+    """The maintenance machinery is curve-agnostic: the same
+    write → append → optimize → read loop is row-exact when the table
+    is clustered on the Hilbert index instead of the Morton one."""
+    from light_etl_windows_container_poc_spark.operators.zorder import (
+        append_zorder_delta, optimize_zorder, read_zordered,
+        write_zordered)
+
+    base, main, d1, d2 = _zsplit(spark, sf_dir)
+    path = str(tmp_path / "htab")
+    write_zordered(main, path, "x", "y", n_files=6, curve="hilbert")
+    append_zorder_delta(d1, path, "x", "y", curve="hilbert")
+    append_zorder_delta(d2, path, "x", "y", curve="hilbert")
+
+    def ids(df):
+        return sorted(r["k"] for r in df.select("k").collect())
+
+    assert ids(read_zordered(spark, path)) == ids(base)
+    stats = optimize_zorder(spark, path)
+    assert stats["delta_files"] >= 2
+    assert ids(read_zordered(spark, path)) == ids(base)
