@@ -602,3 +602,86 @@ def compact_ivfpq_codes(spark: SparkSession, index_path: str) -> int:
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     return n
+
+
+# --------------------------------------------------------------------------
+# Drift monitoring — the trigger side of the refresh lifecycle.
+# Appends encode against frozen quantizers (the documented envelope);
+# `refresh_ivfpq_index` is the repair. This is the MONITOR in between:
+# a cheap map-only statistic of how well the persisted coarse quantizer
+# still covers the corpus, so refresh becomes a measured decision
+# instead of a schedule.
+# --------------------------------------------------------------------------
+
+def ivfpq_assign_stats(corpus: DataFrame, id_col: str, vec_col: str,
+                       index_path: str) -> dict:
+    """Coverage of the PERSISTED centroids over ``corpus``: mean and
+    p05 of the best-centroid cosine (micro-units). One scan (map-only
+    assignment + broadcast centroid join) plus the distributed
+    `exact_quantile_cuts` — no data-sized collect at any size."""
+    from ..operators.scale import exact_quantile_cuts
+
+    spark = corpus.sparkSession
+    centroids = load_centroids(spark, index_path)
+    c = _prep(corpus, id_col, vec_col, "n_id", "nv", "nn")
+    assigned = assign_nearest_cluster(c, "nv", centroids)
+    cent_df = spark.createDataFrame(centroids,
+                                    "cluster int, cv array<double>")
+    sims = (assigned.join(F.broadcast(cent_df), "cluster")
+            .select(F.round(dot(F.col("nv"), F.col("cv")) * 1_000_000)
+                    .cast("long").alias("sim_micro")))
+    sims = sims.localCheckpoint(eager=True)  # two consumers below
+    agg = sims.agg(F.avg("sim_micro").cast("long").alias("mean"),
+                   F.count(F.lit(1)).alias("n")).first()
+    p05 = exact_quantile_cuts(sims, "sim_micro", {"p05": 0.05}).first()
+    return {"mean_sim_micro": int(agg["mean"]), "n": int(agg["n"]),
+            "p05_sim_micro": int(p05["p05"])}
+
+
+_DRIFT_BASELINE = "_drift_baseline.json"
+
+
+def record_drift_baseline(corpus: DataFrame, id_col: str, vec_col: str,
+                          index_path: str) -> dict:
+    """Persist the current assign stats as the index's baseline
+    (atomic tmp + replace). Call right after build/refresh, on the
+    corpus the quantizers were trained on."""
+    import json
+
+    stats = ivfpq_assign_stats(corpus, id_col, vec_col, index_path)
+    tmp = os.path.join(index_path, _DRIFT_BASELINE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(index_path, _DRIFT_BASELINE))
+    return stats
+
+
+def drift_check(corpus: DataFrame, id_col: str, vec_col: str,
+                index_path: str,
+                max_mean_drop_pct: int = 10) -> dict:
+    """Compare the CURRENT corpus's coverage to the recorded baseline.
+    ``needs_refresh`` when the mean best-centroid cosine dropped more
+    than ``max_mean_drop_pct`` percent of the baseline mean — RELATIVE,
+    because the absolute cosine level is a property of the embedding
+    distribution (near-uniform corpora sit near 0; tightly clustered
+    ones near 1), while a relative collapse means the same thing
+    everywhere: the frozen quantizers no longer represent what the
+    appends brought in. The streaming maintainer's operational loop:
+    drift_check (cheap, any cadence) → `refresh_ivfpq_index` →
+    `record_drift_baseline`."""
+    import json
+
+    base_path = os.path.join(index_path, _DRIFT_BASELINE)
+    if not os.path.exists(base_path):
+        raise FileNotFoundError(
+            "no drift baseline recorded — call record_drift_baseline "
+            "after build/refresh")
+    with open(base_path) as f:
+        baseline = json.load(f)
+    current = ivfpq_assign_stats(corpus, id_col, vec_col, index_path)
+    drop = baseline["mean_sim_micro"] - current["mean_sim_micro"]
+    # integer cross-multiplication; guard the degenerate zero baseline
+    flag = drop * 100 > abs(baseline["mean_sim_micro"]) * max_mean_drop_pct
+    return {"baseline": baseline, "current": current,
+            "mean_drop_micro": int(drop),
+            "needs_refresh": bool(flag)}

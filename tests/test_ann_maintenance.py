@@ -230,3 +230,37 @@ def test_refresh_improves_recall_on_drifted_data(spark, sf_dir, tmp_path):
     after = recall()
     assert after > before, (before, after)
     assert after >= 0.65, (before, after)
+
+
+def test_drift_monitor_triggers_and_resets(spark, sf_dir, tmp_path):
+    """The lifecycle trigger: baseline on the build corpus, no refresh
+    needed; append a drifted population, drift_check flags it; refresh
+    + new baseline, flag clears."""
+    from light_etl_windows_container_poc_spark.operators.ann_index import (
+        drift_check, record_drift_baseline, refresh_ivfpq_index)
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < 250).select("vec_id", "embedding")
+    drifted = base.select((F.col("vec_id") + 10_000).alias("vec_id"),
+                          F.transform("embedding",
+                                      lambda x: -x).alias("embedding"))
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(base, "vec_id", "embedding", idx, n_clusters=6)
+    baseline = record_drift_baseline(base, "vec_id", "embedding", idx)
+    assert baseline["n"] == 250
+
+    ok = drift_check(base, "vec_id", "embedding", idx)
+    assert not ok["needs_refresh"], ok
+
+    handler = ann_append_batch_handler(idx)
+    handler(drifted, 0)
+    full = base.unionByName(drifted)
+    flagged = drift_check(full, "vec_id", "embedding", idx)
+    assert flagged["needs_refresh"], flagged
+    assert flagged["mean_drop_micro"] * 100 > \
+        flagged["baseline"]["mean_sim_micro"] * 10
+
+    refresh_ivfpq_index(full, "vec_id", "embedding", idx, n_clusters=6)
+    record_drift_baseline(full, "vec_id", "embedding", idx)
+    cleared = drift_check(full, "vec_id", "embedding", idx)
+    assert not cleared["needs_refresh"], cleared
