@@ -173,23 +173,28 @@ def optimize_zorder(spark: SparkSession, path: str,
         return {"rewritten": 0, "linked": 0, "delta_files": 0}
 
     ranges = _file_z_ranges(path)
-    d = spark.read.parquet(*delta)
-    # 2. per-file delta assignment: zv -> covering file, else nearest
-    zvs = sorted(r["zv"] for r in d.select("zv").collect())
+    # 2. per-file delta assignment: zv -> covering file, else nearest —
+    # computed DISTRIBUTED (broadcast the k-row range relation, argmin
+    # per zv, distinct file names out). The driver only ever sees the
+    # <= #files affected-name set, never the delta's values; a
+    # collect-the-delta plan would stop scaling exactly when optimize
+    # matters most (a large arrival backlog).
     affected: set[str] = set()
-    for zv in zvs:
-        best, best_gap = None, None
-        for f, lo, hi in ranges:
-            if lo <= zv <= hi:
-                best, best_gap = f, 0
-                break
-            gap = min(abs(zv - lo), abs(zv - hi))
-            if best_gap is None or gap < best_gap:
-                best, best_gap = f, gap
-        if best is not None:
-            affected.add(best)
-    if not ranges:  # empty sorted generation: everything becomes one file
-        affected = set()
+    if ranges:
+        rng = spark.createDataFrame(
+            [(f, lo, hi) for f, lo, hi in ranges],
+            "file string, lo long, hi long")
+        d = spark.read.parquet(*delta).select("zv")
+        gap = (F.when((F.col("zv") >= F.col("lo"))
+                      & (F.col("zv") <= F.col("hi")), F.lit(0))
+               .otherwise(F.least(F.abs(F.col("zv") - F.col("lo")),
+                                  F.abs(F.col("zv") - F.col("hi")))))
+        best = (d.crossJoin(F.broadcast(rng))
+                .groupBy("zv")
+                .agg(F.min(F.struct(gap.alias("gap"), F.col("file")))
+                     .alias("b"))
+                .select(F.col("b.file").alias("file")).distinct())
+        affected = {r["file"] for r in best.collect()}
 
     parent = os.path.dirname(os.path.abspath(path)) or "."
     staging = tempfile.mkdtemp(prefix=".zorder_opt_", dir=parent)
