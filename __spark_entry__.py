@@ -349,8 +349,7 @@ _R06_POPULATION = [
     "q22_sales_opportunity", "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "quality_curriculum_tiers", "quality_gopher_rules", "quality_logistic_score",
-    "quantile_bands_daily",
+    "quality_gopher_rules", "quality_logistic_score", "quantile_bands_daily",
     "range_join", "regex_funcs", "rolling_uniques",
     "safe_casts", "salted_join_agg", "sample_stratified",
     "seasonality_dow", "semdedup_keep", "semdedup_soundness",
