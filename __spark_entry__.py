@@ -177,18 +177,24 @@ _R07_CERTIFIED = [
 ]
 
 # Round-8 recertification allocation (head + this list == 50, the
-# driver's per-round budget; test-locked). Head = this round's 11 new
+# driver's per-round budget; test-locked). Head = this round's 17 new
 # queries (bpe_apply_large, bpe_symbol_census, curate_corpus_v2,
 # stream_heavy_hitters_cert, ann_ivfpq_recall_floor,
 # zorder_write_roundtrip, zorder_optimize_roundtrip,
 # dedup_containment_prefix, dedup_containment_keep,
-# hilbert_zone_prune, quality_curriculum_tiers — 11 total). The 39
-# recertify slots drain ALL 10 remaining r2-latest rows plus 29 of
+# hilbert_zone_prune, quality_curriculum_tiers, and the second wave:
+# countmin_sketch, graph_label_propagation, entity_resolution,
+# join_incremental_delta, unigram_lm_learn, unigram_invariants — 17
+# total). The 33
+# recertify slots drain ALL 10 remaining r2-latest rows plus 23 of
 # the 34-row r3-latest bucket — after this round no query's latest
-# certification predates r3, and only five r3 rows remain
+# certification predates r3, and only eleven r3 rows remain
 # (window_moving_avg, window_share, rolling_uniques, safe_casts,
-# session_window_agg — all unchanged-since-r3 single-pattern queries
-# re-proven by this round's full-registry local sweeps; they head the
+# session_window_agg, plus hash_funcs, join_semi, time_rollup,
+# window_range_value, skew_profile and text_rarity trimmed to fund
+# the second wave — all
+# unchanged-since-r3 single-pattern queries re-proven by this round's
+# full-registry local sweeps; they head the
 # r9 recertify list). Code changed this round but freshly certified (the IVF-PQ
 # family — crash-safe swap + full-anchor builds — and the
 # minhash/incremental family behind operators/incremental.py's
@@ -200,18 +206,18 @@ _RECERTIFY = [
     "funnel", "inverted_index", "null_funcs",
     "regex_funcs", "sample_stratified", "text_chunk",
     "text_tfidf",
-    # r3-latest (the whole bucket — drained this round)
+    # r3-latest (drained this round minus the nine named above)
     "array_set_ops", "boilerplate_strip", "cdc_apply",
     "contamination", "domain_cap", "embed_quantize",
     "embed_standardize", "etl_quality_profile", "event_streaks",
-    "gap_fill_daily", "grouped_ols", "hash_funcs",
+    "gap_fill_daily", "grouped_ols",
     "impute_forward_fill", "impute_group_mean", "impute_linear_interp",
-    "join_semi", "mm_decode_real", "mm_media_meta",
+    "mm_decode_real", "mm_media_meta",
     "pack_sequences", "quality_gopher_rules",
     "sketch_approx_percentile",
-    "sketch_hll_mergeable", "skew_profile", "text_bigram_lm",
-    "text_rarity", "text_repetition", "time_rollup",
-    "window_range_value", "zscore_outliers",
+    "sketch_hll_mergeable", "text_bigram_lm",
+    "text_repetition",
+    "zscore_outliers",
 ]
 
 

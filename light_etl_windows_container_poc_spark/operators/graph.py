@@ -137,3 +137,37 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
            .localCheckpoint(eager=True))
     e.unpersist()
     return out
+
+
+def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous frequency-weighted label propagation → (node, label).
+
+    ``edges`` is a SYMMETRIC (u, v) relation; the node set is its
+    distinct ``u`` side (symmetry makes that every endpoint), each node
+    seeded with its own id. Per round every node adopts the label most
+    frequent among its neighbors under the TOTAL order (count DESC,
+    label ASC) — deterministic for any partitioning, unlike classic
+    randomized LPA, so an oracle can replay the exact label states.
+
+    Per-round work is one join (shuffle on the neighbor key) + one
+    count + one top-1 window, all keyed on the node id so the exchanges
+    reuse one partitioning; lineage is cut per round like ``pagerank``.
+    At cluster scale the edge relation is persisted once and each round
+    moves |E| label rows, never the full graph structure.
+    """
+    from pyspark.sql import Window
+
+    edges = edges.select("u", "v").persist()
+    labels = (edges.select(F.col("u").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=True))
+    top1 = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        freq = (edges.join(labels.withColumnRenamed("node", "v"), "v")
+                .groupBy(F.col("u").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("c")))
+        labels = (freq.withColumn("rn", F.row_number().over(top1))
+                  .filter(F.col("rn") == 1).select("node", "label")
+                  .localCheckpoint(eager=True))
+    edges.unpersist()
+    return labels

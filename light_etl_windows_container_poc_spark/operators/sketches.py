@@ -74,3 +74,61 @@ def mg_merge(partials: DataFrame, k: int) -> DataFrame:
 def mg_heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     """End-to-end distributed Misra-Gries: (token, est), <= k rows."""
     return mg_merge(mg_partial_summaries(df, col, k), k)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min: the OVERcounting complement to Misra-Gries. MG never
+# overcounts and answers "what is heavy"; CM never UNDERcounts and
+# answers point queries for ANY key, including keys MG evicted. State is
+# a fixed depth*width counter grid regardless of cardinality, merged by
+# plain addition (sum is associative, so partial aggregation gives the
+# identical grid for any partitioning) — the whole sketch is one
+# map-side-combined groupBy of depth*width cells, never a shuffle of
+# |distinct| rows. Hashes are the repo-standard md5 bridge so DuckDB
+# replays every cell exactly.
+# ---------------------------------------------------------------------------
+def cm_bucket(seed_col, key_col, width: int):
+    """Row h_seed(key) % width via the md5 bridge (exact in DuckDB as
+    CAST(('0x' || substring(md5(seed || ':' || key), 1, 8)) AS BIGINT))."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", seed_col.cast("string"),
+                              key_col.cast("string"))), 1, 8),
+        16, 10).cast("long")
+    return h % width
+
+
+def cm_build(df: DataFrame, col: str, depth: int, width: int) -> DataFrame:
+    """The depth*width counter grid: (seed, bucket, cnt).
+
+    The explode multiplies rows by `depth` BEFORE the aggregate, but
+    hash-partial aggregation compresses each task to <= depth*width
+    cells on the map side — the shuffle carries tasks*depth*width rows,
+    independent of input size or key cardinality.
+    """
+    seeds = F.array(*[F.lit(s) for s in range(depth)])
+    return (df.select(F.explode(seeds).alias("seed"), F.col(col).alias("k"))
+            .select("seed", cm_bucket(F.col("seed"), F.col("k"), width)
+                    .alias("bucket"))
+            .groupBy("seed", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cm_point_query(counters: DataFrame, keys: DataFrame, key_col: str,
+                   depth: int, width: int) -> DataFrame:
+    """est(key) = min over seeds of grid[seed][h_seed(key)].
+
+    CM's deterministic guarantee: est >= true for every key (each cell
+    holds the key's own count plus whatever collided into it). `keys`
+    is a bounded probe relation; the grid side is depth*width rows, so
+    the join broadcasts.
+    """
+    seeds = F.array(*[F.lit(s) for s in range(depth)])
+    probes = (keys.select(F.col(key_col),
+                          F.explode(seeds).alias("seed"))
+              .select(key_col, "seed",
+                      cm_bucket(F.col("seed"), F.col(key_col), width)
+                      .alias("bucket")))
+    return (probes.join(F.broadcast(counters), ["seed", "bucket"])
+            .groupBy(key_col)
+            .agg(F.min("cnt").alias("est_cnt")))

@@ -1,0 +1,163 @@
+"""Unigram-LM (SentencePiece-style) tokenizer TRAINING via hard EM.
+
+Completes the tokenizer-learning family: bpe_learn derives a merge
+table bottom-up (greedy pair counts); THIS trains a probabilistic piece
+vocabulary top-down — seed with all frequent substrings, then alternate
+Viterbi segmentation of the word dictionary (E) with count-renormalized
+piece probabilities (M). Hard EM's objective, the corpus Viterbi
+log-likelihood, is non-decreasing by the classic two-step argument
+(the MLE step can't lower the likelihood of the current segmentation;
+the Viterbi step can't lower it for the new parameters), which
+queries/breadth32's invariant twin certifies on real data.
+
+Scale shape (the bpe_learn discipline): the corpus is scanned ONCE into
+a (word, cnt) dictionary; every EM round is one Arrow-batched kernel
+pass over that dictionary — cost ∝ vocabulary, independent of corpus
+size. The piece table is a bounded model artifact (like PQ codebooks /
+k-means centroids), so collecting it per round is a k-bounded pull, and
+the kernel receives it by closure broadcast.
+
+Determinism: piece log-probs are micro-rounded BIGINTs (ln is the only
+transcendental, rounded before use — the weighted_sample discipline);
+DP scores are integer sums; the per-position tie-break is (score DESC,
+split point ASC) = prefer the longer final piece. Feasibility is
+self-preserving: every piece used by round r's segmentation has a
+positive count, so round r+1's support can always re-segment every
+word it segmented before.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texts import words
+from ..session import ensure_package_on_executors
+
+_MICRO = 1_000_000
+
+
+def word_dict(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) over lowercase ^[a-z]+$ whitespace tokens — the one
+    corpus-scale scan; everything downstream runs on this dictionary."""
+    return (docs.select(F.explode(words(F.lower(F.col(text_col))))
+                        .alias("word"))
+            .filter(F.col("word").rlike("^[a-z]+$"))
+            .groupBy("word").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("cnt")))
+
+
+def seed_piece_counts(wdict: DataFrame, max_len: int,
+                      min_count: int) -> DataFrame:
+    """(piece, cnt): every substring of length 1..max_len, weighted by
+    word frequency; multi-char pieces below ``min_count`` are dropped
+    but single characters are ALWAYS kept so every word stays
+    segmentable. Substring generation is a JVM transform chain."""
+    subs = F.expr(f"""
+        flatten(transform(sequence(1, {max_len}),
+          l -> CASE WHEN length(word) >= l THEN
+                 transform(sequence(1, length(word) - l + 1),
+                           s -> substring(word, s, l))
+               ELSE array() END))""")
+    counts = (wdict.select(F.explode(subs).alias("piece"), "cnt")
+              .groupBy("piece").agg(F.sum("cnt").alias("cnt")))
+    return counts.filter((F.length("piece") == 1)
+                         | (F.col("cnt") >= min_count))
+
+
+def logp_micro(counts: dict[str, int]) -> dict[str, int]:
+    """Micro-rounded ln(count/total) per piece — the model the Viterbi
+    kernel consumes. float64 ln is bit-stable across hosts, and rounding
+    BEFORE use keeps every downstream sum integer-exact."""
+    total = sum(counts.values())
+    return {p: round(math.log(c / total) * _MICRO)
+            for p, c in counts.items()}
+
+
+def viterbi_pass(wdict: DataFrame, probs: dict[str, int],
+                 max_len: int) -> DataFrame:
+    """One E-step over the word dictionary → per-batch partial rows
+    (piece, c, ll): piece rows carry weighted usage counts (ll = 0), and
+    one NULL-piece row per batch carries the batch's weighted Viterbi
+    log-likelihood in micro units. Callers aggregate both with one
+    groupBy — counts and the certification objective come from the SAME
+    segmentation pass."""
+    ensure_package_on_executors(wdict.sparkSession)
+    neg_inf = None
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            counts: dict[str, int] = {}
+            ll = 0
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                n = len(word)
+                dp = [0] + [neg_inf] * n
+                back = [0] * (n + 1)
+                for i in range(1, n + 1):
+                    best = neg_inf
+                    bj = -1
+                    for j in range(max(0, i - max_len), i):
+                        if dp[j] is None:
+                            continue
+                        lp = probs.get(word[j:i])
+                        if lp is None:
+                            continue
+                        cand = dp[j] + lp
+                        if best is None or cand > best:
+                            best, bj = cand, j
+                    dp[i], back[i] = best, bj
+                if dp[n] is None:  # pragma: no cover - seed keeps chars
+                    continue
+                ll += int(cnt) * dp[n]
+                i = n
+                while i > 0:
+                    j = back[i]
+                    piece = word[j:i]
+                    counts[piece] = counts.get(piece, 0) + int(cnt)
+                    i = j
+            out = pd.DataFrame({
+                "piece": list(counts) + [None],
+                "c": [counts[p] for p in counts] + [0],
+                "ll": [0] * len(counts) + [ll]})
+            yield out.astype({"c": "int64", "ll": "int64"})
+
+    return wdict.mapInPandas(run, "piece string, c long, ll long")
+
+
+def unigram_train(docs: DataFrame, text_col: str, rounds: int = 3,
+                  max_len: int = 4, min_count: int = 2,
+                  ) -> tuple[DataFrame, list[int], int, int]:
+    """Hard-EM unigram training → (vocab_df, lls, n_words, n_chars).
+
+    vocab_df = (piece, cnt, logp_micro) under the FINAL round's counts;
+    ``lls`` holds each round's corpus Viterbi log-likelihood in micro
+    units (the invariant twin's monotonicity subject); ``n_chars`` is
+    the weighted character mass Σ cnt·len(word) — both the twin's
+    conservation subject and the unit of its rounding-slack budget.
+    """
+    spark = docs.sparkSession
+    wdict = word_dict(docs, text_col).localCheckpoint()
+    seed = seed_piece_counts(wdict, max_len, min_count)
+    counts = {r["piece"]: int(r["cnt"]) for r in seed.collect()}
+    lls: list[int] = []
+    for _ in range(rounds):
+        probs = logp_micro(counts)
+        part = viterbi_pass(wdict, probs, max_len)
+        agg = (part.groupBy("piece")
+               .agg(F.sum("c").alias("c"), F.sum("ll").alias("ll"))
+               .collect())
+        lls.append(sum(int(r["ll"]) for r in agg if r["piece"] is None))
+        counts = {r["piece"]: int(r["c"]) for r in agg
+                  if r["piece"] is not None}
+    probs = logp_micro(counts)
+    vocab = spark.createDataFrame(
+        sorted((p, c, probs[p]) for p, c in counts.items()),
+        "piece string, cnt long, logp_micro long")
+    stats = wdict.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("cnt") * F.length("word")).alias("n_chars")).first()
+    return vocab, lls, int(stats["n_words"]), int(stats["n_chars"])

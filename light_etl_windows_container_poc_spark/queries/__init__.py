@@ -45,3 +45,4 @@ from . import breadth28  # noqa: F401,E402
 from . import breadth29  # noqa: F401,E402
 from . import breadth30  # noqa: F401,E402
 from . import breadth31  # noqa: F401,E402
+from . import breadth32  # noqa: F401,E402

@@ -82,7 +82,13 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
                                  # Arrow tokenizer — the certified
                                  # scale path for large merge tables
                                  "bpe_apply_large",
-                                 "bpe_symbol_census")]
+                                 "bpe_symbol_census",
+                                 # unigram hard-EM: Viterbi DP over the
+                                 # word dictionary is a per-row integer
+                                 # DP Catalyst cannot express; Arrow-
+                                 # batched kernel, cost ∝ vocabulary
+                                 "unigram_lm_learn",
+                                 "unigram_invariants")]
     for name in jvm_queries:
         assert_no_python_udf(QUERIES[name](spark, sf_dir))
 

@@ -38,7 +38,10 @@ def test_oracle_sql_is_registered_for_sql_expressible_ops():
                                      "ann_ivf", "ann_pq", "agg_approx",
                                      "stream_", "mm_", "pagerank_", "sketch_"))
                and n not in ("dedup_embedding_blocked", "semdedup_keep",
-                             "embed_pca")}
+                             "embed_pca",
+                             # Viterbi-DP-learned vocabulary; certified
+                             # via the unigram_invariants sql twin
+                             "unigram_lm_learn")}
     assert not missing, f"queries without oracle: {missing}"
 
 
