@@ -361,3 +361,86 @@ def unigram_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_words, n_chars, _UNI_ROUNDS, monotone, conserved)],
         "n_words bigint, n_chars_total bigint, rounds int,"
         " ll_non_decreasing int, char_mass_conserved int")
+
+
+# --------------------------------------------------------------------------
+# Streaming Count-Min certification: a REAL availableNow stream lands
+# per-micro-batch partial grids; because CM merges by ADDITION, the
+# read-time-merged state is CELL-FOR-CELL identical to the one-shot
+# batch grid — so this query answers the SAME oracle as countmin_sketch
+# (streamed == batch is the certified statement, with no weakening to
+# layout-independent guarantees the way MG requires).
+# --------------------------------------------------------------------------
+@query("stream_countmin_cert", oracle=f"""
+WITH seeds AS (SELECT unnest(range({_CM_DEPTH})) AS seed),
+cells AS (
+  SELECT s.seed,
+         CAST(('0x' || substring(md5(CAST(s.seed AS VARCHAR) || ':' ||
+                                     CAST(e.user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_CM_WIDTH} AS bucket
+  FROM events e CROSS JOIN seeds s
+),
+counters AS (
+  SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY seed, bucket
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY user_id
+  ORDER BY exact_cnt DESC, user_id LIMIT 20
+),
+probes AS (
+  SELECT x.user_id, s.seed,
+         CAST(('0x' || substring(md5(CAST(s.seed AS VARCHAR) || ':' ||
+                                     CAST(x.user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_CM_WIDTH} AS bucket
+  FROM exact x CROSS JOIN seeds s
+),
+est AS (
+  SELECT p.user_id, min(c.cnt) AS est_cnt
+  FROM probes p JOIN counters c ON p.seed = c.seed AND p.bucket = c.bucket
+  GROUP BY p.user_id
+)
+SELECT x.user_id, x.exact_cnt, e.est_cnt,
+       CAST(e.est_cnt >= x.exact_cnt AS INT) AS over_ok
+FROM exact x JOIN est e ON x.user_id = e.user_id
+ORDER BY x.user_id
+""")
+def stream_countmin_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.user_id streams in as 4 source files → 4 micro-batch
+    partial grids → manifest-aware read-time merge → the SAME top-20
+    point-query relation the batch query hashes. Rebuilt per call (the
+    stream_heavy_hitters_cert pattern)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import cm_point_query
+    from ..streaming.countmin import read_countmin, start_countmin_stream
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(), f"spark_graft_scm_{h}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    ev.select("user_id").repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema("user_id long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_countmin_stream(stream, os.path.join(work, "state"),
+                              os.path.join(work, "ckpt"),
+                              "user_id", _CM_DEPTH, _CM_WIDTH)
+    q.awaitTermination(300)
+    counters = read_countmin(spark, os.path.join(work, "state"))
+
+    exact = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("exact_cnt"))
+             .orderBy(F.desc("exact_cnt"), "user_id").limit(20))
+    est = cm_point_query(counters, exact.select("user_id"), "user_id",
+                         _CM_DEPTH, _CM_WIDTH)
+    return (exact.join(est, "user_id")
+            .select("user_id", "exact_cnt", "est_cnt",
+                    (F.col("est_cnt") >= F.col("exact_cnt")).cast("int")
+                    .alias("over_ok"))
+            .orderBy("user_id"))

@@ -1,0 +1,116 @@
+"""Streaming Count-Min: real availableNow runs maintaining the
+persisted grid, exact streamed==batch equality, replay idempotence,
+and manifest-compaction answer-invariance (incl. the crash window)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from light_etl_windows_container_poc_spark.operators.sketches import cm_build
+from light_etl_windows_container_poc_spark.streaming.countmin import (
+    compact_countmin_state,
+    countmin_batch_handler,
+    read_countmin,
+    start_countmin_stream,
+)
+
+SCHEMA = "token string"
+D, W = 3, 16
+
+
+def _write_file(path, tokens):
+    with open(path, "w") as fh:
+        for t in tokens:
+            fh.write(json.dumps({"token": t}) + "\n")
+
+
+def _stream_tokens(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    b0 = ["hot"] * 40 + [f"a{i}" for i in range(10) for _ in range(3)]
+    b1 = ["hot"] * 25 + ["warm"] * 30 + [f"b{i}" for i in range(5)]
+    _write_file(src / "a.json", b0)
+    _write_file(src / "b.json", b1)
+    os.utime(src / "a.json", (1_000_000, 1_000_000))
+    os.utime(src / "b.json", (2_000_000, 2_000_000))
+    return src, b0 + b1
+
+
+def _grid(df):
+    return {(r.seed, r.bucket): r.cnt for r in df.collect()}
+
+
+def _run_stream(spark, src, state, ckpt):
+    s = (spark.readStream.schema(SCHEMA)
+         .option("maxFilesPerTrigger", 1).json(str(src)))
+    start_countmin_stream(s, state, ckpt, "token", D, W
+                          ).awaitTermination(120)
+
+
+def test_streamed_grid_equals_batch_grid_exactly(spark, tmp_path):
+    """Addition-merge makes streamed state CELL-IDENTICAL to the
+    one-shot batch sketch — stronger than MG's guarantee equivalence."""
+    src, rows = _stream_tokens(tmp_path)
+    state = str(tmp_path / "state")
+    _run_stream(spark, src, state, str(tmp_path / "ckpt"))
+    streamed = _grid(read_countmin(spark, state))
+    batch = _grid(cm_build(
+        spark.createDataFrame([(t,) for t in rows], SCHEMA), "token", D, W)
+        .select(F.col("seed").cast("int"), "bucket", "cnt"))
+    assert streamed == batch
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    src, rows = _stream_tokens(tmp_path)
+    state = str(tmp_path / "state")
+    _run_stream(spark, src, state, str(tmp_path / "ckpt"))
+    before = _grid(read_countmin(spark, state))
+    # crash-replay batch 0: its partial rewrites byte-equivalently
+    replay = spark.createDataFrame(
+        [(t,) for t in rows[:70]], SCHEMA)  # b0 is the first 70 rows
+    countmin_batch_handler(state, "token", D, W)(replay, 0)
+    assert _grid(read_countmin(spark, state)) == before
+
+
+def test_compaction_is_answer_invariant_and_append_safe(spark, tmp_path):
+    src, rows = _stream_tokens(tmp_path)
+    state = str(tmp_path / "state")
+    _run_stream(spark, src, state, str(tmp_path / "ckpt"))
+    before = _grid(read_countmin(spark, state))
+    compact_countmin_state(spark, state)
+    assert _grid(read_countmin(spark, state)) == before
+    # post-compaction appends merge on top of the active generation
+    extra = spark.createDataFrame([("hot",), ("new",)], SCHEMA)
+    countmin_batch_handler(state, "token", D, W)(extra, 2)
+    after = _grid(read_countmin(spark, state))
+    extra_grid = _grid(cm_build(extra, "token", D, W)
+                       .select(F.col("seed").cast("int"), "bucket", "cnt"))
+    want = dict(before)
+    for cell, c in extra_grid.items():
+        want[cell] = want.get(cell, 0) + c
+    assert after == want
+    # replay of a SUBSUMED batch stays excluded (watermark, not listing)
+    countmin_batch_handler(state, "token", D, W)(
+        spark.createDataFrame([(t,) for t in rows[:70]], SCHEMA), 0)
+    assert _grid(read_countmin(spark, state)) == want
+
+
+def test_unpublished_compaction_is_invisible(spark, tmp_path):
+    """The crash window between renaming a compacted dir in and
+    publishing the manifest must not double-count: readers ignore
+    compacted generations the manifest does not name."""
+    src, _ = _stream_tokens(tmp_path)
+    state = str(tmp_path / "state")
+    _run_stream(spark, src, state, str(tmp_path / "ckpt"))
+    before = _grid(read_countmin(spark, state))
+    merged = read_countmin(spark, state)
+    # simulate the crash: generation dir exists, manifest never swapped
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state, "batch_tag=compacted_1"))
+    assert _grid(read_countmin(spark, state)) == before
+    # a re-run sweeps the orphan and publishes cleanly
+    compact_countmin_state(spark, state)
+    assert _grid(read_countmin(spark, state)) == before
