@@ -170,11 +170,22 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by 16-bit
     chunk banding (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks equal)."""
-    fps = simhash64(df, id_col, text_col)
+    return hamming_band_pairs(simhash64(df, id_col, text_col),
+                              "doc", "simhash", max_hamming)
+
+
+def hamming_band_pairs(fps: DataFrame, id_col: str, fp_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Pairs with hamming(fp) ≤ max_hamming over ANY 64-bit fingerprint
+    relation (simhash, pHash, winnowing digests …), via the same 16-bit
+    chunk banding: candidates come only from an equi-join on one of 4
+    chunks, complete by pigeonhole for max_hamming ≤ 3 — never an
+    all-pairs XOR scan."""
     chunks = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+        F.shiftrightunsigned(F.col(fp_col), 16 * c).bitwiseAND(F.lit(0xFFFF))
         for c in range(4)])
-    banded = fps.select("doc", "simhash",
+    banded = fps.select(F.col(id_col).alias("doc"),
+                        F.col(fp_col).alias("simhash"),
                         F.posexplode(chunks).alias("chunk", "chunk_val"))
     a = banded.select(F.col("doc").alias("a_id"), F.col("simhash").alias("fp_a"),
                       "chunk", "chunk_val")

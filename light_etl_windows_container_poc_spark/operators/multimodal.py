@@ -279,3 +279,62 @@ def resize_media_real(df: DataFrame, id_col: str = "id",
                 "mean_milli", "sample_rate", "n_samples", "peak_abs"])
 
     return df.select(id_col, content_col).mapInPandas(run, _RESIZE_SCHEMA)
+
+
+def phash64_png(df: DataFrame, id_col: str = "id",
+                content_col: str = "content") -> DataFrame:
+    """64-bit perceptual hash per PNG image → (id, phash).
+
+    The standard pHash recipe on the REAL decode path: zlib PNG decode
+    (operators/media_codec.decode_png), grayscale pixel grid → 2-D
+    DCT-II (float64 cosine-matrix GEMM — bit-stable), keep the 8×8
+    low-frequency block minus the DC term, threshold the 63
+    coefficients at their median. Brightness/contrast shifts move every
+    coefficient with the median, so the bits survive them — the
+    property that makes pHash the image near-dup fingerprint.
+    Downstream pairing is dedup.hamming_band_pairs (16-bit chunk
+    banding, pigeonhole-complete at hamming ≤ 3) — the SAME candidate
+    discipline as simhash, so image dedup rides the text-dedup
+    machinery. Arrow-batched; the DCT basis is built once per batch.
+    """
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .media_codec import decode_png
+
+        basis: dict[int, "np.ndarray"] = {}
+
+        def dct_matrix(n: int):
+            if n not in basis:
+                i = np.arange(n)[:, None]
+                j = np.arange(n)[None, :]
+                basis[n] = np.cos(np.pi * (2 * j + 1) * i / (2 * n))
+            return basis[n]
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for _, r in pdf.iterrows():
+                meta = decode_png(bytes(r[content_col]))
+                w, h, ch = meta["width"], meta["height"], meta["channels"]
+                px = (np.frombuffer(bytes(meta["pixels"]), dtype=np.uint8)
+                      .astype(np.float64).reshape(h, w * ch))
+                if ch > 1:  # luma = channel mean (deterministic, exact)
+                    px = px.reshape(h, w, ch).mean(axis=2)
+                c = dct_matrix(h) @ px @ dct_matrix(w).T
+                vals = np.delete(c[:8, :8].ravel(), 0)
+                med = np.median(vals)
+                bits = 0
+                for k, v in enumerate(vals):
+                    if v > med:
+                        bits |= 1 << k
+                ids.append(r[id_col])
+                hashes.append(bits)
+            yield pd.DataFrame({"id": np.array(ids, dtype=np.int64),
+                                "phash": np.array(hashes, dtype=np.int64)})
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, "id long, phash long")

@@ -46,3 +46,4 @@ from . import breadth29  # noqa: F401,E402
 from . import breadth30  # noqa: F401,E402
 from . import breadth31  # noqa: F401,E402
 from . import breadth32  # noqa: F401,E402
+from . import breadth33  # noqa: F401,E402

@@ -1,0 +1,115 @@
+"""Round-8 breadth, third wave: image near-dup detection — the bridge
+between the multimodal stack (real PNG encode/decode,
+operators/media_codec) and the dedup stack (banded fingerprint pairing,
+operators/dedup.hamming_band_pairs).
+
+The corpus is deterministic 32×32 grayscale PNGs: pixels are md5-chain
+noise keyed by base = doc_id // 2, and odd doc_ids carry a small planted
+perturbation (+6 on every 97th-stride pixel pair) of their even
+partner's image — so each (2i, 2i+1) is a known near-duplicate and
+distinct bases are statistically unrelated in hash space. Everything is
+md5/zlib/float64-GEMM deterministic, so the measured recall is a
+constant of the construction at every SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from .registry import query
+
+
+def _phash_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): real zlib-compressed PNGs of md5-noise pixels;
+    odd doc_ids are perturbed copies of their even partner's image."""
+    import pandas as pd
+
+    def build(batches):
+        import hashlib
+
+        from ..operators.media_codec import build_png_bytes
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                d = int(r["doc_id"])
+                base = d // 2
+                raw = bytearray(b"".join(
+                    hashlib.md5(f"{base}:{blk}".encode()).digest()
+                    for blk in range(64)))
+                if d % 2 == 1:
+                    for i in range(1024):
+                        if i % 97 < 2:
+                            raw[i] = (raw[i] + 6) % 256
+                rows.append({"doc_id": d,
+                             "content": build_png_bytes(32, 32, bytes(raw))})
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return docs.select("doc_id").mapInPandas(build,
+                                             "doc_id long, content binary")
+
+
+# --------------------------------------------------------------------------
+# Certification: (a) PIGEONHOLE COMPLETENESS — the banded candidate join
+# finds EVERY pair with true hamming <= 3, verified against the
+# brute-force all-pairs XOR relation (structural theorem, must hold
+# exactly); (b) RECALL FLOOR — >= 60% of the planted near-dup pairs land
+# within hamming 3 of their original (measured 0.884/0.884/0.880 at
+# sf0.001/0.01/0.1 — deterministic; DCT noise spreads a small pixel
+# perturbation across coefficients, so a tail of planted pairs
+# legitimately exceeds the radius, the documented pHash trade).
+# --------------------------------------------------------------------------
+@query("mm_phash_dedup", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_planted,
+       CAST(1 AS INT) AS pigeonhole_complete,
+       CAST(1 AS INT) AS recall_ge_60pct
+FROM documents
+""")
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG build → real decode → DCT pHash → banded hamming pairs, with
+    the banding proved complete against brute force and the planted
+    near-dup recall floor hashed."""
+    from ..operators.dedup import hamming_band_pairs
+    from ..operators.multimodal import phash64_png
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fps = phash64_png(_phash_corpus(docs), id_col="doc_id").persist()
+
+    banded = hamming_band_pairs(fps, "id", "phash", max_hamming=3)
+    # brute-force truth: every pair at hamming <= 3 (certification-only
+    # quadratic, like the dedup oracles; the SERVING path is the banded
+    # equi-join above)
+    a = fps.select(F.col("id").alias("a_id"), F.col("phash").alias("ha"))
+    b = fps.select(F.col("id").alias("b_id"), F.col("phash").alias("hb"))
+    brute = (a.join(b, F.col("a_id") < F.col("b_id"))
+             .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+             .select("a_id", "b_id"))
+    missing = brute.join(banded.select("a_id", "b_id"),
+                         ["a_id", "b_id"], "left_anti")
+
+    planted = (fps.filter(F.col("id") % 2 == 0)
+               .select((F.col("id") + 1).alias("id"),
+                       F.col("phash").alias("h_even"))
+               .join(fps.filter(F.col("id") % 2 == 1), "id")
+               .select(F.bit_count(F.col("h_even")
+                                   .bitwiseXOR(F.col("phash")))
+                       .alias("hamming")))
+
+    n_images = fps.agg(F.count(F.lit(1)).alias("n_images"))
+    n_missing = missing.agg(F.count(F.lit(1)).alias("n_missing"))
+    pl = planted.agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.sum((F.col("hamming") <= 3).cast("long")).alias("n_recovered"))
+    out = (n_images.crossJoin(n_missing).crossJoin(pl)
+           .select("n_images", "n_planted",
+                   (F.col("n_missing") == 0).cast("int")
+                   .alias("pigeonhole_complete"),
+                   (F.col("n_recovered") * 100 >= F.col("n_planted") * 60)
+                   .cast("int").alias("recall_ge_60pct")))
+    out = out.localCheckpoint(eager=True)
+    fps.unpersist()
+    return out
