@@ -338,3 +338,46 @@ def phash64_png(df: DataFrame, id_col: str = "id",
 
     return df.select(id_col, content_col).mapInPandas(
         run, "id long, phash long")
+
+
+def audiofp64_wav(df: DataFrame, id_col: str = "id",
+                  content_col: str = "content",
+                  n_frames: int = 64) -> DataFrame:
+    """63-bit energy-delta audio fingerprint per WAV clip → (id, afp).
+
+    The Haitsma–Kalker shape reduced to its integer-exact core: real
+    RIFF/PCM decode (operators/media_codec.decode_wav), samples framed
+    into ``n_frames`` windows, per-frame energy = Σ sample² (exact
+    BIGINT), bit j = energy[j] > energy[j+1]. Energy-delta SIGNS are
+    what survive gain changes and small edits — a constant gain scales
+    every energy by the same factor and flips no bit. Pairing rides the
+    same dedup.hamming_band_pairs banding as simhash and pHash.
+    """
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .media_codec import decode_wav
+
+        for pdf in batches:
+            ids, fps = [], []
+            for _, r in pdf.iterrows():
+                s = decode_wav(bytes(r[content_col]),
+                               return_samples=True)["samples"]
+                w = len(s) // n_frames
+                e = [sum(int(x) * int(x) for x in s[f * w:(f + 1) * w])
+                     for f in range(n_frames)]
+                bits = 0
+                for j in range(n_frames - 1):
+                    if e[j] > e[j + 1]:
+                        bits |= 1 << j
+                ids.append(r[id_col])
+                fps.append(bits)
+            yield pd.DataFrame({"id": np.array(ids, dtype=np.int64),
+                                "afp": np.array(fps, dtype=np.int64)})
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, "id long, afp long")

@@ -166,3 +166,16 @@ def test_unigram_char_mass_conserved_and_feasible(spark, sf_dir):
     vocab, _, _, n_chars = unigram_train(docs, "text", rounds=6)
     pc = vocab.agg(SF.sum(SF.col("cnt") * SF.length("piece"))).first()[0]
     assert int(pc) == n_chars
+
+
+def test_second_wave_queries_plan_clean(spark, sf_dir):
+    """No cartesian/nested-loop joins anywhere in the second wave's
+    relational plans: ER's candidates come from the brand equi-join,
+    LPA/join-delta from key equi-joins, CM from broadcast grid joins."""
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+
+    for name in ("countmin_sketch", "graph_label_propagation",
+                 "entity_resolution", "join_incremental_delta"):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

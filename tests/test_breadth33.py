@@ -78,3 +78,29 @@ def test_planted_corpus_shape(spark, sf_dir):
     diff = [i for i in range(1024) if p0[i] != p1[i]]
     assert diff == [i for i in range(1024) if i % 97 < 2]
     assert all((p0[i] + 6) % 256 == p1[i] for i in diff)
+
+
+def test_audiofp_is_gain_invariant(spark):
+    """Scaling every sample by the same factor scales every frame
+    energy identically — no delta sign flips (the property that makes
+    the fingerprint perceptual)."""
+    import hashlib
+
+    from light_etl_windows_container_poc_spark.operators.media_codec import (
+        build_wav_bytes)
+    from light_etl_windows_container_poc_spark.operators.multimodal import (
+        audiofp64_wav)
+
+    raw = b"".join(hashlib.md5(f"g:{b}".encode()).digest()
+                   for b in range(256))
+    s = [max(-10000, min(10000,
+             int.from_bytes(raw[2 * i:2 * i + 2], "little", signed=True)))
+         for i in range(2048)]
+    half = [v // 2 for v in s]
+    df = spark.createDataFrame(
+        [(0, build_wav_bytes(s)), (1, build_wav_bytes(half))],
+        "id long, content binary")
+    h = {r.id: r.afp for r in audiofp64_wav(df).collect()}
+    # v//2 is not an exact scale for odd samples; energies move a hair
+    # but the DELTA SIGNS must survive easily
+    assert bin(h[0] ^ h[1]).count("1") <= 1
