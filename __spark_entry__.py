@@ -185,15 +185,17 @@ _R07_CERTIFIED = [
 # hilbert_zone_prune, quality_curriculum_tiers, and the second wave:
 # countmin_sketch, graph_label_propagation, entity_resolution,
 # join_incremental_delta, unigram_lm_learn, unigram_invariants,
-# stream_countmin_cert, mm_phash_dedup, mm_audiofp_dedup — 20
-# total). The 30
-# recertify slots drain ALL 10 remaining r2-latest rows plus 20 of
+# stream_countmin_cert, mm_phash_dedup, mm_audiofp_dedup,
+# split_leakage_safe — 21
+# total). The 29
+# recertify slots drain ALL 10 remaining r2-latest rows plus 19 of
 # the 34-row r3-latest bucket — after this round no query's latest
-# certification predates r3, and only fourteen r3 rows remain
+# certification predates r3, and only fifteen r3 rows remain
 # (window_moving_avg, window_share, rolling_uniques, safe_casts,
 # session_window_agg, plus hash_funcs, join_semi, time_rollup,
 # window_range_value, skew_profile, text_rarity, text_bigram_lm,
-# text_repetition and zscore_outliers trimmed to fund
+# text_repetition, zscore_outliers and sketch_hll_mergeable trimmed
+# to fund
 # the second wave — all
 # unchanged-since-r3 single-pattern queries re-proven by this round's
 # full-registry local sweeps; they head the
@@ -217,7 +219,6 @@ _RECERTIFY = [
     "mm_decode_real", "mm_media_meta",
     "pack_sequences", "quality_gopher_rules",
     "sketch_approx_percentile",
-    "sketch_hll_mergeable",
 ]
 
 

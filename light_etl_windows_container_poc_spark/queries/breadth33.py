@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from .llm import _NGRAM_MAX_DF as _JP_MAX_DF
+from .llm import _SHINGLE_CTE as _JP_SHINGLES
 from .registry import query
 
 
@@ -202,4 +204,104 @@ def mm_audiofp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("all_planted_recovered")))
     out = out.localCheckpoint(eager=True)
     fps.unpersist()
+    return out
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/test split: assign WHOLE near-dup clusters to
+# splits, so no >= 0.8-Jaccard pair ever straddles the boundary — the
+# leakage mode a doc-level random split cannot prevent (a train doc's
+# near-duplicate landing in test). Clusters come from the EXACT
+# prefix-filtered Jaccard join (no minhash recall gap to excuse), the
+# split is the md5(cluster)-uniform rule, and the oracle replays
+# shingling, the threshold join, recursive-CTE CC, the split, AND the
+# straddling-pair count from scratch — the hash proves zero leakage.
+# --------------------------------------------------------------------------
+@query("split_leakage_safe", oracle="""
+WITH RECURSIVE {shingles},
+shf AS (
+  SELECT * FROM sh
+  WHERE s NOT IN (SELECT s FROM sh GROUP BY s
+                  HAVING count(*) > {max_df})
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       FROM shf GROUP BY doc_id),
+p0 AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a_id, b_id
+),
+good AS (
+  SELECT a_id, b_id FROM p0
+  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+  WHERE inter * 5 >= 4 * (sa.n + sb.n - inter)
+),
+edges AS (SELECT a_id AS src, b_id AS dst FROM good
+          UNION ALL SELECT b_id, a_id FROM good),
+cc(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+),
+comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+cl AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+       FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+spl AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN CAST(('0x' || substring(
+                  md5(CAST(cluster_id AS VARCHAR) || 'cs'), 1, 6))
+                AS BIGINT) % 1000 < 200
+              THEN 'test' ELSE 'train' END AS split
+  FROM cl
+),
+strad AS (
+  SELECT CAST(count(*) AS BIGINT) AS straddling_pairs
+  FROM good g JOIN spl a ON g.a_id = a.doc_id
+              JOIN spl b ON g.b_id = b.doc_id
+  WHERE a.split <> b.split
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       straddling_pairs
+FROM spl CROSS JOIN strad
+GROUP BY split, straddling_pairs
+ORDER BY split
+""".format(shingles=_JP_SHINGLES, max_df=_JP_MAX_DF))
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-granular 80/20 split over exact-Jaccard near-dup
+    clusters; straddling_pairs == 0 is the certified leakage theorem."""
+    from ..operators.dedup import (connected_components,
+                                   jaccard_prefix_pairs)
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = jaccard_prefix_pairs(docs, "doc_id", "text", n=3,
+                                 tau_num=4, tau_den=5,
+                                 max_df=_JP_MAX_DF).persist()
+    comp = connected_components(pairs.select("a_id", "b_id"))
+    cl = (docs.select("doc_id")
+          .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+          .select("doc_id",
+                  F.coalesce(F.col("component"), F.col("doc_id"))
+                  .alias("cluster_id")))
+    u = F.conv(F.substring(
+        F.md5(F.concat(F.col("cluster_id").cast("string"), F.lit("cs"))),
+        1, 6), 16, 10).cast("long") % 1000
+    spl = cl.withColumn(
+        "split", F.when(u < 200, F.lit("test")).otherwise(F.lit("train")))
+    a = spl.select(F.col("doc_id").alias("a_id"),
+                   F.col("split").alias("split_a"))
+    b = spl.select(F.col("doc_id").alias("b_id"),
+                   F.col("split").alias("split_b"))
+    strad = (pairs.join(a, "a_id").join(b, "b_id")
+             .filter(F.col("split_a") != F.col("split_b"))
+             .agg(F.count(F.lit(1)).alias("straddling_pairs")))
+    out = (spl.groupBy("split")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("cluster_id").alias("n_clusters"))
+           .crossJoin(F.broadcast(strad))
+           .select("split", "n_docs", "n_clusters", "straddling_pairs")
+           .orderBy("split"))
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
     return out

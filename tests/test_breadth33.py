@@ -104,3 +104,16 @@ def test_audiofp_is_gain_invariant(spark):
     # v//2 is not an exact scale for odd samples; energies move a hair
     # but the DELTA SIGNS must survive easily
     assert bin(h[0] ^ h[1]).count("1") <= 1
+
+
+def test_split_keeps_clusters_whole(spark, sf_dir):
+    """Every near-dup cluster lands in exactly one split, and no
+    threshold pair straddles the boundary (the zero-leakage theorem the
+    driver hashes)."""
+    from light_etl_windows_container_poc_spark.queries import QUERIES
+
+    out = {r.split: r for r in
+           QUERIES["split_leakage_safe"](spark, sf_dir).collect()}
+    assert set(out) == {"train", "test"}
+    assert all(r.straddling_pairs == 0 for r in out.values())
+    assert all(r.n_docs >= r.n_clusters >= 1 for r in out.values())
