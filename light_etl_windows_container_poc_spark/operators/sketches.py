@@ -119,9 +119,14 @@ def cm_point_query(counters: DataFrame, keys: DataFrame, key_col: str,
     """est(key) = min over seeds of grid[seed][h_seed(key)].
 
     CM's deterministic guarantee: est >= true for every key (each cell
-    holds the key's own count plus whatever collided into it). `keys`
-    is a bounded probe relation; the grid side is depth*width rows, so
-    the join broadcasts.
+    holds the key's own count plus whatever collided into it). A cell
+    the grid never stored is ZERO (canonical sketch semantics, via the
+    left join + coalesce): a key hashing into any empty cell estimates
+    0, i.e. the sketch can PROVE absence. Keys present in the stream
+    never hit an empty cell (their own count is in all depth cells), so
+    the certified point-query relation is unaffected. `keys` is a
+    bounded probe relation; the grid side is depth*width rows, so the
+    join broadcasts.
     """
     seeds = F.array(*[F.lit(s) for s in range(depth)])
     probes = (keys.select(F.col(key_col),
@@ -129,6 +134,7 @@ def cm_point_query(counters: DataFrame, keys: DataFrame, key_col: str,
               .select(key_col, "seed",
                       cm_bucket(F.col("seed"), F.col(key_col), width)
                       .alias("bucket")))
-    return (probes.join(F.broadcast(counters), ["seed", "bucket"])
+    return (probes.join(F.broadcast(counters), ["seed", "bucket"], "left")
             .groupBy(key_col)
-            .agg(F.min("cnt").alias("est_cnt")))
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est_cnt")))

@@ -47,9 +47,9 @@ def test_cm_absent_key_overestimates_nonnegatively(spark, sf_dir):
     absent = spark.range(1).select(
         (F.lit(10 ** 12)).alias("user_id"))
     rows = cm_point_query(grid, absent, "user_id", 4, 64).collect()
-    # buckets an absent key hashes into may be empty at tiny SF (inner
-    # join yields no row) or hold collision mass — never negative
-    assert all(r.est_cnt >= 0 for r in rows)
+    # an absent key estimates pure collision mass; an empty cell counts
+    # as ZERO (canonical semantics — the sketch can prove absence)
+    assert len(rows) == 1 and rows[0].est_cnt >= 0
 
 
 def test_lpa_is_partitioning_invariant(spark, sf_dir):
