@@ -305,3 +305,74 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     pairs.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency discovery over a fixed candidate set — the
+# schema-profiling pass (PK detection, normalization hints, dq-rule
+# synthesis) a warehouse runs before trusting ingested tables. For each
+# candidate lhs -> rhs: a VIOLATION is an lhs group with > 1 distinct
+# rhs value; the FD holds iff no group violates. One groupBy per lhs
+# column serves all its rhs candidates (count_distinct per rhs in the
+# same aggregate), so the pass is |lhs-set| shuffles regardless of how
+# many dependencies are probed.
+# --------------------------------------------------------------------------
+_FD_CANDIDATES = [  # (lhs, rhs) over orders ⋈-free single-table probes
+    ("o_orderkey", "o_custkey"), ("o_orderkey", "o_orderpriority"),
+    ("o_custkey", "o_orderpriority"), ("o_orderpriority", "o_custkey"),
+]
+
+
+@query("fd_profile", oracle="""
+WITH g1 AS (
+  SELECT o_orderkey AS k, count(DISTINCT o_custkey) AS d1,
+         count(DISTINCT o_orderpriority) AS d2
+  FROM orders GROUP BY o_orderkey
+),
+g2 AS (
+  SELECT o_custkey AS k, count(DISTINCT o_orderpriority) AS d
+  FROM orders GROUP BY o_custkey
+),
+g3 AS (
+  SELECT o_orderpriority AS k, count(DISTINCT o_custkey) AS d
+  FROM orders GROUP BY o_orderpriority
+),
+fd AS (
+  SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+         CAST(sum(CASE WHEN d1 > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_groups FROM g1
+  UNION ALL
+  SELECT 'o_orderkey', 'o_orderpriority',
+         CAST(sum(CASE WHEN d2 > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM g1
+  UNION ALL
+  SELECT 'o_custkey', 'o_orderpriority',
+         CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM g2
+  UNION ALL
+  SELECT 'o_orderpriority', 'o_custkey',
+         CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM g3
+)
+SELECT lhs, rhs, n_violating_groups,
+       CAST(n_violating_groups = 0 AS INT) AS holds
+FROM fd ORDER BY lhs, rhs
+""")
+def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violating-group census per candidate FD; o_orderkey -> * must
+    hold (it is the PK), the reverse directions must not."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    outs = []
+    for lhs in {left for left, _ in _FD_CANDIDATES}:
+        rhss = [r for le, r in _FD_CANDIDATES if le == lhs]
+        g = orders.groupBy(F.col(lhs)).agg(
+            *[F.count_distinct(F.col(r)).alias(r) for r in rhss])
+        for r in rhss:
+            outs.append(g.agg(
+                F.lit(lhs).alias("lhs"), F.lit(r).alias("rhs"),
+                F.sum((F.col(r) > 1).cast("long"))
+                .alias("n_violating_groups")))
+    fd = outs[0]
+    for o in outs[1:]:
+        fd = fd.unionAll(o)
+    return (fd.select("lhs", "rhs", "n_violating_groups",
+                      (F.col("n_violating_groups") == 0).cast("int")
+                      .alias("holds"))
+            .orderBy("lhs", "rhs"))
