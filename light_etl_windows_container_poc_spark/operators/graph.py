@@ -171,3 +171,80 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
                   .localCheckpoint(eager=True))
     edges.unpersist()
     return labels
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected form (hi, lo), deduped — the fixpoint test
+    and symmetrization both work off this."""
+    return (edges.select(F.greatest("u", "v").alias("hi"),
+                         F.least("u", "v").alias("lo"))
+            .filter(F.col("hi") != F.col("lo")).distinct())
+
+
+def connected_components_star(pairs: DataFrame, max_phases: int = 40,
+                              ) -> tuple[DataFrame, int]:
+    """Connected components in O(log·) rounds via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") → ((node, component), phases_used).
+
+    dedup.connected_components propagates min labels ONE HOP per round
+    — O(diameter) shuffles, fine for near-dup cliques but quadratic
+    wall-clock on a path-shaped component (its own docstring defers to
+    this algorithm). Here every phase rewires edges toward the
+    component minimum with pointer-doubling effect:
+
+      large-star(u): every neighbor v > u re-attaches to
+                     m = min(Γ(u) ∪ {u})
+      small-star(u): every neighbor v < u (and u itself) re-attaches
+                     to m = min of those neighbors
+
+    Both preserve connectivity (each replaced edge stays in the same
+    component through m), monotonically shrink the potential, and at
+    the fixpoint every component is a star centered at its minimum —
+    the component map is then just the remaining edge list. Convergence
+    for a 200-node path: 6 phases vs 100+ min-label rounds (tested).
+
+    Each phase is two grouped aggregations + a join, all keyed on the
+    node id; the fixpoint test compares canonical edge sets. Lineage is
+    cut per phase (the pagerank discipline).
+    """
+    nodes = (pairs.select(F.col("a_id").alias("n"))
+             .union(pairs.select(F.col("b_id").alias("n"))).distinct()
+             .localCheckpoint(eager=True))
+    cur = _canon(pairs.select(F.col("a_id").alias("u"),
+                              F.col("b_id").alias("v"))
+                 ).localCheckpoint(eager=True)
+    phases = 0
+    for _ in range(max_phases):
+        sym = (cur.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+               .unionAll(cur.select(F.col("lo").alias("u"),
+                                    F.col("hi").alias("v"))))
+        # large-star: group the SYMMETRIC view by u
+        m = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+             .select("u", F.least("mn", "u").alias("m")))
+        ls = (sym.filter(F.col("v") > F.col("u")).join(m, "u")
+              .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        cur_ls = _canon(ls).localCheckpoint(eager=True)
+
+        # small-star: group edges by their LARGER endpoint; every
+        # smaller neighbor AND u itself re-attach to the smallest
+        low = cur_ls.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        m2 = low.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (low.join(m2, "u")
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .unionAll(m2.select(F.col("u"), F.col("m").alias("v"))))
+        nxt = _canon(ss).localCheckpoint(eager=True)
+        phases += 1
+        same = (nxt.exceptAll(cur).limit(1).count() == 0
+                and cur.exceptAll(nxt).limit(1).count() == 0)
+        cur = nxt
+        if same:
+            break
+    else:  # pragma: no cover - certification graphs converge fast
+        raise RuntimeError(f"star CC did not converge in {max_phases}")
+    comp = (nodes.join(cur.select(F.col("hi").alias("n"),
+                                  F.col("lo").alias("c")), "n", "left")
+            .groupBy("n").agg(F.min(F.coalesce(F.col("c"), F.col("n")))
+                              .alias("component"))
+            .select(F.col("n").alias("node"), "component"))
+    return comp, phases

@@ -376,3 +376,53 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.col("n_violating_groups") == 0).cast("int")
                       .alias("holds"))
             .orderBy("lhs", "rhs"))
+
+
+# --------------------------------------------------------------------------
+# O(log) connected components at certification scale: the alternating
+# large-star/small-star algorithm (operators/graph.py — the
+# pointer-doubling CC dedup.connected_components' docstring defers to
+# for long-diameter graphs) run over the customer–supplier co-purchase
+# graph, with the component-size census hashed against the recursive-
+# CTE ground truth. The LPA/CC family thus certifies BOTH propagation
+# disciplines: one-hop min-label (cc_convergence) and star rewiring.
+# --------------------------------------------------------------------------
+@query("cc_star_components", oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+         's' || CAST(l_suppkey AS VARCHAR) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (SELECT u AS src, v AS dst FROM pairs
+          UNION ALL SELECT v, u FROM pairs),
+cc(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+),
+comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+          FROM comp GROUP BY component)
+SELECT size, CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY size ORDER BY size
+""")
+def cc_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram from large-star/small-star CC, hashed
+    vs the one-hop relational ground truth."""
+    from ..operators.graph import connected_components_star
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    pairs = (t["lineitem"].join(t["orders"],
+                                F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                      .alias("a_id"),
+                      F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                      .alias("b_id"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 2).select("a_id", "b_id"))
+    comp, _ = connected_components_star(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (sizes.groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_components"))
+            .orderBy("size"))

@@ -51,3 +51,50 @@ def test_triangle_count_no_triangles(spark):
     df = spark.createDataFrame([(1, 2), (3, 4)], "a_id long, b_id long")
     row = triangle_count(df).collect()[0]
     assert (row.n_edges, row.n_triangles) == (2, 0)
+
+
+def test_star_cc_matches_min_label_cc(spark):
+    """Large-star/small-star must produce the identical component map
+    to one-hop min-label propagation on a fixed random graph."""
+    import random
+
+    from light_etl_windows_container_poc_spark.operators.dedup import (
+        connected_components)
+    from light_etl_windows_container_poc_spark.operators.graph import (
+        connected_components_star)
+
+    random.seed(7)
+    edges = [(random.randrange(300), random.randrange(300))
+             for _ in range(220)]
+    g = spark.createDataFrame([(a, b) for a, b in edges if a != b],
+                              "a_id long, b_id long")
+    star, _ = connected_components_star(g)
+    m1 = {r.node: r.component for r in star.collect()}
+    m2 = {r.node: r.component
+          for r in connected_components(g, max_iterations=50).collect()}
+    assert m1 == m2
+
+
+def test_star_cc_is_logarithmic_on_paths(spark):
+    """A 200-node path needs 100+ one-hop rounds; star rewiring must
+    finish in O(log) phases — the whole point of the algorithm."""
+    from light_etl_windows_container_poc_spark.operators.graph import (
+        connected_components_star)
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(199)],
+                                 "a_id long, b_id long")
+    comp, phases = connected_components_star(path)
+    assert phases <= 12
+    assert all(r.component == 0 for r in comp.collect())
+
+
+def test_star_cc_handles_self_loops_and_isolates(spark):
+    from light_etl_windows_container_poc_spark.operators.graph import (
+        connected_components_star)
+
+    g = spark.createDataFrame([(10, 11), (11, 12), (20, 21), (5, 5)],
+                              "a_id long, b_id long")
+    comp, _ = connected_components_star(g)
+    got = sorted((r.node, r.component) for r in comp.collect())
+    assert got == [(5, 5), (10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20)]

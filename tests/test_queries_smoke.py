@@ -99,6 +99,8 @@ def test_frozen_r5_population_is_subset_of_registry():
     assert len(ent._R06_POPULATION) == 210
     assert set(ent._R07_POPULATION) <= set(QUERIES)
     assert len(ent._R07_POPULATION) == 218
+    assert set(ent._R08_POPULATION) <= set(QUERIES)
+    assert len(ent._R08_POPULATION) == 237
 
 
 def test_q11_nonempty_at_realistic_sf(spark):
