@@ -368,8 +368,10 @@ def audiofp64_wav(df: DataFrame, id_col: str = "id",
                 s = decode_wav(bytes(r[content_col]),
                                return_samples=True)["samples"]
                 w = len(s) // n_frames
-                e = [sum(int(x) * int(x) for x in s[f * w:(f + 1) * w])
-                     for f in range(n_frames)]
+                a = np.asarray(s[:w * n_frames], dtype=np.int64)
+                e = (a * a).reshape(n_frames, w).sum(axis=1)
+                # int64-exact: |sample| <= 2^15 so each frame energy is
+                # <= w * 2^30 — no overflow for any realistic frame
                 bits = 0
                 for j in range(n_frames - 1):
                     if e[j] > e[j + 1]:

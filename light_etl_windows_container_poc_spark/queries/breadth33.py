@@ -49,8 +49,11 @@ def _phash_corpus(docs: DataFrame) -> DataFrame:
                              "content": build_png_bytes(32, 32, bytes(raw))})
             yield pd.DataFrame(rows, columns=["doc_id", "content"])
 
-    return docs.select("doc_id").mapInPandas(build,
-                                             "doc_id long, content binary")
+    # spread the per-clip CPU (md5 chain + zlib encode) over all cores —
+    # the documents parquet arrives in 1-2 partitions
+    npart = docs.sparkSession.sparkContext.defaultParallelism
+    return (docs.select("doc_id").repartition(npart)
+            .mapInPandas(build, "doc_id long, content binary"))
 
 
 # --------------------------------------------------------------------------
@@ -126,8 +129,11 @@ def _audio_corpus(docs: DataFrame) -> DataFrame:
     def build(batches):
         import hashlib
 
+        import numpy as np
+
         from ..operators.media_codec import build_wav_bytes
 
+        ripple = np.arange(2048) % 53 < 2
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
@@ -136,19 +142,17 @@ def _audio_corpus(docs: DataFrame) -> DataFrame:
                 raw = b"".join(
                     hashlib.md5(f"a{base}:{blk}".encode()).digest()
                     for blk in range(256))
-                s = []
-                for i in range(2048):
-                    v = int.from_bytes(raw[2 * i:2 * i + 2], "little",
-                                       signed=True)
-                    v = max(-20000, min(20000, v))
-                    if d % 2 == 1 and i % 53 < 2:
-                        v += 300
-                    s.append(v)
-                rows.append({"doc_id": d, "content": build_wav_bytes(s)})
+                s = (np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                     .clip(-20000, 20000))
+                if d % 2 == 1:
+                    s = s + ripple * 300
+                rows.append({"doc_id": d,
+                             "content": build_wav_bytes(s.tolist())})
             yield pd.DataFrame(rows, columns=["doc_id", "content"])
 
-    return docs.select("doc_id").mapInPandas(build,
-                                             "doc_id long, content binary")
+    npart = docs.sparkSession.sparkContext.defaultParallelism
+    return (docs.select("doc_id").repartition(npart)
+            .mapInPandas(build, "doc_id long, content binary"))
 
 
 # --------------------------------------------------------------------------
