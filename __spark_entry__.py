@@ -186,16 +186,18 @@ _R07_CERTIFIED = [
 # countmin_sketch, graph_label_propagation, entity_resolution,
 # join_incremental_delta, unigram_lm_learn, unigram_invariants,
 # stream_countmin_cert, mm_phash_dedup, mm_audiofp_dedup,
-# split_leakage_safe, fd_profile, cc_star_components — 23
-# total). The 27
-# recertify slots drain ALL 10 remaining r2-latest rows plus 17 of
+# split_leakage_safe, fd_profile, cc_star_components,
+# grouped_theil_sen, median_polish_anomaly — 25
+# total). The 25
+# recertify slots drain ALL 10 remaining r2-latest rows plus 15 of
 # the 34-row r3-latest bucket — after this round no query's latest
-# certification predates r3, and only seventeen r3 rows remain
+# certification predates r3, and only nineteen r3 rows remain
 # (window_moving_avg, window_share, rolling_uniques, safe_casts,
 # session_window_agg, plus hash_funcs, join_semi, time_rollup,
 # window_range_value, skew_profile, text_rarity, text_bigram_lm,
 # text_repetition, zscore_outliers, sketch_hll_mergeable,
-# sketch_approx_percentile and quality_gopher_rules trimmed to fund
+# sketch_approx_percentile, quality_gopher_rules, pack_sequences and
+# mm_media_meta trimmed to fund
 # the second wave — all
 # unchanged-since-r3 single-pattern queries re-proven by this round's
 # full-registry local sweeps; they head the
@@ -216,8 +218,7 @@ _RECERTIFY = [
     "embed_standardize", "etl_quality_profile", "event_streaks",
     "gap_fill_daily", "grouped_ols",
     "impute_forward_fill", "impute_group_mean", "impute_linear_interp",
-    "mm_decode_real", "mm_media_meta",
-    "pack_sequences",
+    "mm_decode_real",
 ]
 
 

@@ -47,3 +47,4 @@ from . import breadth30  # noqa: F401,E402
 from . import breadth31  # noqa: F401,E402
 from . import breadth32  # noqa: F401,E402
 from . import breadth33  # noqa: F401,E402
+from . import breadth34  # noqa: F401,E402

@@ -1,0 +1,203 @@
+"""Round-8 breadth, fourth wave: robust statistics — Theil–Sen grouped
+regression (the median-of-pairwise-slopes estimator OLS users reach for
+when outliers poison least squares) and Tukey median polish (the robust
+two-way decomposition behind seasonally-adjusted anomaly detection).
+
+Determinism contracts: samples are md5-ordered (the repo bridge), all
+medians are LOWER medians under an explicit total order (no parity
+averaging, no engine-specific interpolation), pairwise slopes are plain
+IEEE double divisions identical in both engines, and every reported
+value is micro-rounded with floor(x·1e6 + 0.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from .registry import query
+
+_TS_SAMPLE = 120  # rows per group → ≤ 7140 pairs per group
+
+
+def _micro(col):
+    return F.floor(col * 1_000_000 + F.lit(0.5)).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen: per l_returnflag, the LOWER-median pairwise slope of
+# extendedprice over quantity on an md5-deterministic 120-row sample,
+# plus the matching median intercept (y − slope·x). Pairwise-quadratic
+# work is confined to the bounded sample (the estimator's standard
+# production shape — full-data TS is O(n²) by definition); the oracle
+# replays sample, pairs, both medians, and the micro-rounding exactly.
+# --------------------------------------------------------------------------
+@query("grouped_theil_sen", oracle=f"""
+WITH s AS (
+  SELECT l_returnflag AS flag, l_quantity AS x, l_extendedprice AS y,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                        CAST(l_linenumber AS VARCHAR)),
+                    l_orderkey, l_linenumber, l_quantity,
+                    l_extendedprice) AS rn
+  FROM lineitem
+),
+sm AS (SELECT * FROM s WHERE rn <= {_TS_SAMPLE}),
+p AS (
+  SELECT a.flag, a.rn AS arn, b.rn AS brn,
+         (b.y - a.y) / (b.x - a.x) AS slope
+  FROM sm a JOIN sm b ON a.flag = b.flag AND a.rn < b.rn AND a.x <> b.x
+),
+pr AS (
+  SELECT flag, slope,
+         row_number() OVER (PARTITION BY flag
+                            ORDER BY slope, arn, brn) AS r,
+         count(*) OVER (PARTITION BY flag) AS n
+  FROM p
+),
+med AS (
+  SELECT flag, CAST(n AS BIGINT) AS n_pairs, slope AS slope_med
+  FROM pr WHERE r = CAST(ceil(n / 2.0) AS BIGINT)
+),
+ic AS (
+  SELECT sm.flag, sm.y - med.slope_med * sm.x AS v, sm.rn,
+         med.n_pairs, med.slope_med
+  FROM sm JOIN med ON sm.flag = med.flag
+),
+icr AS (
+  SELECT flag, v, n_pairs, slope_med,
+         row_number() OVER (PARTITION BY flag ORDER BY v, rn) AS r,
+         count(*) OVER (PARTITION BY flag) AS n
+  FROM ic
+)
+SELECT flag AS l_returnflag, n_pairs,
+       CAST(floor(slope_med * 1000000 + 0.5) AS BIGINT) AS slope_micro,
+       CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS intercept_micro
+FROM icr WHERE r = CAST(ceil(n / 2.0) AS BIGINT)
+ORDER BY l_returnflag
+""")
+def grouped_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    order_key = F.md5(F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string")))
+    # (orderkey, linenumber) is NOT unique in the synthetic lineitem, so
+    # the tie-break extends through the regression variables — identical
+    # full rows are interchangeable, anything less is engine-dependent
+    rn_w = W.partitionBy("flag").orderBy(
+        order_key, "l_orderkey", "l_linenumber", "x", "y")
+    sm = (li.select(F.col("l_returnflag").alias("flag"),
+                    F.col("l_quantity").alias("x"),
+                    F.col("l_extendedprice").alias("y"),
+                    "l_orderkey", "l_linenumber")
+          .withColumn("rn", F.row_number().over(rn_w))
+          .filter(F.col("rn") <= _TS_SAMPLE)
+          .select("flag", "x", "y", "rn").persist())
+    a = sm.select("flag", F.col("x").alias("xa"), F.col("y").alias("ya"),
+                  F.col("rn").alias("arn"))
+    b = sm.select("flag", F.col("x").alias("xb"), F.col("y").alias("yb"),
+                  F.col("rn").alias("brn"))
+    p = (a.join(b, "flag")
+         .filter((F.col("arn") < F.col("brn")) & (F.col("xa") != F.col("xb")))
+         .select("flag", "arn", "brn",
+                 ((F.col("yb") - F.col("ya"))
+                  / (F.col("xb") - F.col("xa"))).alias("slope")))
+    pr_w = W.partitionBy("flag").orderBy("slope", "arn", "brn")
+    cnt_w = W.partitionBy("flag")
+    med = (p.withColumn("r", F.row_number().over(pr_w))
+           .withColumn("n", F.count(F.lit(1)).over(cnt_w))
+           .filter(F.col("r") == F.ceil(F.col("n") / 2.0).cast("long"))
+           .select("flag", F.col("n").alias("n_pairs"),
+                   F.col("slope").alias("slope_med")))
+    ic = (sm.join(med, "flag")
+          .select("flag", "n_pairs", "slope_med", "rn",
+                  (F.col("y") - F.col("slope_med") * F.col("x")).alias("v")))
+    ic_w = W.partitionBy("flag").orderBy("v", "rn")
+    out = (ic.withColumn("r", F.row_number().over(ic_w))
+           .withColumn("n", F.count(F.lit(1)).over(cnt_w))
+           .filter(F.col("r") == F.ceil(F.col("n") / 2.0).cast("long"))
+           .select(F.col("flag").alias("l_returnflag"), "n_pairs",
+                   _micro(F.col("slope_med")).alias("slope_micro"),
+                   _micro(F.col("v")).alias("intercept_micro"))
+           .orderBy("l_returnflag"))
+    out = out.localCheckpoint(eager=True)
+    sm.unpersist()
+    return out
+
+
+def _mp_stage(src: str, part: str, other: str, out: str) -> str:
+    """One median-polish subtraction in SQL: subtract the per-``part``
+    LOWER median (total order (v, other)) from every cell."""
+    return f"""
+{out}m AS (
+  SELECT {part}, v AS m FROM (
+    SELECT {part}, v,
+           row_number() OVER (PARTITION BY {part} ORDER BY v, {other}) AS r,
+           count(*) OVER (PARTITION BY {part}) AS n
+    FROM {src}) WHERE r = CAST(ceil(n / 2.0) AS BIGINT)
+),
+{out} AS (
+  SELECT s.dow, s.hour, s.v - m.m AS v
+  FROM {src} s JOIN {out}m m USING ({part})
+)"""
+
+
+# --------------------------------------------------------------------------
+# Tukey median polish on the (day-of-week × hour) matrix of mean event
+# value: two full sweeps of alternating row/column LOWER-median
+# subtraction, then the 20 largest |residual| cells — the robust
+# two-way seasonal decomposition (medians shrug off the outlier cells
+# that poison a mean-based decomposition), i.e. seasonally-adjusted
+# anomaly surfacing. Integer end-to-end: cells are milli-value via
+# exact cents sums and integer division, medians are LOWER medians
+# under (value, key) total orders — both engines compute byte-identical
+# residual matrices at every step.
+# --------------------------------------------------------------------------
+@query("median_polish_anomaly", oracle=f"""
+WITH c0 AS (
+  SELECT dayofweek(ts) AS dow, hour(ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) * 10
+              // count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+{_mp_stage('c0', 'dow', 'hour', 'c1')},
+{_mp_stage('c1', 'hour', 'dow', 'c2')},
+{_mp_stage('c2', 'dow', 'hour', 'c3')},
+{_mp_stage('c3', 'hour', 'dow', 'c4')}
+SELECT CAST(dow AS INT) AS dow, CAST(hour AS INT) AS hour,
+       CAST(v AS BIGINT) AS resid_milli
+FROM c4 ORDER BY abs(v) DESC, dow, hour LIMIT 20
+""")
+def median_polish_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cells = (ev.groupBy((F.dayofweek("ts") - 1).alias("dow"),
+                        F.hour("ts").alias("hour"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("cents"),
+                  F.count(F.lit(1)).alias("cnt"))
+             # exact BIGINT division (cents*10 div cnt) — a double
+             # division + cast can land one ulp above an integer and
+             # truncate differently than DuckDB's // floor
+             .select("dow", "hour",
+                     F.expr("(cents * 10) div cnt").alias("v")))
+
+    def subtract_median(df: DataFrame, part: str, other: str) -> DataFrame:
+        w = W.partitionBy(part).orderBy("v", other)
+        cw = W.partitionBy(part)
+        med = (df.withColumn("r", F.row_number().over(w))
+               .withColumn("n", F.count(F.lit(1)).over(cw))
+               .filter(F.col("r") == F.ceil(F.col("n") / 2.0).cast("long"))
+               .select(part, F.col("v").alias("m")))
+        return (df.join(med, part)
+                .select("dow", "hour", (F.col("v") - F.col("m")).alias("v")))
+
+    c = cells
+    for part, other in (("dow", "hour"), ("hour", "dow"),
+                        ("dow", "hour"), ("hour", "dow")):
+        c = subtract_median(c, part, other)
+    return (c.select(F.col("dow").cast("int"), F.col("hour").cast("int"),
+                     F.col("v").alias("resid_milli"))
+            .orderBy(F.abs(F.col("resid_milli")).desc(), "dow", "hour")
+            .limit(20))
