@@ -187,17 +187,18 @@ _R07_CERTIFIED = [
 # join_incremental_delta, unigram_lm_learn, unigram_invariants,
 # stream_countmin_cert, mm_phash_dedup, mm_audiofp_dedup,
 # split_leakage_safe, fd_profile, cc_star_components,
-# grouped_theil_sen, median_polish_anomaly — 25
-# total). The 25
-# recertify slots drain ALL 10 remaining r2-latest rows plus 15 of
+# grouped_theil_sen, median_polish_anomaly,
+# stream_histogram_quantiles — 26
+# total). The 24
+# recertify slots drain ALL 10 remaining r2-latest rows plus 14 of
 # the 34-row r3-latest bucket — after this round no query's latest
-# certification predates r3, and only nineteen r3 rows remain
+# certification predates r3, and only twenty r3 rows remain
 # (window_moving_avg, window_share, rolling_uniques, safe_casts,
 # session_window_agg, plus hash_funcs, join_semi, time_rollup,
 # window_range_value, skew_profile, text_rarity, text_bigram_lm,
 # text_repetition, zscore_outliers, sketch_hll_mergeable,
-# sketch_approx_percentile, quality_gopher_rules, pack_sequences and
-# mm_media_meta trimmed to fund
+# sketch_approx_percentile, quality_gopher_rules, pack_sequences,
+# mm_media_meta and mm_decode_real trimmed to fund
 # the second wave — all
 # unchanged-since-r3 single-pattern queries re-proven by this round's
 # full-registry local sweeps; they head the
@@ -212,13 +213,12 @@ _RECERTIFY = [
     "funnel", "inverted_index", "null_funcs",
     "regex_funcs", "sample_stratified", "text_chunk",
     "text_tfidf",
-    # r3-latest (drained this round minus the nine named above)
+    # r3-latest (drained this round minus the twenty named above)
     "array_set_ops", "boilerplate_strip", "cdc_apply",
     "contamination", "domain_cap", "embed_quantize",
     "embed_standardize", "etl_quality_profile", "event_streaks",
     "gap_fill_daily", "grouped_ols",
     "impute_forward_fill", "impute_group_mean", "impute_linear_interp",
-    "mm_decode_real",
 ]
 
 

@@ -201,3 +201,93 @@ def median_polish_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("v").alias("resid_milli"))
             .orderBy(F.abs(F.col("resid_milli")).desc(), "dow", "hour")
             .limit(20))
+
+
+# --------------------------------------------------------------------------
+# Streaming quantiles from the fixed-width histogram state
+# (streaming/histogram.py — the third payload of the batch_tag/manifest
+# protocol): a real availableNow stream lands per-batch bin partials,
+# the merged state answers p25/p50/p90/p99, and the hashed relation
+# carries the estimates, the EXACT order statistics, and the
+# containment theorem (the k-th smallest value lies inside the bin
+# whose cumulative count first reaches k — so every histogram answer is
+# exact to one bin width, deterministically, not probabilistically).
+# --------------------------------------------------------------------------
+_HQ_BIN = 100  # cents per bin (1 value unit)
+_HQ_QS = (250, 500, 900, 990)  # permille
+
+
+@query("stream_histogram_quantiles", oracle=f"""
+WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+h AS (SELECT cents // {_HQ_BIN} AS bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _HQ_QS)}]) AS q_permille),
+k AS (SELECT q_permille, n,
+             CAST(ceil(q_permille * n / 1000.0) AS BIGINT) AS k
+      FROM qs CROSS JOIN n),
+cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+est AS (SELECT k.q_permille, k.n, k.k, min(cum.bin) AS bin
+        FROM k JOIN cum ON cum.cum >= k.k
+        GROUP BY k.q_permille, k.n, k.k),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c),
+ex AS (SELECT k.q_permille, r.cents AS exact_cents
+       FROM k JOIN r ON r.rn = k.k)
+SELECT CAST(est.q_permille AS INT) AS q_permille, est.n,
+       ex.exact_cents,
+       est.bin * {_HQ_BIN} AS est_lo_cents,
+       est.bin * {_HQ_BIN} + {_HQ_BIN - 1} AS est_hi_cents,
+       CAST(ex.exact_cents BETWEEN est.bin * {_HQ_BIN}
+            AND est.bin * {_HQ_BIN} + {_HQ_BIN - 1} AS INT) AS within_bin
+FROM est JOIN ex ON est.q_permille = ex.q_permille
+ORDER BY q_permille
+""")
+def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.value cents stream in as 4 files → 4 micro-batch bin
+    partials → merged state answers the quantiles (the
+    stream_countmin_cert pattern: streamed state is cell-identical to
+    the batch histogram, so the oracle builds it from the table)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.histogram import (read_histogram,
+                                       start_histogram_stream)
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cents = ev.select(F.round(F.col("value") * 100).cast("long")
+                      .alias("cents"))
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(), f"spark_graft_shq_{h}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    cents.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema("cents long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_histogram_stream(stream, os.path.join(work, "state"),
+                               os.path.join(work, "ckpt"),
+                               "cents", _HQ_BIN)
+    q.awaitTermination(300)
+    hist = read_histogram(spark, os.path.join(work, "state")).persist()
+
+    n_total = int(hist.agg(F.sum("cnt")).first()[0])
+    cum_w = W.orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(cum_w))
+    rows = []
+    for q_pm in _HQ_QS:
+        k = -(-q_pm * n_total // 1000)  # ceil without floats
+        bin_row = (cum.filter(F.col("cum") >= k)
+                   .orderBy("bin").limit(1).collect()[0])
+        exact = (cents.orderBy("cents").limit(k)
+                 .agg(F.max("cents")).first()[0])
+        lo = int(bin_row["bin"]) * _HQ_BIN
+        hi = lo + _HQ_BIN - 1
+        rows.append((q_pm, n_total, int(exact), lo, hi,
+                     int(lo <= int(exact) <= hi)))
+    hist.unpersist()
+    return spark.createDataFrame(
+        rows, "q_permille int, n bigint, exact_cents bigint,"
+              " est_lo_cents bigint, est_hi_cents bigint, within_bin int"
+    ).orderBy("q_permille")

@@ -114,3 +114,42 @@ def test_unpublished_compaction_is_invisible(spark, tmp_path):
     # a re-run sweeps the orphan and publishes cleanly
     compact_countmin_state(spark, state)
     assert _grid(read_countmin(spark, state)) == before
+
+
+def test_streamed_histogram_equals_batch(spark, tmp_path):
+    """Third payload of the manifest protocol: bin partials merge by
+    addition, so streamed state == one-shot histogram exactly; a
+    replayed batch rewrites instead of double-counting."""
+    from light_etl_windows_container_poc_spark.streaming.histogram import (
+        histogram_batch_handler, read_histogram, start_histogram_stream)
+
+    src = tmp_path / "hsrc"
+    src.mkdir()
+    b0 = list(range(0, 500, 7))
+    b1 = list(range(120, 900, 11))
+    for name, vals, mt in (("a.json", b0, 1_000_000),
+                           ("b.json", b1, 2_000_000)):
+        with open(src / name, "w") as fh:
+            for v in vals:
+                fh.write(json.dumps({"cents": v}) + "\n")
+        os.utime(src / name, (mt, mt))
+    state = str(tmp_path / "hstate")
+    s = (spark.readStream.schema("cents long")
+         .option("maxFilesPerTrigger", 1).json(str(src)))
+    start_histogram_stream(s, state, str(tmp_path / "hckpt"),
+                           "cents", 100).awaitTermination(120)
+    streamed = {(r.bin, r.cnt)
+                for r in read_histogram(spark, state).collect()}
+    from pyspark.sql import functions as F
+
+    batch = {(r.bin, r.cnt) for r in
+             (spark.createDataFrame([(v,) for v in b0 + b1], "cents long")
+              .select(F.expr("cents div 100").alias("bin"))
+              .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+              .collect())}
+    assert streamed == batch
+    # crash-replay of batch 0
+    histogram_batch_handler(state, "cents", 100)(
+        spark.createDataFrame([(v,) for v in b0], "cents long"), 0)
+    assert {(r.bin, r.cnt)
+            for r in read_histogram(spark, state).collect()} == batch
