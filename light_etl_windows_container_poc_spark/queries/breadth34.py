@@ -291,3 +291,93 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "q_permille int, n bigint, exact_cents bigint,"
               " est_lo_cents bigint, est_hi_cents bigint, within_bin int"
     ).orderBy("q_permille")
+
+
+# --------------------------------------------------------------------------
+# Interval concurrency (sweep line): peak simultaneous sessions per day
+# — the capacity-planning question ("how many concurrent users must we
+# serve") asked of the same 30-minute-gap sessions `sessionize`
+# certifies. Each session contributes (+1 at start, −1 at end, CLOSED
+# intervals: +1 sorts before −1 at equal instants, so 1-event sessions
+# count); the running sum is computed SCALABLY as a two-phase prefix
+# sum — per-day partitioned cumulative sums plus a tiny cumulative
+# day-offset relation — never one global unpartitioned window over the
+# event stream. Day peaks are order-invariant among equal (t, delta)
+# rows, so both engines agree exactly.
+# --------------------------------------------------------------------------
+@query("interval_concurrency", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+  FROM numbered GROUP BY user_id, sid
+),
+pts AS (
+  SELECT strftime(s, '%Y-%m-%d') AS day, epoch_us(s) AS t,
+         CAST(1 AS BIGINT) AS delta FROM sess
+  UNION ALL
+  SELECT strftime(e, '%Y-%m-%d'), epoch_us(e), CAST(-1 AS BIGINT) FROM sess
+),
+cums AS (
+  SELECT day, delta,
+         sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pts
+),
+daytot AS (SELECT day, sum(delta) AS tot,
+                  max(cum) AS day_peak
+           FROM cums GROUP BY day),
+offs AS (
+  SELECT day, day_peak,
+         coalesce(sum(tot) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM daytot
+)
+SELECT day, CAST(off + day_peak AS BIGINT) AS max_concurrency
+FROM offs ORDER BY day
+""")
+def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (W.partitionBy("user_id").orderBy("ts")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    sess = (ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.unix_micros("ts")
+                  - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+               F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("sid", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    pts = (sess.select(F.date_format("s", "yyyy-MM-dd").alias("day"),
+                       F.unix_micros("s").alias("t"),
+                       F.lit(1).cast("long").alias("delta"))
+           .unionAll(sess.select(F.date_format("e", "yyyy-MM-dd"),
+                                 F.unix_micros("e"),
+                                 F.lit(-1).cast("long"))))
+    cum_w = (W.partitionBy("day").orderBy(F.col("t"), F.col("delta").desc())
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cums = pts.withColumn("cum", F.sum("delta").over(cum_w))
+    daytot = (cums.groupBy("day")
+              .agg(F.sum("delta").alias("tot"),
+                   F.max("cum").alias("day_peak")))
+    off_w = (W.orderBy("day")
+             .rowsBetween(W.unboundedPreceding, -1))
+    return (daytot.withColumn(
+        "off", F.coalesce(F.sum("tot").over(off_w), F.lit(0)))
+        .select("day", (F.col("off") + F.col("day_peak")).cast("long")
+                .alias("max_concurrency"))
+        .orderBy("day"))

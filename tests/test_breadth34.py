@@ -71,3 +71,18 @@ def test_median_polish_query_runs_bounded(spark, sf_dir):
     assert 0 < len(out) <= 20
     resids = [abs(r.resid_milli) for r in out]
     assert resids == sorted(resids, reverse=True)
+
+
+def test_interval_concurrency_bounds(spark, sf_dir):
+    """Peak concurrency is at least 1 on every day with a session and
+    never exceeds the number of distinct users (each user contributes
+    at most one open session at any instant by construction)."""
+    from light_etl_windows_container_poc_spark.catalog import load_tables
+
+    out = QUERIES["interval_concurrency"](spark, sf_dir).collect()
+    assert len(out) > 0
+    users = (load_tables(spark, sf_dir, ("events",))["events"]
+             .select("user_id").distinct().count())
+    assert all(1 <= r.max_concurrency <= users for r in out)
+    days = [r.day for r in out]
+    assert days == sorted(days)
