@@ -381,3 +381,95 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", (F.col("off") + F.col("day_peak")).cast("long")
                 .alias("max_concurrency"))
         .orderBy("day"))
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection per event type — statistical process control
+# over the daily event-count series (the pipeline-health monitor that
+# catches slow upstream drift a fixed threshold misses). The textbook
+# recursion CUSUM_t = max(0, CUSUM_{t-1} + dev_t) is not
+# window-expressible, but its closed form IS: with S_t = Σ dev_i,
+# CUSUM_t = S_t − min(0, min_{j≤t} S_j) — a prefix sum minus a
+# running minimum (current row INCLUDED — the reflection identity),
+# two per-type windows. Deviations are integer milli-counts against the
+# type's own mean (BIGINT div), so both engines walk byte-identical
+# series. Output: per type, the peak CUSUM, its day, and the first day
+# the statistic crossed 5× the mean (0-rows-none ⇒ NULLs).
+# --------------------------------------------------------------------------
+@query("cusum_drift", oracle="""
+WITH d AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(sum(cnt) * 1000 // count(*) AS BIGINT) AS mean_milli,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM d GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day, d.cnt * 1000 - m.mean_milli AS dev,
+         m.mean_milli, m.n_days
+  FROM d JOIN m USING (event_type)
+),
+s AS (
+  SELECT *, sum(dev) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+  FROM dev
+),
+c AS (
+  SELECT *, ps - least(0, min(ps) OVER (PARTITION BY event_type
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)) AS cusum
+  FROM s
+),
+pk AS (
+  SELECT event_type, cusum AS peak_cusum_milli, day AS peak_day FROM (
+    SELECT event_type, cusum, day,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cusum DESC, day) AS r
+    FROM c) WHERE r = 1
+),
+alarm AS (
+  SELECT c.event_type, min(c.day) AS first_alarm_day
+  FROM c JOIN m ON c.event_type = m.event_type
+  WHERE c.cusum > 5 * m.mean_milli
+  GROUP BY c.event_type
+)
+SELECT m.event_type, m.n_days, pk.peak_cusum_milli, pk.peak_day,
+       alarm.first_alarm_day
+FROM m JOIN pk USING (event_type)
+LEFT JOIN alarm ON m.event_type = alarm.event_type
+ORDER BY m.event_type
+""")
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = (ev.groupBy("event_type",
+                    F.date_format("ts", "yyyy-MM-dd").alias("day"))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    m = (d.groupBy("event_type")
+         .agg(F.expr("(sum(cnt) * 1000) div count(*)").alias("mean_milli"),
+              F.count(F.lit(1)).alias("n_days")))
+    dev = (d.join(m, "event_type")
+           .select("event_type", "day", "mean_milli", "n_days",
+                   (F.col("cnt") * 1000 - F.col("mean_milli"))
+                   .alias("dev")))
+    run = (W.partitionBy("event_type").orderBy("day")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = (dev.withColumn("ps", F.sum("dev").over(run))
+         .withColumn("cusum",
+                     F.col("ps") - F.least(F.lit(0).cast("long"),
+                                           F.min("ps").over(run))))
+    pk_w = W.partitionBy("event_type").orderBy(F.desc("cusum"), "day")
+    pk = (c.withColumn("r", F.row_number().over(pk_w))
+          .filter(F.col("r") == 1)
+          .select("event_type", F.col("cusum").alias("peak_cusum_milli"),
+                  F.col("day").alias("peak_day")))
+    alarm = (c.filter(F.col("cusum") > 5 * F.col("mean_milli"))
+             .groupBy("event_type")
+             .agg(F.min("day").alias("first_alarm_day")))
+    return (m.join(pk, "event_type").join(alarm, "event_type", "left")
+            .select("event_type", "n_days", "peak_cusum_milli",
+                    "peak_day", "first_alarm_day")
+            .orderBy("event_type"))

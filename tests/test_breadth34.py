@@ -86,3 +86,33 @@ def test_interval_concurrency_bounds(spark, sf_dir):
     assert all(1 <= r.max_concurrency <= users for r in out)
     days = [r.day for r in out]
     assert days == sorted(days)
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """S_t − min(0, min_{j<t} S_j) must equal the textbook
+    max(0, prev + dev) recursion on a hand-walkable series."""
+    devs = [3, -5, 2, 2, -1, 6, -10, 4]
+    # textbook recursion
+    want, cur = [], 0
+    for x in devs:
+        cur = max(0, cur + x)
+        want.append(cur)
+    df = spark.createDataFrame(
+        [("t", f"d{i:02d}", v) for i, v in enumerate(devs)],
+        "event_type string, day string, dev long")
+    from pyspark.sql import Window as W
+
+    run = (W.partitionBy("event_type").orderBy("day")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    got = [r.cusum for r in
+           (df.withColumn("ps", F.sum("dev").over(run))
+            .withColumn("cusum", F.col("ps") - F.least(
+                F.lit(0).cast("long"), F.min("ps").over(run)))
+            .orderBy("day").collect())]
+    assert got == want
+
+
+def test_cusum_drift_query_shape(spark, sf_dir):
+    out = QUERIES["cusum_drift"](spark, sf_dir).collect()
+    assert len(out) == 5  # one row per event type
+    assert all(r.peak_cusum_milli >= 0 for r in out)
