@@ -248,3 +248,37 @@ def connected_components_star(pairs: DataFrame, max_phases: int = 40,
                               .alias("component"))
             .select(F.col("n").alias("node"), "component"))
     return comp, phases
+
+
+def k_core(pairs: DataFrame, k: int, rounds: int,
+           ) -> tuple[DataFrame, bool]:
+    """Fixed-round k-core peel → ((node,), converged).
+
+    Round i removes every node with fewer than ``k`` neighbors among
+    round i-1's survivors; the true k-core is this peel's fixpoint.
+    ``rounds`` is a FIXED budget so a relational oracle can replay the
+    exact same peel; ``converged`` reports whether the last round
+    changed nothing (alive sets shrink monotonically, so equal COUNTS
+    mean equal sets). Per round: one join + one grouped count, keyed on
+    the node id; lineage cut per round.
+    """
+    sym = (pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+           .unionAll(pairs.select(F.col("b_id").alias("u"),
+                                  F.col("a_id").alias("v")))
+           .distinct().persist())
+    alive = sym.select(F.col("u").alias("n")).distinct() \
+               .localCheckpoint(eager=True)
+    prev_count = alive.count()
+    converged = False
+    for _ in range(rounds):
+        deg = (sym.join(alive.withColumnRenamed("n", "u"), "u")
+               .join(alive.withColumnRenamed("n", "v"), "v")
+               .groupBy("u").agg(F.count(F.lit(1)).alias("d")))
+        alive = (deg.filter(F.col("d") >= k)
+                 .select(F.col("u").alias("n"))
+                 .localCheckpoint(eager=True))
+        cur = alive.count()
+        converged = cur == prev_count
+        prev_count = cur
+    sym.unpersist()
+    return alive, converged

@@ -473,3 +473,70 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "n_days", "peak_cusum_milli",
                     "peak_day", "first_alarm_day")
             .orderBy("event_type"))
+
+
+def _kcore_round(prev: str, cur: str, k: int) -> str:
+    return f"""
+{cur} AS (
+  SELECT e.u AS n FROM edges e
+  JOIN {prev} x ON e.u = x.n JOIN {prev} y ON e.v = y.n
+  GROUP BY e.u HAVING count(*) >= {k}
+)"""
+
+
+# --------------------------------------------------------------------------
+# 2-core extraction by fixed-budget peeling: iteratively shed every
+# node with fewer than 2 surviving neighbors until the cycle-containing
+# backbone remains — the graph-cleanup pass (pendant/tree removal)
+# that precedes community detection and cycle analytics. The peel needs
+# 0/1/3 rounds at the three SFs; the certified form runs SIX rounds in
+# BOTH engines (double margin) and hashes the converged flag (alive
+# sets shrink monotonically, so equal consecutive counts == fixpoint).
+# Completes the graph-analytics family: CC (both disciplines), LPA,
+# PageRank, triangles, degree census, and now coreness.
+# --------------------------------------------------------------------------
+@query("graph_kcore", oracle=f"""
+WITH pairs AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+         's' || CAST(l_suppkey AS VARCHAR) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+a0 AS (SELECT DISTINCT u AS n FROM edges),
+{",".join(_kcore_round(f"a{i}", f"a{i + 1}", 2) for i in range(6))},
+conv AS (
+  SELECT CAST((SELECT count(*) FROM a5) = (SELECT count(*) FROM a6)
+              AS INT) AS converged
+)
+SELECT substring(x.n, 1, 1) AS side,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(CASE WHEN c.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_core,
+       conv.converged
+FROM a0 x LEFT JOIN a6 c ON x.n = c.n CROSS JOIN conv
+GROUP BY side, conv.converged
+ORDER BY side
+""")
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    pairs = (t["lineitem"].join(t["orders"],
+                                F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                      .alias("a_id"),
+                      F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                      .alias("b_id"))
+             .agg(F.count(F.lit(1)).alias("w"))
+             .filter(F.col("w") >= 2).select("a_id", "b_id"))
+    core, converged = k_core(pairs, k=2, rounds=6)
+    nodes = (pairs.select(F.col("a_id").alias("n"))
+             .unionAll(pairs.select(F.col("b_id").alias("n"))).distinct())
+    return (nodes.join(core.withColumn("in_core", F.lit(1)), "n", "left")
+            .groupBy(F.substring("n", 1, 1).alias("side"))
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.sum(F.coalesce(F.col("in_core"), F.lit(0)))
+                 .alias("n_core"))
+            .withColumn("converged", F.lit(int(converged)))
+            .orderBy("side"))

@@ -98,3 +98,28 @@ def test_star_cc_handles_self_loops_and_isolates(spark):
     got = sorted((r.node, r.component) for r in comp.collect())
     assert got == [(5, 5), (10, 10), (11, 10), (12, 10),
                    (20, 20), (21, 20)]
+
+
+def test_kcore_peels_trees_keeps_cycles(spark):
+    """A triangle with a pendant chain: the 2-core is exactly the
+    triangle, however long the chain (multi-round peel)."""
+    from light_etl_windows_container_poc_spark.operators.graph import k_core
+
+    tri = [(0, 1), (1, 2), (0, 2)]
+    chain = [(2, 10), (10, 11), (11, 12), (12, 13)]
+    g = spark.createDataFrame(tri + chain, "a_id long, b_id long")
+    core, converged = k_core(g, k=2, rounds=8)
+    assert converged
+    assert {r.n for r in core.collect()} == {0, 1, 2}
+
+
+def test_kcore_unconverged_budget_reports_false(spark):
+    """A chain needing more peel rounds than the budget must report
+    converged=False rather than silently returning a non-fixpoint."""
+    from light_etl_windows_container_poc_spark.operators.graph import k_core
+
+    chain = [(i, i + 1) for i in range(10)]
+    g = spark.createDataFrame(chain, "a_id long, b_id long")
+    core, converged = k_core(g, k=2, rounds=2)
+    assert not converged
+    assert core.count() > 0  # partial peel state, not the empty core
