@@ -189,18 +189,18 @@ _R07_CERTIFIED = [
 # split_leakage_safe, fd_profile, cc_star_components,
 # grouped_theil_sen, median_polish_anomaly,
 # stream_histogram_quantiles, interval_concurrency, cusum_drift,
-# graph_kcore — 29
-# total). The 21
-# recertify slots drain ALL 10 remaining r2-latest rows plus 11 of
+# graph_kcore, zipf_slope — 30
+# total). The 20
+# recertify slots drain ALL 10 remaining r2-latest rows plus 10 of
 # the 34-row r3-latest bucket — after this round no query's latest
-# certification predates r3, and only twenty-three r3 rows remain
+# certification predates r3, and only twenty-four r3 rows remain
 # (window_moving_avg, window_share, rolling_uniques, safe_casts,
 # session_window_agg, plus hash_funcs, join_semi, time_rollup,
 # window_range_value, skew_profile, text_rarity, text_bigram_lm,
 # text_repetition, zscore_outliers, sketch_hll_mergeable,
 # sketch_approx_percentile, quality_gopher_rules, pack_sequences,
 # mm_media_meta, mm_decode_real, impute_linear_interp,
-# impute_group_mean and impute_forward_fill trimmed to
+# impute_group_mean, impute_forward_fill and grouped_ols trimmed to
 # fund the second wave — all
 # unchanged-since-r3 single-pattern queries re-proven by this round's
 # full-registry local sweeps; they head the
@@ -219,7 +219,7 @@ _RECERTIFY = [
     "array_set_ops", "boilerplate_strip", "cdc_apply",
     "contamination", "domain_cap", "embed_quantize",
     "embed_standardize", "etl_quality_profile", "event_streaks",
-    "gap_fill_daily", "grouped_ols",
+    "gap_fill_daily",
 ]
 
 

@@ -540,3 +540,82 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_core"))
             .withColumn("converged", F.lit(int(converged)))
             .orderBy("side"))
+
+
+# --------------------------------------------------------------------------
+# Zipf exponent of the corpus rank–frequency curve, estimated with the
+# SAME Theil–Sen median machinery as grouped_theil_sen (least-squares
+# slopes on log-log rank curves are notoriously dragged by the head and
+# tail; the median pairwise slope is the robust standard). x/y are
+# micro-rounded lns (the shared transcendental discipline), ranks are a
+# total order (freq DESC, word ASC), and the vocabulary relation is
+# corpus-bounded — the quadratic pair join is over |vocab| points.
+# --------------------------------------------------------------------------
+@query("zipf_slope", oracle="""
+WITH w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS word
+        FROM documents)
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word
+),
+pts AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, word) AS r, cnt FROM w
+),
+lp AS (
+  SELECT r, CAST(floor(ln(r) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(cnt) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM pts
+),
+p AS (
+  SELECT a.r AS ar, b.r AS br,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM lp a JOIN lp b ON a.r < b.r
+),
+pr AS (
+  SELECT slope,
+         row_number() OVER (ORDER BY slope, ar, br) AS rn,
+         count(*) OVER () AS n
+  FROM p
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_words,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(floor(slope * 1000000 + 0.5) AS BIGINT) AS slope_micro
+FROM pr WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+""")
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import word_dict
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = word_dict(docs, "text")
+    rank_w = W.orderBy(F.desc("cnt"), "word")
+    lp = (w.withColumn("r", F.row_number().over(rank_w))
+          .select("r",
+                  F.floor(F.log(F.col("r").cast("double")) * 1_000_000
+                          + F.lit(0.5)).cast("long").alias("x"),
+                  F.floor(F.log(F.col("cnt").cast("double")) * 1_000_000
+                          + F.lit(0.5)).cast("long").alias("y"))
+          .persist())
+    a = lp.select(F.col("r").alias("ar"), F.col("x").alias("xa"),
+                  F.col("y").alias("ya"))
+    b = lp.select(F.col("r").alias("br"), F.col("x").alias("xb"),
+                  F.col("y").alias("yb"))
+    p = (a.join(b, F.col("ar") < F.col("br"))
+         .select("ar", "br",
+                 ((F.col("yb") - F.col("ya")).cast("double")
+                  / (F.col("xb") - F.col("xa")).cast("double"))
+                 .alias("slope")))
+    med_w = W.orderBy("slope", "ar", "br")
+    n_words = w.count()
+    out = (p.withColumn("rn", F.row_number().over(med_w))
+           .withColumn("n", F.count(F.lit(1)).over(
+               W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+           .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long"))
+           .select(F.lit(n_words).cast("long").alias("n_words"),
+                   F.col("n").alias("n_pairs"),
+                   _micro(F.col("slope")).alias("slope_micro")))
+    out = out.localCheckpoint(eager=True)
+    lp.unpersist()
+    return out
