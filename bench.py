@@ -120,6 +120,10 @@ def main() -> None:
     r8_names = set(_ent._R08_POPULATION)
     suite_r8_subset = round(sum(t for n, t in suite_times.items()
                                 if n in r8_names), 3)
+    # ...and the frozen round-9 population for round 10+
+    r9_names = set(_ent._R09_POPULATION)
+    suite_r9_subset = round(sum(t for n, t in suite_times.items()
+                                if n in r9_names), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -139,6 +143,7 @@ def main() -> None:
         "suite_r6_subset_sec": suite_r6_subset,
         "suite_r7_subset_sec": suite_r7_subset,
         "suite_r8_subset_sec": suite_r8_subset,
+        "suite_r9_subset_sec": suite_r9_subset,
         "sf": sf_val,
     }))
 

@@ -167,20 +167,28 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  allow_partial: bool = False) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by 16-bit
     chunk banding (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks equal)."""
     return hamming_band_pairs(simhash64(df, id_col, text_col),
-                              "doc", "simhash", max_hamming)
+                              "doc", "simhash", max_hamming, allow_partial)
 
 
 def hamming_band_pairs(fps: DataFrame, id_col: str, fp_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       allow_partial: bool = False) -> DataFrame:
     """Pairs with hamming(fp) ≤ max_hamming over ANY 64-bit fingerprint
     relation (simhash, pHash, winnowing digests …), via the same 16-bit
     chunk banding: candidates come only from an equi-join on one of 4
     chunks, complete by pigeonhole for max_hamming ≤ 3 — never an
     all-pairs XOR scan."""
+    if max_hamming > 3 and not allow_partial:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4x16-bit chunk banding is "
+            "pigeonhole-complete only for max_hamming <= 3 — a larger "
+            "radius silently drops pairs (use more/narrower bands, or "
+            "pass allow_partial=True for a recall-best-effort sweep)")
     chunks = F.array(*[
         F.shiftrightunsigned(F.col(fp_col), 16 * c).bitwiseAND(F.lit(0xFFFF))
         for c in range(4)])

@@ -49,12 +49,26 @@ def word_dict(docs: DataFrame, text_col: str) -> DataFrame:
                                  .alias("cnt")))
 
 
-def seed_piece_counts(wdict: DataFrame, max_len: int,
-                      min_count: int) -> DataFrame:
+# Default cap on the driver-collected seed vocabulary (SentencePiece's
+# seed_sentencepiece_size analogue). The synthetic 31-word dict seeds a
+# few hundred pieces, but the substring seed of a real 10⁷-word corpus
+# dictionary is O(|vocab|·max_len) — unbounded, it would explode the
+# per-round driver pull that is otherwise a k-bounded model artifact.
+_SEED_SIZE = 1_000_000
+
+
+def seed_piece_counts(wdict: DataFrame, max_len: int, min_count: int,
+                      seed_size: int = _SEED_SIZE) -> DataFrame:
     """(piece, cnt): every substring of length 1..max_len, weighted by
     word frequency; multi-char pieces below ``min_count`` are dropped
     but single characters are ALWAYS kept so every word stays
-    segmentable. Substring generation is a JVM transform chain."""
+    segmentable. Substring generation is a JVM transform chain.
+
+    The multi-char seed is capped at the ``seed_size`` highest-count
+    pieces (ties broken by piece, a total order) via a distributed
+    TakeOrdered — the driver pull is ≤ seed_size + |alphabet| rows no
+    matter how large the corpus dictionary grows; single characters
+    ride outside the cap so segmentability survives any seed_size."""
     subs = F.expr(f"""
         flatten(transform(sequence(1, {max_len}),
           l -> CASE WHEN length(word) >= l THEN
@@ -63,8 +77,11 @@ def seed_piece_counts(wdict: DataFrame, max_len: int,
                ELSE array() END))""")
     counts = (wdict.select(F.explode(subs).alias("piece"), "cnt")
               .groupBy("piece").agg(F.sum("cnt").alias("cnt")))
-    return counts.filter((F.length("piece") == 1)
-                         | (F.col("cnt") >= min_count))
+    chars = counts.filter(F.length("piece") == 1)
+    multi = (counts.filter((F.length("piece") > 1)
+                           & (F.col("cnt") >= min_count))
+             .orderBy(F.desc("cnt"), "piece").limit(seed_size))
+    return chars.unionAll(multi)
 
 
 def logp_micro(counts: dict[str, int]) -> dict[str, int]:
@@ -130,6 +147,7 @@ def viterbi_pass(wdict: DataFrame, probs: dict[str, int],
 
 def unigram_train(docs: DataFrame, text_col: str, rounds: int = 3,
                   max_len: int = 4, min_count: int = 2,
+                  seed_size: int = _SEED_SIZE,
                   ) -> tuple[DataFrame, list[int], int, int]:
     """Hard-EM unigram training → (vocab_df, lls, n_words, n_chars).
 
@@ -141,7 +159,7 @@ def unigram_train(docs: DataFrame, text_col: str, rounds: int = 3,
     """
     spark = docs.sparkSession
     wdict = word_dict(docs, text_col).localCheckpoint()
-    seed = seed_piece_counts(wdict, max_len, min_count)
+    seed = seed_piece_counts(wdict, max_len, min_count, seed_size)
     counts = {r["piece"]: int(r["cnt"]) for r in seed.collect()}
     lls: list[int] = []
     for _ in range(rounds):

@@ -425,7 +425,12 @@ c AS (
   FROM s
 ),
 pk AS (
-  SELECT event_type, cusum AS peak_cusum_milli, day AS peak_day FROM (
+  -- CAST: sum(BIGINT) OVER (...) promotes to HUGEINT in DuckDB, and the
+  -- driver's pandas fetch renders uncast HUGEINT as float64 ("38670.0"),
+  -- hash-mismatching Spark's long. r8's only red row; class guarded in
+  -- tools/check_oracle.py (DESCRIBE-based HUGEINT output ban).
+  SELECT event_type, CAST(cusum AS BIGINT) AS peak_cusum_milli,
+         day AS peak_day FROM (
     SELECT event_type, cusum, day,
            row_number() OVER (PARTITION BY event_type
                               ORDER BY cusum DESC, day) AS r
@@ -542,16 +547,40 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("side"))
 
 
+# zipf_slope's sample bound: ≤ _ZIPF_STRATUM_CAP words per decimal-digit
+# frequency stratum (≤19 strata for BIGINT counts) → ≤ 494 points,
+# ≤ ~122k slope pairs — constants independent of corpus size.
+_ZIPF_STRATUM_CAP = 26
+
+
 # --------------------------------------------------------------------------
 # Zipf exponent of the corpus rank–frequency curve, estimated with the
 # SAME Theil–Sen median machinery as grouped_theil_sen (least-squares
 # slopes on log-log rank curves are notoriously dragged by the head and
-# tail; the median pairwise slope is the robust standard). x/y are
-# micro-rounded lns (the shared transcendental discipline), ranks are a
-# total order (freq DESC, word ASC), and the vocabulary relation is
-# corpus-bounded — the quadratic pair join is over |vocab| points.
+# tail; the median pairwise slope is the robust standard). The r8 shape
+# ranked the FULL vocabulary through an unpartitioned window and paired
+# all |vocab|² ranks — green on the 31-word synthetic dict, 10¹²⁺ pairs
+# through ONE partition on a real 10⁶–10⁷-word vocabulary. This version
+# adopts grouped_theil_sen's sample-bound discipline end-to-end:
+#   1. md5-deterministic FREQUENCY-stratified sample (≤26 words per
+#      decimal-digit-of-count stratum → ≤494 points; digit-length strata
+#      are string-length computations, exact in both engines where
+#      floor(log) is not) — the sampler's row_number is PARTITIONED by
+#      stratum, so it distributes.
+#   2. Global rank reconstructed only for sampled words, without ranking
+#      the vocabulary: rank = (#words with higher cnt, a prefix sum over
+#      the DISTINCT-FREQUENCY histogram — the one unpartitioned-window
+#      input, O(distinct counts) ≈ O(√total-tokens) rows, never |vocab|)
+#      + (#same-cnt words earlier in word order, an equi-join of the
+#      corpus dict against the ≤494-row broadcast sample) + 1.
+#   3. Pairs and the LOWER-median slope run on the ≤494-point sample
+#      (≤ ~122k pairs through the bounded median window — the
+#      grouped_theil_sen contract, not a data-sized relation).
+# x/y are micro-rounded lns (the shared transcendental discipline);
+# equal-x pairs are excluded (adjacent deep ranks can collide at micro
+# precision). Plan-locked by test_zipf_slope_windows_are_bounded.
 # --------------------------------------------------------------------------
-@query("zipf_slope", oracle="""
+@query("zipf_slope", oracle=f"""
 WITH w AS (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT unnest(list_filter(
@@ -561,18 +590,38 @@ WITH w AS (
   WHERE regexp_matches(word, '^[a-z]+$')
   GROUP BY word
 ),
-pts AS (
-  SELECT row_number() OVER (ORDER BY cnt DESC, word) AS r, cnt FROM w
+sm AS (
+  SELECT word, cnt FROM (
+    SELECT word, cnt,
+           row_number() OVER (PARTITION BY length(CAST(cnt AS VARCHAR))
+                              ORDER BY md5(word), word) AS srn
+    FROM w) WHERE srn <= {_ZIPF_STRATUM_CAP}
+),
+hist AS (
+  SELECT cnt, CAST(count(*) AS BIGINT) AS nw FROM w GROUP BY cnt
+),
+hi AS (
+  SELECT cnt, CAST(coalesce(sum(nw) OVER (ORDER BY cnt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS higher
+  FROM hist
+),
+tb AS (
+  SELECT s.word, s.cnt, CAST(count(w.word) AS BIGINT) AS ties_before
+  FROM sm s LEFT JOIN w ON w.cnt = s.cnt AND w.word < s.word
+  GROUP BY s.word, s.cnt
 ),
 lp AS (
-  SELECT r, CAST(floor(ln(r) * 1000000 + 0.5) AS BIGINT) AS x,
-         CAST(floor(ln(cnt) * 1000000 + 0.5) AS BIGINT) AS y
-  FROM pts
+  SELECT CAST(hi.higher + tb.ties_before + 1 AS BIGINT) AS r,
+         CAST(floor(ln(CAST(hi.higher + tb.ties_before + 1 AS DOUBLE))
+              * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(tb.cnt) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM tb JOIN hi ON tb.cnt = hi.cnt
 ),
 p AS (
   SELECT a.r AS ar, b.r AS br,
          CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
-  FROM lp a JOIN lp b ON a.r < b.r
+  FROM lp a JOIN lp b ON a.r < b.r AND a.x <> b.x
 ),
 pr AS (
   SELECT slope,
@@ -581,41 +630,88 @@ pr AS (
   FROM p
 )
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_words,
+       (SELECT CAST(count(*) AS BIGINT) FROM sm) AS n_sampled,
        CAST(n AS BIGINT) AS n_pairs,
        CAST(floor(slope * 1000000 + 0.5) AS BIGINT) AS slope_micro
 FROM pr WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
 """)
 def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, handles = _zipf_build(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    return out
+
+
+def _zipf_build(spark: SparkSession, sf_dir: str,
+                persist: bool = True) -> tuple[DataFrame, list[DataFrame]]:
+    """zipf_slope's plan, pre-checkpoint — split out so the window-
+    boundedness plan test can inspect it (persist=False keeps cached
+    subtrees out of the plan text)."""
     from ..operators.unigram import word_dict
 
+    handles: list[DataFrame] = []
+
+    def _p(df: DataFrame) -> DataFrame:
+        if persist:
+            df = df.persist()
+            handles.append(df)
+        return df
+
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    w = word_dict(docs, "text")
-    rank_w = W.orderBy(F.desc("cnt"), "word")
-    lp = (w.withColumn("r", F.row_number().over(rank_w))
-          .select("r",
-                  F.floor(F.log(F.col("r").cast("double")) * 1_000_000
-                          + F.lit(0.5)).cast("long").alias("x"),
-                  F.floor(F.log(F.col("cnt").cast("double")) * 1_000_000
-                          + F.lit(0.5)).cast("long").alias("y"))
-          .persist())
+    w = _p(word_dict(docs, "text"))
+    # 1. frequency-stratified md5 sample — partitioned window, distributes
+    st_w = W.partitionBy("stratum").orderBy(F.md5("word"), "word")
+    sm = _p(w.withColumn("stratum", F.length(F.col("cnt").cast("string")))
+            .withColumn("srn", F.row_number().over(st_w))
+            .filter(F.col("srn") <= _ZIPF_STRATUM_CAP)
+            .select("word", "cnt"))
+    # 2a. higher-count offset: prefix sum over the distinct-cnt histogram
+    hist = w.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("nw"))
+    hi_w = W.orderBy(F.desc("cnt")).rowsBetween(W.unboundedPreceding, -1)
+    hi = hist.select(
+        "cnt",
+        F.coalesce(F.sum("nw").over(hi_w), F.lit(0)).cast("long")
+        .alias("higher"))
+    # 2b. same-cnt earlier-word ties: corpus dict ⋈ broadcast sample
+    s = sm.select(F.col("word").alias("s_word"), F.col("cnt").alias("s_cnt"))
+    ties = (w.join(F.broadcast(s),
+                   (F.col("cnt") == F.col("s_cnt"))
+                   & (F.col("word") < F.col("s_word")))
+            .groupBy("s_word")
+            .agg(F.count(F.lit(1)).cast("long").alias("tb")))
+    rk = (sm.join(F.broadcast(ties), sm["word"] == ties["s_word"], "left")
+          .select("cnt",
+                  F.coalesce(F.col("tb"), F.lit(0)).alias("ties_before")))
+    lp = _p(rk.join(F.broadcast(hi.join(
+                F.broadcast(sm.select("cnt").distinct()), "cnt")), "cnt")
+            .select((F.col("higher") + F.col("ties_before") + 1)
+                    .cast("long").alias("r"), "cnt")
+            .select("r",
+                    F.floor(F.log(F.col("r").cast("double")) * 1_000_000
+                            + F.lit(0.5)).cast("long").alias("x"),
+                    F.floor(F.log(F.col("cnt").cast("double")) * 1_000_000
+                            + F.lit(0.5)).cast("long").alias("y")))
+    # 3. pairs + LOWER-median slope over the ≤494-point sample
     a = lp.select(F.col("r").alias("ar"), F.col("x").alias("xa"),
                   F.col("y").alias("ya"))
     b = lp.select(F.col("r").alias("br"), F.col("x").alias("xb"),
                   F.col("y").alias("yb"))
-    p = (a.join(b, F.col("ar") < F.col("br"))
+    p = (a.join(F.broadcast(b),
+                (F.col("ar") < F.col("br")) & (F.col("xa") != F.col("xb")))
          .select("ar", "br",
                  ((F.col("yb") - F.col("ya")).cast("double")
                   / (F.col("xb") - F.col("xa")).cast("double"))
                  .alias("slope")))
     med_w = W.orderBy("slope", "ar", "br")
     n_words = w.count()
+    n_sampled = sm.count()
     out = (p.withColumn("rn", F.row_number().over(med_w))
            .withColumn("n", F.count(F.lit(1)).over(
                W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
            .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long"))
            .select(F.lit(n_words).cast("long").alias("n_words"),
+                   F.lit(n_sampled).cast("long").alias("n_sampled"),
                    F.col("n").alias("n_pairs"),
                    _micro(F.col("slope")).alias("slope_micro")))
-    out = out.localCheckpoint(eager=True)
-    lp.unpersist()
-    return out
+    return out, handles

@@ -1,0 +1,362 @@
+"""Round-9 breadth: the ANN index lifecycle certified end-to-end as a
+driver query (build → drift append → monitor flags → refresh → monitor
+clears → serving floor), plus the distribution-drift statistics a
+training-data pipeline runs between corpus snapshots — Mann–Whitney U,
+the two-sample Kolmogorov–Smirnov statistic, and Kendall's tau — each
+computed as integer-exact relational plans on the distinct-value
+HISTOGRAM (never a data-sized pair join or an unpartitioned window over
+rows: every window is partitioned by the segment pair, and the pair
+relation is |types|² — broadcast-sized).
+
+Determinism bridges (shared discipline): money as round(value·100)
+BIGINT cents, all counts BIGINT, all outputs CAST in the oracle (the
+check_oracle HUGEINT guard enforces it), rank logic via prefix sums
+over the per-pair value histogram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from .registry import query
+
+
+def _cents(col):
+    # on-grid 2-decimal money → exact BIGINT cents (the repo bridge)
+    return F.round(col * 100).cast("long")
+
+
+# --------------------------------------------------------------------------
+# ANN lifecycle, hash-certified (the r8 machinery was tests-only): build
+# the IVF-PQ index on the embeddings table, record the drift baseline
+# (monitor says clean), stream-append an antipodal drifted population
+# (the standard locality construction for the structureless synthetic
+# embeddings — see tests/test_ann_maintenance.py), monitor flags,
+# refresh retrains both quantizers and carries the applied-batch
+# markers, re-baseline clears the flag, and serving recall@5 at the
+# fixed budget (nprobe 2, rerank 32) clears a 40% floor vs brute-force
+# truth on the refreshed index (measured 0.60/0.46/0.475 at
+# sf0.001/0.01/0.1 — deterministic at the seeded k-means + sampled
+# codebooks). max_mean_drop_pct=4: the antipodal append drops the mean
+# best-centroid cosine 12.3%/8%/5.1% across the three SFs (near-uniform
+# corpora leave the coarse quantizer weak, so the relative drop shrinks
+# as |corpus| grows); 4% flags all three with margin while the clean
+# baseline sits at 0%. The refresh-improves-recall DIRECTION is
+# certified by tests/test_ann_maintenance.py's locality-constructed
+# fixture (0.58→0.68); on the structureless table the post-refresh
+# recall is not monotone at every SF (0.50→0.46 at sf0.01), so the
+# hashed contract is the flag lifecycle + the absolute serving floor,
+# not the direction. Oracle = the SQL-computable corpus facts plus the
+# theorem constants the Spark side must reproduce.
+# --------------------------------------------------------------------------
+@query("ann_lifecycle_refresh", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN vec_id % 50 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_queries,
+       CAST(0 AS INT) AS baseline_flagged,
+       CAST(1 AS INT) AS drift_flagged,
+       CAST(0 AS INT) AS flagged_after_refresh,
+       CAST(1 AS INT) AS recall_after_ge_40pct
+FROM embeddings
+""")
+def ann_lifecycle_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.ann_index import (build_ivfpq_index, drift_check,
+                                       query_ivfpq_index,
+                                       record_drift_baseline,
+                                       refresh_ivfpq_index)
+    from ..operators.similarity import ann_bruteforce_topk
+    from ..streaming.ann_maintenance import ann_append_batch_handler
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.select("vec_id", "embedding")
+    drifted = base.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"))
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"spark_graft_annlc_{h}")
+    shutil.rmtree(idx, ignore_errors=True)  # rerunnable: fresh lifecycle
+
+    build_ivfpq_index(base, "vec_id", "embedding", idx, n_clusters=6)
+    record_drift_baseline(base, "vec_id", "embedding", idx)
+    c0 = drift_check(base, "vec_id", "embedding", idx,
+                     max_mean_drop_pct=4)
+    ann_append_batch_handler(idx)(drifted, 0)
+    full = base.unionByName(drifted)
+    c1 = drift_check(full, "vec_id", "embedding", idx,
+                     max_mean_drop_pct=4)
+    refresh_ivfpq_index(full, "vec_id", "embedding", idx, n_clusters=6)
+    record_drift_baseline(full, "vec_id", "embedding", idx)
+    c2 = drift_check(full, "vec_id", "embedding", idx,
+                     max_mean_drop_pct=4)
+
+    queries = drifted.filter((F.col("vec_id") - 100_000) % 50 == 0)
+    truth = (ann_bruteforce_topk(full, queries, "vec_id", "embedding",
+                                 k=5).select("q_id", "n_id"))
+    got = (query_ivfpq_index(spark, idx, full, queries, "vec_id",
+                             "embedding", k=5, nprobe=2, rerank=32)
+           .select("q_id", "n_id"))
+    hits = got.join(truth, ["q_id", "n_id"]).count()
+    total = truth.count()
+    n_vectors = base.count()
+    n_queries = queries.count()
+    shutil.rmtree(idx, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [(n_vectors, n_queries, int(c0["needs_refresh"]),
+          int(c1["needs_refresh"]), int(c2["needs_refresh"]),
+          int(hits * 100 >= total * 40))],
+        "n_vectors long, n_queries long, baseline_flagged int, "
+        "drift_flagged int, flagged_after_refresh int, "
+        "recall_after_ge_40pct int")
+
+
+# Shared scaffolding for the two-sample tests: the per-(type, cents)
+# histogram, the |types|² unordered pair relation, and the tagged
+# per-pair histogram g = (pair, cents, ca, cb). Everything downstream
+# is prefix sums over g PARTITIONED BY PAIR — the histogram is bounded
+# by the value domain (≤ |distinct cents| rows per type), never the
+# event count, so the windows distribute and stay small at any SF.
+def _pair_histograms(ev: DataFrame) -> DataFrame:
+    h = (ev.groupBy(F.col("event_type").alias("t"),
+                    _cents(F.col("value")).alias("cents"))
+         .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    types = h.select("t").distinct()
+    tp = (types.select(F.col("t").alias("ta"))
+          .join(types.select(F.col("t").alias("tb")),
+                F.col("ta") < F.col("tb")))
+    side_a = (h.join(F.broadcast(tp), h["t"] == tp["ta"])
+              .select("ta", "tb", "cents", F.col("c").alias("ca"),
+                      F.lit(0).cast("long").alias("cb")))
+    side_b = (h.join(F.broadcast(tp), h["t"] == tp["tb"])
+              .select("ta", "tb", "cents",
+                      F.lit(0).cast("long").alias("ca"),
+                      F.col("c").alias("cb")))
+    return (side_a.unionByName(side_b)
+            .groupBy("ta", "tb", "cents")
+            .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb")))
+
+
+_PAIR_HIST_SQL = """
+h AS (
+  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tp AS (
+  SELECT a.t AS ta, b.t AS tb
+  FROM (SELECT DISTINCT t FROM h) a
+  JOIN (SELECT DISTINCT t FROM h) b ON a.t < b.t
+),
+g AS (
+  SELECT ta, tb, cents, CAST(sum(ca) AS BIGINT) AS ca,
+         CAST(sum(cb) AS BIGINT) AS cb
+  FROM (
+    SELECT tp.ta, tp.tb, h.cents, h.c AS ca, 0 AS cb
+    FROM h JOIN tp ON h.t = tp.ta
+    UNION ALL
+    SELECT tp.ta, tp.tb, h.cents, 0 AS ca, h.c AS cb
+    FROM h JOIN tp ON h.t = tp.tb
+  ) GROUP BY 1, 2, 3
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Mann–Whitney U between every pair of event-type value distributions —
+# the rank-sum drift test run between corpus snapshots / data sources
+# before a quality regression reaches training. Integer-exact without
+# ranking any row: U counts (a > b) pairs plus half-ties, so
+# 2U = Σ_v ca(v)·(2·less_b(v) + cb(v)) over the value histogram, with
+# less_b a per-pair prefix sum. No row-level rank window exists in the
+# plan — the classic rank-based formula would need an unpartitioned
+# row_number over all n_a+n_b rows.
+# --------------------------------------------------------------------------
+@query("mann_whitney_u", oracle=f"""
+WITH {_PAIR_HIST_SQL},
+w AS (
+  SELECT ta, tb, ca, cb,
+         CAST(coalesce(sum(cb) OVER (PARTITION BY ta, tb ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS lessb
+  FROM g
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(sum(ca) AS BIGINT) AS n_a,
+       CAST(sum(cb) AS BIGINT) AS n_b,
+       CAST(sum(ca * (2 * lessb + cb)) AS BIGINT) AS u2
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    g = _pair_histograms(ev)
+    less_w = (W.partitionBy("ta", "tb").orderBy("cents")
+              .rowsBetween(W.unboundedPreceding, -1))
+    w = g.withColumn(
+        "lessb", F.coalesce(F.sum("cb").over(less_w), F.lit(0)))
+    return (w.groupBy(F.col("ta").alias("type_a"),
+                      F.col("tb").alias("type_b"))
+            .agg(F.sum("ca").cast("long").alias("n_a"),
+                 F.sum("cb").cast("long").alias("n_b"),
+                 F.sum(F.col("ca") * (2 * F.col("lessb") + F.col("cb")))
+                 .cast("long").alias("u2"))
+            .orderBy("type_a", "type_b"))
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov statistic per event-type pair: the
+# sup-norm CDF gap, integer-scaled by n_a·n_b so there is no floating
+# CDF anywhere — d_num = max_v |cum_a(v)·n_b − cum_b(v)·n_a|, with the
+# cumulative counts as per-pair prefix sums over the same histogram.
+# The distribution-shift alarm for "did this source's value profile
+# move between snapshots" at a 100 TB refresh cadence: cost is one
+# groupBy of the events (the histogram) + bounded per-pair windows.
+# --------------------------------------------------------------------------
+@query("ks_two_sample", oracle=f"""
+WITH {_PAIR_HIST_SQL},
+w AS (
+  SELECT ta, tb, ca, cb,
+         CAST(sum(ca) OVER (PARTITION BY ta, tb ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER (PARTITION BY ta, tb ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cumb,
+         CAST(sum(ca) OVER (PARTITION BY ta, tb) AS BIGINT) AS n_a,
+         CAST(sum(cb) OVER (PARTITION BY ta, tb) AS BIGINT) AS n_b
+  FROM g
+)
+SELECT ta AS type_a, tb AS type_b, n_a, n_b,
+       CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_num
+FROM w GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
+""")
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    g = _pair_histograms(ev)
+    cum_w = (W.partitionBy("ta", "tb").orderBy("cents")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot_w = W.partitionBy("ta", "tb")
+    w = (g.withColumn("cuma", F.sum("ca").over(cum_w))
+         .withColumn("cumb", F.sum("cb").over(cum_w))
+         .withColumn("n_a", F.sum("ca").over(tot_w))
+         .withColumn("n_b", F.sum("cb").over(tot_w)))
+    return (w.groupBy(F.col("ta").alias("type_a"),
+                      F.col("tb").alias("type_b"), "n_a", "n_b")
+            .agg(F.max(F.abs(F.col("cuma") * F.col("n_b")
+                             - F.col("cumb") * F.col("n_a")))
+                 .cast("long").alias("d_num"))
+            .orderBy("type_a", "type_b"))
+
+
+# --------------------------------------------------------------------------
+# Kendall concordance between the DAILY VOLUME SERIES of every
+# event-type pair — "do these two segments trend together?" as exact
+# pair counts (concordant / discordant / tied) rather than a float
+# correlation. The day spine is calendar-bounded (~30 rows/SF, never
+# corpus-sized), so the quadratic day-pair join is over a bounded
+# relation keyed by the pair — the grouped_theil_sen containment
+# argument; only days where BOTH types have events enter (inner join
+# on the shared spine, deterministic).
+# --------------------------------------------------------------------------
+@query("kendall_tau_daily", oracle="""
+WITH d AS (
+  SELECT event_type AS t, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tp AS (
+  SELECT a.t AS ta, b.t AS tb
+  FROM (SELECT DISTINCT t FROM d) a
+  JOIN (SELECT DISTINCT t FROM d) b ON a.t < b.t
+),
+md AS (
+  SELECT tp.ta, tp.tb, da.day, da.cnt AS xa, db.cnt AS xb
+  FROM tp JOIN d da ON da.t = tp.ta
+  JOIN d db ON db.t = tp.tb AND db.day = da.day
+),
+pr AS (
+  SELECT m1.ta, m1.tb,
+         CASE WHEN (m1.xa < m2.xa AND m1.xb < m2.xb)
+                OR (m1.xa > m2.xa AND m1.xb > m2.xb) THEN 1 ELSE 0
+         END AS conc,
+         CASE WHEN (m1.xa < m2.xa AND m1.xb > m2.xb)
+                OR (m1.xa > m2.xa AND m1.xb < m2.xb) THEN 1 ELSE 0
+         END AS disc,
+         CASE WHEN m1.xa = m2.xa AND m1.xb <> m2.xb THEN 1 ELSE 0
+         END AS tie_a,
+         CASE WHEN m1.xb = m2.xb AND m1.xa <> m2.xa THEN 1 ELSE 0
+         END AS tie_b,
+         CASE WHEN m1.xa = m2.xa AND m1.xb = m2.xb THEN 1 ELSE 0
+         END AS tie_ab
+  FROM md m1 JOIN md m2
+    ON m1.ta = m2.ta AND m1.tb = m2.tb AND m1.day < m2.day
+)
+SELECT ta AS type_a, tb AS type_b,
+       (SELECT CAST(count(*) AS BIGINT) FROM md x
+        WHERE x.ta = pr.ta AND x.tb = pr.tb) AS n_days,
+       CAST(sum(conc) AS BIGINT) AS concordant,
+       CAST(sum(disc) AS BIGINT) AS discordant,
+       CAST(sum(tie_a) AS BIGINT) AS ties_a,
+       CAST(sum(tie_b) AS BIGINT) AS ties_b,
+       CAST(sum(tie_ab) AS BIGINT) AS ties_both
+FROM pr GROUP BY 1, 2, ta, tb ORDER BY 1, 2
+""")
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = (ev.groupBy(F.col("event_type").alias("t"),
+                    F.date_format("ts", "yyyy-MM-dd").alias("day"))
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    types = d.select("t").distinct()
+    tp = (types.select(F.col("t").alias("ta"))
+          .join(types.select(F.col("t").alias("tb")),
+                F.col("ta") < F.col("tb")))
+    da = d.select(F.col("t").alias("ta"), "day", F.col("cnt").alias("xa"))
+    db = d.select(F.col("t").alias("tb"),
+                  F.col("day").alias("day_b"), F.col("cnt").alias("xb"))
+    md = (da.join(F.broadcast(tp), "ta")
+          .join(db.withColumnRenamed("day_b", "day"), ["tb", "day"]))
+    m1 = md.select("ta", "tb", F.col("day").alias("d1"),
+                   F.col("xa").alias("xa1"), F.col("xb").alias("xb1"))
+    m2 = md.select("ta", "tb", F.col("day").alias("d2"),
+                   F.col("xa").alias("xa2"), F.col("xb").alias("xb2"))
+    pr = (m1.join(F.broadcast(m2), ["ta", "tb"])
+          .filter(F.col("d1") < F.col("d2")))
+
+    def flag(cond):
+        return F.when(cond, 1).otherwise(0)
+
+    pr = pr.select(
+        "ta", "tb",
+        flag(((F.col("xa1") < F.col("xa2")) & (F.col("xb1") < F.col("xb2")))
+             | ((F.col("xa1") > F.col("xa2"))
+                & (F.col("xb1") > F.col("xb2")))).alias("conc"),
+        flag(((F.col("xa1") < F.col("xa2")) & (F.col("xb1") > F.col("xb2")))
+             | ((F.col("xa1") > F.col("xa2"))
+                & (F.col("xb1") < F.col("xb2")))).alias("disc"),
+        flag((F.col("xa1") == F.col("xa2"))
+             & (F.col("xb1") != F.col("xb2"))).alias("tie_a"),
+        flag((F.col("xb1") == F.col("xb2"))
+             & (F.col("xa1") != F.col("xa2"))).alias("tie_b"),
+        flag((F.col("xa1") == F.col("xa2"))
+             & (F.col("xb1") == F.col("xb2"))).alias("tie_ab"))
+    ndays = (md.groupBy("ta", "tb")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_days")))
+    return (pr.groupBy("ta", "tb")
+            .agg(F.sum("conc").cast("long").alias("concordant"),
+                 F.sum("disc").cast("long").alias("discordant"),
+                 F.sum("tie_a").cast("long").alias("ties_a"),
+                 F.sum("tie_b").cast("long").alias("ties_b"),
+                 F.sum("tie_ab").cast("long").alias("ties_both"))
+            .join(F.broadcast(ndays), ["ta", "tb"])
+            .select(F.col("ta").alias("type_a"),
+                    F.col("tb").alias("type_b"), "n_days",
+                    "concordant", "discordant", "ties_a", "ties_b",
+                    "ties_both")
+            .orderBy("type_a", "type_b"))

@@ -35,7 +35,13 @@ def histogram_batch_handler(state_dir: str, cents_col: str,
     under its batch_tag (overwrite = replay-idempotent)."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        # exact BIGINT bin assignment (div, not double division + cast)
+        # exact BIGINT bin assignment (div, not double division + cast).
+        # Sign semantics verified for the FULL integer domain, not just
+        # the non-negative testdata: Spark's `div` truncates toward zero
+        # and DuckDB's INTEGER `//` does too (-5 // 100 = 0, -105 // 100
+        # = -1 on duckdb 1.0.0 — `//` floors only for DOUBLE operands),
+        # so the certification oracle's bins match for negative cents as
+        # well; locked by test_histogram_bins_agree_on_negative_cents.
         h = (batch.select(F.expr(f"{cents_col} div {bin_width}")
                           .alias("bin"))
              .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")))

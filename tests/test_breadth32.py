@@ -168,6 +168,48 @@ def test_unigram_char_mass_conserved_and_feasible(spark, sf_dir):
     assert int(pc) == n_chars
 
 
+def test_unigram_seed_pull_is_bounded(spark):
+    """The per-round driver pull is a k-bounded model artifact ONLY
+    because the multi-char seed is capped (seed_sentencepiece_size):
+    an adversarial vocabulary of many distinct words must yield at most
+    seed_size multi-char pieces + the alphabet, the cap must keep the
+    HIGHEST-count pieces, and training must still conserve character
+    mass on the capped seed."""
+    from pyspark.sql import functions as SF
+
+    from light_etl_windows_container_poc_spark.operators.unigram import (
+        seed_piece_counts, unigram_train, word_dict)
+
+    # 343 distinct CVC-ish 3-grams + repeated common words → thousands
+    # of substring pieces uncapped
+    vocab = [a + b + c for a in "abcdefg" for b in "hijklmn"
+             for c in "opqrstu"]
+    text = " ".join(vocab * 3 + ["the and of"] * 50)
+    docs = spark.createDataFrame([(text,)], "text string")
+    wdict = word_dict(docs, "text")
+
+    uncapped = seed_piece_counts(wdict, max_len=4, min_count=2).collect()
+    seed_size = 40
+    capped = seed_piece_counts(wdict, max_len=4, min_count=2,
+                               seed_size=seed_size).collect()
+    n_chars_alpha = len({ch for w in vocab + ["the", "and", "of"]
+                         for ch in w})
+    assert len([r for r in uncapped if len(r["piece"]) > 1]) > seed_size
+    multi = [r for r in capped if len(r["piece"]) > 1]
+    assert len(multi) == seed_size
+    assert len(capped) <= seed_size + n_chars_alpha
+    # the cap keeps the TOP pieces: min kept count >= max dropped count
+    kept = {r["piece"] for r in multi}
+    dropped = [r for r in uncapped
+               if len(r["piece"]) > 1 and r["piece"] not in kept]
+    assert min(r["cnt"] for r in multi) >= max(r["cnt"] for r in dropped)
+    # training on the capped seed still conserves character mass
+    v, _, _, n_chars = unigram_train(docs, "text", rounds=2,
+                                     seed_size=seed_size)
+    pc = v.agg(SF.sum(SF.col("cnt") * SF.length("piece"))).first()[0]
+    assert int(pc) == n_chars
+
+
 def test_second_wave_queries_plan_clean(spark, sf_dir):
     """No cartesian/nested-loop joins anywhere in the second wave's
     relational plans: ER's candidates come from the brand equi-join,

@@ -54,7 +54,8 @@ def test_simhash_catches_planted_neardups(spark, sf_dir):
     truth = {(r.a_id, r.b_id) for r in
              ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()}
     found = {(r.a_id, r.b_id) for r in
-             simhash_pairs(docs, "doc_id", "text", max_hamming=10).collect()}
+             simhash_pairs(docs, "doc_id", "text", max_hamming=10,
+                           allow_partial=True).collect()}
     if truth:  # sf0.001 may not contain >=0.9 pairs
         recall = len(truth & found) / len(truth)
         assert recall >= 0.5, f"simhash recall {recall}"
@@ -74,3 +75,21 @@ def test_connected_components_and_keep_representatives(spark):
     kept = sorted(r.doc_id for r in
                   dedup_keep_representatives(docs, pairs, "doc_id").collect())
     assert kept == [1, 5, 42]  # one per component + untouched doc
+
+
+def test_hamming_band_pairs_rejects_incomplete_radius(spark):
+    """max_hamming > 3 exceeds the 4x16-bit pigeonhole guarantee: the
+    guard must refuse rather than silently return incomplete pairs
+    (allow_partial=True is the explicit recall-best-effort opt-in)."""
+    import pytest as _pytest
+
+    from light_etl_windows_container_poc_spark.operators.dedup import \
+        hamming_band_pairs
+
+    fps = spark.createDataFrame([(1, 7), (2, 11)], "doc long, fp long")
+    with _pytest.raises(ValueError, match="pigeonhole-complete"):
+        hamming_band_pairs(fps, "doc", "fp", max_hamming=4)
+    # opt-in path still constructs a plan
+    assert hamming_band_pairs(fps, "doc", "fp", max_hamming=4,
+                              allow_partial=True).columns == \
+        ["a_id", "b_id", "hamming"]

@@ -192,6 +192,33 @@ def test_pack_sequences_no_global_window_over_corpus(spark, sf_dir):
     assert_broadcast_join(QUERIES["pack_sequences"](spark, sf_dir), 1)
 
 
+def test_zipf_slope_windows_are_bounded(spark, sf_dir):
+    """r8's zipf_slope ranked the FULL vocabulary through an unpartitioned
+    window and paired |vocab|² ranks — green on the 31-word synthetic
+    dict, 10¹²⁺ single-partition pairs on a real corpus. Lock the r9
+    shape: the sampler's row_number is PARTITIONED (by frequency
+    stratum), and the only global windows are over bounded relations —
+    the distinct-count histogram prefix sum and the ≤494-point sample's
+    pair median (row_number + count = 2 specs)."""
+    import re
+
+    from light_etl_windows_container_poc_spark.queries.breadth34 import \
+        _zipf_build
+
+    out, handles = _zipf_build(spark, sf_dir, persist=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    global_specs = [s for s in specs
+                    if s.split(",")[0].strip().endswith(("ASC NULLS FIRST",
+                                                         "DESC NULLS LAST"))]
+    partitioned = [s for s in specs if s not in global_specs]
+    assert len(global_specs) <= 3, plan
+    assert len(partitioned) >= 1, plan   # the stratified sampler
+    # and the sample pair join must broadcast, never sort-merge
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_heavy_pair_joins_are_equi_joins(spark, sf_dir):
     """Every candidate-pair generator must join on an equi-key (bucket,
     shingle hash, band hash, time bucket) — a nested-loop or cartesian

@@ -153,3 +153,28 @@ def test_streamed_histogram_equals_batch(spark, tmp_path):
         spark.createDataFrame([(v,) for v in b0], "cents long"), 0)
     assert {(r.bin, r.cnt)
             for r in read_histogram(spark, state).collect()} == batch
+
+
+def test_histogram_bins_agree_on_negative_cents(spark, tmp_path):
+    """Spark `div` and DuckDB integer `//` BOTH truncate toward zero
+    (-5 // 100 = 0, -105 // 100 = -1 on duckdb 1.0.0), so the streamed
+    bins match the certification oracle on negative cents too — locked
+    with a DuckDB replay over a sign-crossing domain so an engine
+    upgrade that changes `//` to floor semantics is caught here, not in
+    a red driver row."""
+    import duckdb
+
+    from light_etl_windows_container_poc_spark.streaming.histogram import (
+        histogram_batch_handler, read_histogram)
+
+    vals = list(range(-350, 351, 7))
+    state = str(tmp_path / "negstate")
+    histogram_batch_handler(state, "cents", 100)(
+        spark.createDataFrame([(v,) for v in vals], "cents long"), 0)
+    streamed = {(r.bin, r.cnt)
+                for r in read_histogram(spark, state).collect()}
+    oracle = {tuple(r) for r in duckdb.sql(
+        "SELECT v // 100 AS bin, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM (SELECT unnest($vals) AS v) GROUP BY 1",
+        params={"vals": vals}).fetchall()}
+    assert streamed == oracle

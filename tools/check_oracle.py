@@ -5,12 +5,29 @@ DuckDB at sf0.01 (or --sf-dir), then compares row count, column names, and
 an order-insensitive value hash (columns sorted by name, values stringified,
 rows sorted). Run before every commit touching queries.
 
+Two hardening layers added after round 8's ``cusum_drift`` miss (the only
+red driver row of that round — an uncast HUGEINT output that the old
+``fetchall()`` path was structurally blind to):
+
+1. **Pandas-path fetch.** Oracle results come through ``res.df()`` — the
+   same DuckDB→pandas conversion surface the driver exercises — instead of
+   ``fetchall()``. ``fetchall()`` hands back Python ints for HUGEINT and
+   ``datetime`` objects for timestamps, so it certifies a CLEANER type
+   surface than the one the driver grades. Any local green through the
+   pandas path is now a real prediction of a driver green.
+2. **DESCRIBE type guard.** Before running an oracle, ``DESCRIBE`` it and
+   FAIL on any output column whose DuckDB type has no faithful pandas
+   rendering (HUGEINT/UHUGEINT → float64 beyond 2^53). This class shipped
+   twice (r2 ``etl_quality_profile``, r8 ``cusum_drift``); the gate, not
+   vigilance, now stops the third.
+
 Usage: python tools/check_oracle.py [--sf-dir DIR] [--only name1,name2]
 """
 
 from __future__ import annotations
 
 import argparse
+import datetime
 import hashlib
 import math
 import sys
@@ -23,18 +40,46 @@ sys.path.insert(0, ".")
 
 from light_etl_windows_container_poc_spark.catalog import TABLES, table_path  # noqa: E402
 
+# DuckDB output types with no faithful pandas rendering: HUGEINT/UHUGEINT
+# become float64 (precision loss + "38670.0" vs "38670" string drift).
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def oracle_type_problems(con: "duckdb.DuckDBPyConnection", sql: str) -> list[str]:
+    """Return ['col:TYPE', ...] for oracle output columns whose DuckDB type
+    cannot round-trip the driver's pandas path. Empty list = safe."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    bad = []
+    for row in desc:
+        col, typ = row[0], str(row[1]).upper()
+        if any(b in typ for b in _BANNED_ORACLE_TYPES):
+            bad.append(f"{col}:{typ}")
+    return bad
+
 
 def _norm(v) -> str:
+    # numpy scalars (the pandas path) → Python scalars so bool/int/float
+    # normalize identically to Spark's collect() output.
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # pandas renders SQL NULL in numeric columns as NaN (and a
+            # nullable BIGINT column as float64), so through the
+            # driver's fetch path NULL and NaN are one value — normalize
+            # like the driver or every nullable numeric column goes red
+            return "NULL"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        # pandas renders DATE columns as Timestamps at midnight; Spark
+        # collect() gives datetime.date — same driver-side equivalence
+        return f"{v} 00:00:00"
     return str(v)
 
 
@@ -46,6 +91,25 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]) -> str:
         h.update(ln.encode())
         h.update(b"\x1e")
     return h.hexdigest()[:16]
+
+
+def _pandas_rows(df) -> list[tuple]:
+    """DataFrame → list of row tuples, normalizing pandas-only scalar types
+    (Timestamp → datetime, NaT → None) to Spark-collect()-comparable values.
+    numpy numerics pass through; ``_norm`` unwraps them per-value."""
+    import pandas as pd
+
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        vals = []
+        for v in row:
+            if v is pd.NaT:
+                v = None
+            elif isinstance(v, pd.Timestamp):
+                v = v.to_pydatetime()
+            vals.append(v)
+        out.append(tuple(vals))
+    return out
 
 
 def main() -> int:
@@ -80,9 +144,17 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
+            bad_types = oracle_type_problems(con, oracles[name])
+            if bad_types:
+                failures.append(name)
+                print(f"FAIL {name}: oracle output type(s) unsafe on the "
+                      f"driver's pandas path: {', '.join(bad_types)} — "
+                      f"CAST them (BIGINT/DOUBLE/VARCHAR) in the oracle")
+                continue
             res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odf = res.df()
+            ocols = list(odf.columns)
+            orows = _pandas_rows(odf)
         except Exception:
             failures.append(name)
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
