@@ -207,17 +207,19 @@ _R08_CERTIFIED = [
 # Round-9 recertification allocation (head + this list == 50, the
 # driver's per-round budget; test-locked). Head = cusum_drift (the r8
 # red row, oracle now cast — its re-certification is the round's #1
-# deliverable) plus this round's 4 new queries (ann_lifecycle_refresh,
-# mann_whitney_u, ks_two_sample, kendall_tau_daily) — 5 total. The 45
-# recertify slots: zipf_slope FIRST (its plan was rebuilt this round —
+# deliverable) plus this round's 7 new queries (ann_lifecycle_refresh,
+# mann_whitney_u, ks_two_sample, kendall_tau_daily, psi_drift,
+# js_divergence_types, stream_dq_gate_cert) — 8 total. The 42 recertify
+# slots: zipf_slope FIRST (its plan was rebuilt this round —
 # sample-bounded pair join + partitioned sampler window — so its r8
 # certification no longer covers the shipped code), then ALL 24
 # remaining r3-latest rows (the staleness tail the r8 verdict named),
-# then the 20 alphabetically-first of the 38 r4-latest rows. After this
-# round no query's latest certification predates r4, and only eighteen
-# r4 rows remain (q18_large_orders, q19_discount_revenue,
-# q1_pricing_summary, q3_shipping_priority, q4_order_priority,
-# q5_local_supplier, q6_forecast_revenue, q7_volume_shipping, set_ops,
+# then the 17 alphabetically-first of the 38 r4-latest rows. After this
+# round no query's latest certification predates r4, and twenty-one
+# r4 rows remain (pivot_wide, q10_returned_items, q14_promo_effect,
+# q18_large_orders, q19_discount_revenue, q1_pricing_summary,
+# q3_shipping_priority, q4_order_priority, q5_local_supplier,
+# q6_forecast_revenue, q7_volume_shipping, set_ops,
 # simhash_pigeonhole, sketch_hll_bounds, sketch_hll_merge_consistent,
 # sketch_pct_bounds, stream_stateful_final, topk_per_group,
 # unpivot_long, window_lag_delta, window_running — they head the r10
@@ -237,14 +239,13 @@ _RECERTIFY = [
     "text_rarity", "text_repetition", "time_rollup",
     "window_moving_avg", "window_range_value", "window_share",
     "zscore_outliers",
-    # r4-latest (alphabetically-first 20 of 38)
+    # r4-latest (alphabetically-first 17 of 38)
     "agg_cube", "agg_rollup", "ann_lsh", "approx_distinct_bounds",
     "dedup_blocked_invariance", "dedup_clusters", "dedup_embedding",
     "dedup_embedding_blocked", "dedup_keep_one", "dedup_minhash_lsh",
     "domain_temperature_sample", "dsir_weights", "knn_graph",
     "minhash_band_containment", "mm_features", "mm_frame_sample",
-    "pagerank_words", "pivot_wide", "q10_returned_items",
-    "q14_promo_effect",
+    "pagerank_words",
 ]
 
 
@@ -578,8 +579,9 @@ _R08_POPULATION = [
 # The FROZEN round-9 query population (260 names) — bench.py's
 # suite_r9_subset tripwire for round 10+. Frozen at the round-9 OPEN
 # (after the first r9 wave: ann_lifecycle_refresh, mann_whitney_u,
-# ks_two_sample, kendall_tau_daily); any later r9 closing-wave queries
-# stay out and enter the round-10 freeze, like every earlier freeze.
+# ks_two_sample, kendall_tau_daily); every later r9 wave (psi_drift,
+# js_divergence_types, stream_dq_gate_cert, …) stays out and enters
+# the round-10 freeze, like every earlier freeze.
 _R09_POPULATION = [
     "agg_approx_distinct", "agg_cube", "agg_filter",
     "agg_grouping_sets", "agg_histogram", "agg_incremental_merge",

@@ -360,3 +360,253 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "concordant", "discordant", "ties_a", "ties_b",
                     "ties_both")
             .orderBy("type_a", "type_b"))
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index per event type between the FIRST-HALF and
+# SECOND-HALF time windows (split at the lower-median distinct day, a
+# bounded calendar spine) — THE industry drift score for "did this
+# segment's value distribution move between snapshots". Fixed $50 bins
+# keep the bin relation domain-bounded; add-one smoothing makes every
+# bin's log defined; each bin's term is micro-rounded BEFORE the sum
+# (the shared transcendental discipline), so both engines add identical
+# BIGINTs. PSI(a→b) = Σ (pa − pb)·ln(pa/pb), here as exact-integer
+# ratios inside one ln: ln(ca'·tb') − ln(cb'·ta').
+# --------------------------------------------------------------------------
+@query("psi_drift", oracle="""
+WITH days AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events
+),
+cut AS (
+  SELECT day AS cut_day FROM (
+    SELECT day, row_number() OVER (ORDER BY day) AS r,
+           count(*) OVER () AS n
+    FROM days) WHERE r = CAST(ceil(n / 2.0) AS BIGINT)
+),
+e AS (
+  SELECT event_type AS t,
+         CAST(round(value * 100) AS BIGINT) // 5000 AS bin,
+         CASE WHEN strftime(ts, '%Y-%m-%d') <= cut.cut_day
+              THEN 1 ELSE 0 END AS in_a
+  FROM events, cut
+),
+h AS (
+  SELECT t, bin, CAST(sum(in_a) AS BIGINT) AS ca,
+         CAST(sum(1 - in_a) AS BIGINT) AS cb
+  FROM e GROUP BY 1, 2
+),
+tot AS (
+  SELECT t, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS nbins
+  FROM h GROUP BY t
+),
+term AS (
+  SELECT h.t, tot.na, tot.nb,
+         CAST(floor(
+           (CAST(h.ca + 1 AS DOUBLE) / (tot.na + tot.nbins)
+            - CAST(h.cb + 1 AS DOUBLE) / (tot.nb + tot.nbins))
+           * (ln(CAST(h.ca + 1 AS DOUBLE) * (tot.nb + tot.nbins))
+              - ln(CAST(h.cb + 1 AS DOUBLE) * (tot.na + tot.nbins)))
+           * 1000000 + 0.5) AS BIGINT) AS term_micro
+  FROM h JOIN tot ON h.t = tot.t
+)
+SELECT t AS event_type, na AS n_first, nb AS n_second,
+       CAST(sum(term_micro) AS BIGINT) AS psi_micro
+FROM term GROUP BY 1, 2, 3 ORDER BY 1
+""")
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    days = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")).distinct()
+    cut_w = W.orderBy("day")
+    cut = (days.withColumn("r", F.row_number().over(cut_w))
+           .withColumn("n", F.count(F.lit(1)).over(
+               W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+           .filter(F.col("r") == F.ceil(F.col("n") / 2.0).cast("long"))
+           .select(F.col("day").alias("cut_day")))
+    e = (ev.crossJoin(F.broadcast(cut))
+         .select(F.col("event_type").alias("t"),
+                 F.expr("CAST(round(value * 100) AS BIGINT) div 5000")
+                 .alias("bin"),
+                 F.when(F.date_format("ts", "yyyy-MM-dd")
+                        <= F.col("cut_day"), 1).otherwise(0)
+                 .alias("in_a")))
+    h = (e.groupBy("t", "bin")
+         .agg(F.sum("in_a").cast("long").alias("ca"),
+              F.sum(1 - F.col("in_a")).cast("long").alias("cb")))
+    tot = (h.groupBy("t")
+           .agg(F.sum("ca").cast("long").alias("na"),
+                F.sum("cb").cast("long").alias("nb"),
+                F.count(F.lit(1)).cast("long").alias("nbins")))
+    term = (h.join(F.broadcast(tot), "t")
+            .select("t", "na", "nb", F.floor(
+                ((F.col("ca") + 1).cast("double")
+                 / (F.col("na") + F.col("nbins"))
+                 - (F.col("cb") + 1).cast("double")
+                 / (F.col("nb") + F.col("nbins")))
+                * (F.log((F.col("ca") + 1).cast("double")
+                         * (F.col("nb") + F.col("nbins")))
+                   - F.log((F.col("cb") + 1).cast("double")
+                           * (F.col("na") + F.col("nbins"))))
+                * 1_000_000 + F.lit(0.5)).cast("long")
+                .alias("term_micro")))
+    return (term.groupBy(F.col("t").alias("event_type"),
+                         F.col("na").alias("n_first"),
+                         F.col("nb").alias("n_second"))
+            .agg(F.sum("term_micro").cast("long").alias("psi_micro"))
+            .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# Jensen–Shannon divergence between every event-type pair's value
+# histograms — the symmetric, bounded [0, ln 2] companion to psi_drift
+# for "how far apart are these two segments", computed over the same
+# per-pair cents histogram as mann_whitney_u/ks_two_sample. Zero-count
+# sides contribute 0 to their KL term (the JS convention), so no
+# smoothing is needed; every per-value term is micro-rounded before the
+# sum and the two KL halves are kept as separate certified columns
+# (js = (kl_a + kl_b) / 2 in micro units, an exact integer div).
+# --------------------------------------------------------------------------
+@query("js_divergence_types", oracle=f"""
+WITH {_PAIR_HIST_SQL},
+tot AS (
+  SELECT ta, tb, CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(cb) AS BIGINT) AS nb
+  FROM g GROUP BY 1, 2
+),
+term AS (
+  SELECT g.ta, g.tb, tot.na, tot.nb,
+         CASE WHEN g.ca > 0 THEN CAST(floor(
+           (CAST(g.ca AS DOUBLE) / tot.na)
+           * ln(2.0 * g.ca * tot.nb
+                / (CAST(g.ca AS DOUBLE) * tot.nb + CAST(g.cb AS DOUBLE) * tot.na))
+           * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS kla_micro,
+         CASE WHEN g.cb > 0 THEN CAST(floor(
+           (CAST(g.cb AS DOUBLE) / tot.nb)
+           * ln(2.0 * g.cb * tot.na
+                / (CAST(g.ca AS DOUBLE) * tot.nb + CAST(g.cb AS DOUBLE) * tot.na))
+           * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS klb_micro
+  FROM g JOIN tot ON g.ta = tot.ta AND g.tb = tot.tb
+)
+SELECT ta AS type_a, tb AS type_b, na AS n_a, nb AS n_b,
+       CAST(sum(kla_micro) AS BIGINT) AS kl_a_micro,
+       CAST(sum(klb_micro) AS BIGINT) AS kl_b_micro,
+       CAST((sum(kla_micro) + sum(klb_micro)) // 2 AS BIGINT) AS js_micro
+FROM term GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
+""")
+def js_divergence_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    g = _pair_histograms(ev)
+    tot = (g.groupBy("ta", "tb")
+           .agg(F.sum("ca").cast("long").alias("na"),
+                F.sum("cb").cast("long").alias("nb")))
+    mix = (F.col("ca").cast("double") * F.col("nb")
+           + F.col("cb").cast("double") * F.col("na"))
+    term = (g.join(F.broadcast(tot), ["ta", "tb"])
+            .select("ta", "tb", "na", "nb",
+                    F.when(F.col("ca") > 0, F.floor(
+                        (F.col("ca").cast("double") / F.col("na"))
+                        * F.log(2.0 * F.col("ca") * F.col("nb") / mix)
+                        * 1_000_000 + F.lit(0.5)).cast("long"))
+                    .otherwise(F.lit(0).cast("long")).alias("kla_micro"),
+                    F.when(F.col("cb") > 0, F.floor(
+                        (F.col("cb").cast("double") / F.col("nb"))
+                        * F.log(2.0 * F.col("cb") * F.col("na") / mix)
+                        * 1_000_000 + F.lit(0.5)).cast("long"))
+                    .otherwise(F.lit(0).cast("long")).alias("klb_micro")))
+    return (term.groupBy(F.col("ta").alias("type_a"),
+                         F.col("tb").alias("type_b"),
+                         F.col("na").alias("n_a"),
+                         F.col("nb").alias("n_b"))
+            .agg(F.sum("kla_micro").cast("long").alias("kl_a_micro"),
+                 F.sum("klb_micro").cast("long").alias("kl_b_micro"),
+                 F.expr("CAST((sum(kla_micro) + sum(klb_micro)) div 2 "
+                        "AS BIGINT)").alias("js_micro"))
+            .orderBy("type_a", "type_b"))
+
+
+# --------------------------------------------------------------------------
+# The streaming DQ gate certified end-to-end (the r8 stream_countmin_
+# cert pattern applied to streaming/quality_gate.py, previously
+# tests-only): events stream in as 4 source files → per-micro-batch
+# flag → clean/quarantine split appends + per-batch audit rows → the
+# certified relation re-reads all three sinks and proves (a) the
+# summed audit equals a batch replay of every rule (batch-split
+# invariance), (b) clean + quarantine partitions the stream exactly,
+# (c) zero-violation rules still audit as explicit zeros. Two rules
+# fire on this data, two are structurally clean — both kinds hashed.
+# --------------------------------------------------------------------------
+@query("stream_dq_gate_cert", oracle="""
+WITH f AS (
+  SELECT CASE WHEN value > 400 THEN 1 ELSE 0 END AS big_value,
+         CASE WHEN user_id < 3 THEN 1 ELSE 0 END AS low_user,
+         CASE WHEN value < 0 THEN 1 ELSE 0 END AS negative_value,
+         CASE WHEN event_type NOT IN
+              ('click', 'view', 'purchase', 'signup', 'error')
+              THEN 1 ELSE 0 END AS bad_type
+  FROM events
+)
+SELECT rule, CAST(n AS BIGINT) AS n FROM (
+  SELECT 'big_value' AS rule, sum(big_value) AS n FROM f
+  UNION ALL SELECT 'low_user', sum(low_user) FROM f
+  UNION ALL SELECT 'negative_value', sum(negative_value) FROM f
+  UNION ALL SELECT 'bad_type', sum(bad_type) FROM f
+  UNION ALL SELECT '_rows', count(*) FROM f
+  UNION ALL SELECT '_quarantine',
+    sum(CASE WHEN big_value + low_user + negative_value + bad_type > 0
+        THEN 1 ELSE 0 END) FROM f
+  UNION ALL SELECT '_clean',
+    sum(CASE WHEN big_value + low_user + negative_value + bad_type = 0
+        THEN 1 ELSE 0 END) FROM f
+) ORDER BY rule
+""")
+def stream_dq_gate_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.quality_gate import start_dq_gate_stream
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(), f"spark_graft_sdq_{h}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    (ev.select("event_id", "user_id", "event_type", "value")
+     .repartition(4).write.parquet(src))
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, event_type string, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    rules = {
+        "big_value": F.col("value") > 400,
+        "low_user": F.col("user_id") < 3,
+        "negative_value": F.col("value") < 0,
+        "bad_type": ~F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"),
+    }
+    clean_p = os.path.join(work, "clean")
+    quar_p = os.path.join(work, "quarantine")
+    audit_p = os.path.join(work, "audit")
+    q = start_dq_gate_stream(stream, rules, clean_p, quar_p, audit_p,
+                             os.path.join(work, "ckpt"))
+    q.awaitTermination(300)
+
+    audit = (spark.read.parquet(audit_p)
+             .groupBy("rule")
+             .agg(F.sum("n_violations").cast("long").alias("n")))
+    n_clean = spark.read.parquet(clean_p).count()
+    # quarantine dir may be empty-schema-less if no batch wrote; the
+    # rules above always fire on this data, but guard anyway
+    try:
+        n_quar = spark.read.parquet(quar_p).count()
+    except Exception:
+        n_quar = 0
+    extra = spark.createDataFrame(
+        [("_clean", n_clean), ("_quarantine", n_quar)], "rule string, n long")
+    out = audit.unionByName(extra).orderBy("rule")
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
