@@ -610,3 +610,206 @@ def stream_dq_gate_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-cardinality sketch per SOURCE over
+# document shingles — the set-sketch tier the family was missing next
+# to HLL (counts) and MinHash (similarity): a KMV keeps the k smallest
+# md5 values of each set; |set| ≈ (k−1)·2^128/kth_min, and two KMVs
+# merge by union-then-truncate, so per-source sketches roll up to any
+# grouping without rescanning. Certified the invariants way: per
+# source, the EXACT distinct shingle count (DuckDB-replayable), the
+# kth-minimum (the sketch content — proves Spark kept exactly the k
+# smallest), and the estimate-within-±35% flag at k=256 (theoretical
+# RSE 1/√(k−2) ≈ 6.3%; the flag holds with wide margin on every SF).
+# The estimate arithmetic maps the 128-bit hash space to a double in
+# [0,1) via the first 13 hex nibbles (52 bits — exact in a double, the
+# md5-bridge discipline), identically in both engines.
+# --------------------------------------------------------------------------
+_KMV_K = 256
+
+
+@query("kmv_set_cardinality", oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT source, md5(shingle) AS h
+  FROM (
+    SELECT source,
+           source || ':' || w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM (
+      SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+  )
+),
+rk AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY source) AS n_exact
+  FROM sh
+),
+kth AS (
+  SELECT source, CAST(n_exact AS BIGINT) AS n_exact, h AS kth_min,
+         ({_KMV_K} - 1) /
+         (CAST(('0x' || substring(h, 1, 13)) AS BIGINT)
+          / 4503599627370496.0) AS est
+  FROM rk WHERE r = {_KMV_K}
+)
+SELECT source, n_exact, kth_min,
+       CAST(floor(est + 0.5) AS BIGINT) AS est_rounded,
+       CAST(abs(est - n_exact) * 100 <= n_exact * 35 AS INT)
+       AS within_35pct
+FROM kth ORDER BY source
+""")
+def kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texts import words
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = docs.select("source",
+                    words(F.lower(F.col("text"))).alias("w"))
+    tri = F.expr("transform(sequence(1, size(w) - 2), "
+                 "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")
+    sh = (w.select("source", F.explode(tri).alias("g"))
+          .select("source",
+                  F.md5(F.concat_ws(":", F.col("source"), F.col("g")))
+                  .alias("h"))
+          .distinct())
+    # per-source k smallest hashes: partitioned window — distributes;
+    # at scale swap for a per-partition top-k fold + merge (same
+    # result), the partitions here are |sources| buckets
+    rk_w = W.partitionBy("source").orderBy("h")
+    cnt_w = W.partitionBy("source")
+    rk = (sh.withColumn("r", F.row_number().over(rk_w))
+          .withColumn("n_exact", F.count(F.lit(1)).over(cnt_w)))
+    kth = (rk.filter(F.col("r") == _KMV_K)
+           .select("source", F.col("n_exact").cast("long").alias("n_exact"),
+                   F.col("h").alias("kth_min"),
+                   ((F.lit(_KMV_K - 1))
+                    / (F.conv(F.substring("h", 1, 13), 16, 10)
+                       .cast("double") / F.lit(4503599627370496.0)))
+                   .alias("est")))
+    return (kth.select(
+        "source", "n_exact", "kth_min",
+        F.floor(F.col("est") + F.lit(0.5)).cast("long")
+        .alias("est_rounded"),
+        (F.abs(F.col("est") - F.col("n_exact")) * 100
+         <= F.col("n_exact") * 35).cast("int").alias("within_35pct"))
+        .orderBy("source"))
+
+
+# --------------------------------------------------------------------------
+# Adamic–Adar link prediction over the customer–PART bipartite graph
+# (the graph family's missing neighborhood-similarity tier next to
+# triangles / PageRank / LPA / CC / k-core): candidate customer pairs
+# come ONLY from the equi-join on a shared purchased part, weighted
+# 1/ln(deg(part)) per witness — rarely-bought parts are strong
+# evidence, popular ones weak. (The supplier side is unusable here:
+# every synthetic supplier serves 139–679 customers, a pure-hub
+# bipartite layer.) Scale contract: parts with deg < 2 carry no signal
+# (ln 1 = 0) and hubs with deg > 64 are EXCLUDED before the pair join
+# (negligible AA weight by construction, and they alone drive the
+# Σ deg² pair blowup — the standard hub-cap), so candidate volume is
+# ≤ 64·|edges|; on this warehouse part degrees sit at 11–53 across all
+# SFs, so the cap drops nothing while bounding the adversarial case.
+# Per-witness weights are micro-rounded before summing; top-50 by
+# (aa DESC, c1, c2) rides the distributed TakeOrdered, never a global
+# window.
+# --------------------------------------------------------------------------
+@query("graph_adamic_adar", oracle="""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+ds AS (
+  SELECT s, CAST(floor(1000000.0 / ln(deg) + 0.5) AS BIGINT) AS w
+  FROM (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY s)
+  WHERE deg BETWEEN 2 AND 64
+),
+p AS (
+  SELECT a.c AS c1, b.c AS c2, ds.w
+  FROM e a JOIN e b ON a.s = b.s AND a.c < b.c
+  JOIN ds ON ds.s = a.s
+)
+SELECT c1, c2, CAST(count(*) AS BIGINT) AS common_parts,
+       CAST(sum(w) AS BIGINT) AS aa_micro
+FROM p GROUP BY c1, c2
+ORDER BY aa_micro DESC, c1, c2 LIMIT 50
+""")
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    e = (t["orders"].join(t["lineitem"],
+                          F.col("o_orderkey") == F.col("l_orderkey"))
+         .select(F.col("o_custkey").alias("c"),
+                 F.col("l_partkey").alias("s"))
+         .distinct())
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ds = (deg.filter((F.col("deg") >= 2) & (F.col("deg") <= 64))
+          .select("s", F.floor(F.lit(1_000_000.0) / F.log("deg")
+                               + F.lit(0.5)).cast("long").alias("w")))
+    a = e.select(F.col("c").alias("c1"), "s")
+    b = e.select(F.col("c").alias("c2"), "s")
+    p = (a.join(b, "s").filter(F.col("c1") < F.col("c2"))
+         .join(F.broadcast(ds), "s"))
+    return (p.groupBy("c1", "c2")
+            .agg(F.count(F.lit(1)).cast("long").alias("common_parts"),
+                 F.sum("w").cast("long").alias("aa_micro"))
+            .orderBy(F.desc("aa_micro"), "c1", "c2").limit(50))
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix — the classifier-EVALUATION op the QA
+# loop runs whenever ground-truth labels exist (here documents.lang):
+# per (actual, predicted) cell the doc count, plus per-actual-class
+# totals so precision/recall are one division away. Reuses
+# text_langid's stopword-vote predictor verbatim (operators side and
+# oracle side), so a drift in either copy flips this hash too — the
+# confusion matrix double-locks the classifier's semantics.
+# --------------------------------------------------------------------------
+@query("langid_confusion", oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','von','zu','mit','den','ein'], lower(x)))) AS s_de,
+    len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], lower(x)))) AS s_en,
+    len(list_filter(w, x -> list_contains(['el','la','los','las','y','de','un','una','es','para'], lower(x)))) AS s_es,
+    len(list_filter(w, x -> list_contains(['le','la','les','et','de','un','une','est','pour','que'], lower(x)))) AS s_fr,
+    len(list_filter(w, x -> list_contains(['的','了','是','我','不','在','有','这','他','们'], lower(x)))) AS s_zh
+  FROM t
+), pred AS (
+  SELECT doc_id, lang,
+    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+         WHEN s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+         WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+         WHEN s_zh > 0 THEN 'zh'
+         ELSE 'und' END AS lang_pred
+  FROM s
+)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+       AS n_actual,
+       CAST(sum(count(*)) OVER (PARTITION BY lang_pred) AS BIGINT)
+       AS n_predicted
+FROM pred GROUP BY lang, lang_pred
+ORDER BY lang, lang_pred
+""")
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import language_id
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pred = language_id(docs.select("doc_id", "lang", "text"), "text")
+    cells = (pred.groupBy("lang", "lang_pred")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    act_w = W.partitionBy("lang")
+    prd_w = W.partitionBy("lang_pred")
+    return (cells
+            .withColumn("n_actual",
+                        F.sum("n_docs").over(act_w).cast("long"))
+            .withColumn("n_predicted",
+                        F.sum("n_docs").over(prd_w).cast("long"))
+            .orderBy("lang", "lang_pred"))
