@@ -813,3 +813,131 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_predicted",
                         F.sum("n_docs").over(prd_w).cast("long"))
             .orderBy("lang", "lang_pred"))
+
+
+# --------------------------------------------------------------------------
+# Tokenizer FERTILITY by language — the per-segment evaluation metric a
+# tokenizer owner reads before training (tokens/word and chars/token by
+# lang): a vocabulary trained on one language inflates another's token
+# counts, and fertility-by-segment is how that shows up. Reuses the
+# certified BPE kernel/chain verbatim (text_bpe_tokenize's machinery,
+# grouped by documents.lang instead of doc_id); ratios are exact
+# integer div in milli units.
+# --------------------------------------------------------------------------
+def _bpe_fertility_oracle() -> str:
+    from .breadth27 import BPE_MERGES
+
+    expr = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')"
+    for a, b in BPE_MERGES:
+        expr = f"regexp_replace({expr}, ' {a} {b} ', ' {a}{b} ', 'g')"
+    return f"""
+WITH w AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+toks AS (
+  SELECT lang, length(word) AS n_chr,
+         len(string_split_regex(trim({expr}), ' +')) AS n_sym
+  FROM w
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chr) AS BIGINT) AS n_chars,
+       CAST(1000 * sum(n_sym) // count(*) AS BIGINT) AS fertility_milli,
+       CAST(1000 * sum(n_chr) // sum(n_sym) AS BIGINT)
+         AS chars_per_token_milli
+FROM toks GROUP BY lang ORDER BY lang
+"""
+
+
+@query("bpe_fertility_by_lang", oracle=_bpe_fertility_oracle())
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texts import words
+    from ..operators.bpe import bpe_apply
+    from .breadth27 import BPE_MERGES
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = docs.select("lang",
+                    F.explode(words(F.lower(F.col("text")))).alias("word"))
+    toks = bpe_apply(w, "word", BPE_MERGES, out_col="n_sym")
+    return (toks.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("n_sym").cast("long").alias("n_tokens"),
+                 F.sum(F.length("word")).cast("long").alias("n_chars"))
+            .select("lang", "n_words", "n_tokens", "n_chars",
+                    F.expr("CAST(1000 * n_tokens div n_words AS BIGINT)")
+                    .alias("fertility_milli"),
+                    F.expr("CAST(1000 * n_chars div n_tokens AS BIGINT)")
+                    .alias("chars_per_token_milli"))
+            .orderBy("lang"))
+
+
+# --------------------------------------------------------------------------
+# Theil's U (uncertainty coefficient) of event_type given day-of-week —
+# the entropy-based DIRECTED association score next to the chi2 test
+# (chi2 says "dependent or not"; U says "how much of the type
+# distribution's entropy the weekday explains", 0..1 and asymmetric).
+# All probabilities are exact count ratios; every ln term is
+# micro-rounded BEFORE aggregation (ln of integer ratios via
+# ln(n)·scaled — here directly ln(cnt/total) as one double ln of two
+# BIGINTs); the final U is an integer div of micro sums. dow uses the
+# engine bridge dayofweek(Spark)−1 == dayofweek(DuckDB).
+# --------------------------------------------------------------------------
+@query("theil_u_dow_type", oracle="""
+WITH c AS (
+  SELECT dayofweek(ts) AS dow, event_type AS t,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+hx AS (
+  SELECT CAST(sum(term) AS BIGINT) AS h_x_micro FROM (
+    SELECT CAST(floor(-(CAST(sum(n) AS DOUBLE) / tot.nn)
+                * ln(CAST(sum(n) AS DOUBLE) / tot.nn)
+                * 1000000 + 0.5) AS BIGINT) AS term
+    FROM c, tot GROUP BY c.t, tot.nn)
+),
+hxy AS (
+  SELECT CAST(sum(term) AS BIGINT) AS h_x_given_y_micro FROM (
+    SELECT CAST(floor(-(CAST(c.n AS DOUBLE) / tot.nn)
+                * ln(CAST(c.n AS DOUBLE) / d.nd)
+                * 1000000 + 0.5) AS BIGINT) AS term
+    FROM c
+    JOIN (SELECT dow, CAST(sum(n) AS BIGINT) AS nd FROM c GROUP BY dow) d
+      ON c.dow = d.dow, tot)
+)
+SELECT hx.h_x_micro, hxy.h_x_given_y_micro,
+       CAST(1000000 * (hx.h_x_micro - hxy.h_x_given_y_micro)
+            // hx.h_x_micro AS BIGINT) AS theil_u_micro
+FROM hx, hxy
+""")
+def theil_u_dow_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    c = (ev.groupBy((F.dayofweek("ts") - 1).alias("dow"),
+                    F.col("event_type").alias("t"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    c = c.localCheckpoint(eager=True)  # three consumers of a tiny grid
+    nn = c.agg(F.sum("n").cast("long").alias("nn"))
+    tmarg = (c.groupBy("t").agg(F.sum("n").cast("long").alias("nt"))
+             .crossJoin(F.broadcast(nn)))
+    hx = tmarg.select(F.floor(
+        -(F.col("nt").cast("double") / F.col("nn"))
+        * F.log(F.col("nt").cast("double") / F.col("nn"))
+        * 1_000_000 + F.lit(0.5)).cast("long").alias("term")) \
+        .agg(F.sum("term").cast("long").alias("h_x_micro"))
+    dmarg = c.groupBy("dow").agg(F.sum("n").cast("long").alias("nd"))
+    hxy = (c.join(F.broadcast(dmarg), "dow")
+           .crossJoin(F.broadcast(nn))
+           .select(F.floor(
+               -(F.col("n").cast("double") / F.col("nn"))
+               * F.log(F.col("n").cast("double") / F.col("nd"))
+               * 1_000_000 + F.lit(0.5)).cast("long").alias("term"))
+           .agg(F.sum("term").cast("long")
+                .alias("h_x_given_y_micro")))
+    return (hx.crossJoin(hxy)
+            .select("h_x_micro", "h_x_given_y_micro",
+                    F.expr("CAST(1000000 * (h_x_micro - "
+                           "h_x_given_y_micro) div h_x_micro AS BIGINT)")
+                    .alias("theil_u_micro")))
