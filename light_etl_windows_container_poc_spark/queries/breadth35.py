@@ -941,3 +941,81 @@ def theil_u_dow_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST(1000000 * (h_x_micro - "
                            "h_x_given_y_micro) div h_x_micro AS BIGINT)")
                     .alias("theil_u_micro")))
+
+
+# --------------------------------------------------------------------------
+# Weekly-harmonic DFT coefficient of each event type's daily volume
+# series — the spectral seasonality detector next to seasonality_dow
+# (which averages by weekday; this measures the period-7 energy with
+# phase, the signal a scheduler/anomaly system keys on). The series
+# rides the bounded calendar spine (day index = rank over distinct
+# days); the twiddle factors cos/sin(2π·(t mod 7)/7) take only 7
+# values, each MILLI-rounded before the multiply (milli, not micro:
+# Σ cnt·w then squares must stay inside BIGINT at any SF), so both
+# engines sum identical integers. re/im are certified exactly;
+# power = re² + im² stays exact BIGINT at ≤ ~10⁶ events/day/type.
+# --------------------------------------------------------------------------
+@query("seasonality_dft", oracle="""
+WITH d AS (
+  SELECT event_type AS t, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT day, CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS r
+  FROM (SELECT DISTINCT day FROM d)
+),
+w AS (
+  SELECT r % 7 AS ang,
+         CAST(floor(cos(2 * pi() * (r % 7) / 7.0) * 1000 + 0.5)
+              AS BIGINT) AS cw,
+         CAST(floor(sin(2 * pi() * (r % 7) / 7.0) * 1000 + 0.5)
+              AS BIGINT) AS sw
+  FROM (SELECT DISTINCT r % 7 AS r FROM spine)
+)
+SELECT d.t AS event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(d.cnt) AS BIGINT) AS total_cnt,
+       CAST(sum(d.cnt * w.cw) AS BIGINT) AS re_milli,
+       CAST(sum(d.cnt * w.sw) AS BIGINT) AS im_milli,
+       CAST(sum(d.cnt * w.cw) * sum(d.cnt * w.cw)
+            + sum(d.cnt * w.sw) * sum(d.cnt * w.sw) AS BIGINT)
+         AS power_milli2
+FROM d JOIN spine ON d.day = spine.day
+JOIN w ON spine.r % 7 = w.ang
+GROUP BY d.t ORDER BY d.t
+""")
+def seasonality_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = (ev.groupBy(F.col("event_type").alias("t"),
+                    F.date_format("ts", "yyyy-MM-dd").alias("day"))
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    days = d.select("day").distinct()
+    # bounded calendar spine — the one global window, |days| rows
+    spine = days.withColumn(
+        "r", (F.row_number().over(W.orderBy("day")) - 1).cast("long"))
+    # 7 twiddle rows, generated driver-side with the SAME milli
+    # rounding text as the oracle (python floor == duckdb floor here)
+    tw = [(a,
+           int(math.floor(math.cos(2 * math.pi * a / 7.0) * 1000 + 0.5)),
+           int(math.floor(math.sin(2 * math.pi * a / 7.0) * 1000 + 0.5)))
+          for a in range(7)]
+    w = d.sparkSession.createDataFrame(tw, "ang long, cw long, sw long")
+    j = (d.join(F.broadcast(spine), "day")
+         .withColumn("ang", F.col("r") % 7)
+         .join(F.broadcast(w), "ang"))
+    return (j.groupBy(F.col("t").alias("event_type"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                 F.sum("cnt").cast("long").alias("total_cnt"),
+                 F.sum(F.col("cnt") * F.col("cw")).cast("long")
+                 .alias("re_milli"),
+                 F.sum(F.col("cnt") * F.col("sw")).cast("long")
+                 .alias("im_milli"))
+            .select("event_type", "n_days", "total_cnt", "re_milli",
+                    "im_milli",
+                    (F.col("re_milli") * F.col("re_milli")
+                     + F.col("im_milli") * F.col("im_milli"))
+                    .cast("long").alias("power_milli2"))
+            .orderBy("event_type"))
