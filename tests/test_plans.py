@@ -313,3 +313,21 @@ def test_plan_report_summarizes_signals(spark, sf_dir):
     rep_mm = plan_report(QUERIES["mm_features"](spark, sf_dir))
     assert rep_mm["python_evals"] >= 1
     assert any("Python eval" in w for w in rep_mm["warnings"])
+
+
+def test_r9_drift_family_plans_clean(spark, sf_dir):
+    """The r9 drift-QA family must stay cartesian-free: every pair
+    relation is |types|²-bounded and broadcast, every window is
+    partitioned by the pair (or runs over a bounded histogram/spine).
+    The only BroadcastNestedLoopJoins allowed are 1-row broadcast
+    scalars (psi's cut day, theil's grand total) — never a
+    CartesianProduct, never a sort-merge pair join."""
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+
+    for name in ("mann_whitney_u", "ks_two_sample", "kendall_tau_daily",
+                 "psi_drift", "js_divergence_types", "theil_u_dow_type",
+                 "seasonality_dft", "kmv_set_cardinality",
+                 "graph_adamic_adar", "langid_confusion",
+                 "bpe_fertility_by_lang"):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
