@@ -178,3 +178,39 @@ def test_histogram_bins_agree_on_negative_cents(spark, tmp_path):
         "FROM (SELECT unnest($vals) AS v) GROUP BY 1",
         params={"vals": vals}).fetchall()}
     assert streamed == oracle
+
+
+def test_streamed_hll_equals_batch_and_forgives_replay(spark, tmp_path):
+    """Fourth payload of the manifest protocol: registers merge by MAX
+    (idempotent), so streamed state == one-shot grid for any batch
+    split AND any replay — re-applying batch 0 must leave the grid
+    bit-identical."""
+    from light_etl_windows_container_poc_spark.streaming.hll import (
+        hll_batch_handler, hll_grid, read_hll, start_hll_stream)
+
+    src = tmp_path / "hllsrc"
+    src.mkdir()
+    b0 = list(range(0, 900, 7))
+    b1 = list(range(300, 1500, 11))
+    for name, vals, mt in (("a.json", b0, 1_000_000),
+                           ("b.json", b1, 2_000_000)):
+        with open(src / name, "w") as fh:
+            for v in vals:
+                fh.write(json.dumps({"k": v}) + "\n")
+        os.utime(src / name, (mt, mt))
+    state = str(tmp_path / "hllstate")
+    s = (spark.readStream.schema("k long")
+         .option("maxFilesPerTrigger", 1).json(str(src)))
+    start_hll_stream(s, state, str(tmp_path / "hllckpt"),
+                     "k", 64).awaitTermination(120)
+    streamed = {(r.bucket, r.reg)
+                for r in read_hll(spark, state).collect()}
+    batch = {(r.bucket, r.reg) for r in
+             hll_grid(spark.createDataFrame([(v,) for v in b0 + b1],
+                                            "k long"), "k", 64).collect()}
+    assert streamed == batch
+    # replay batch 0: max-merge is idempotent, grid unchanged
+    hll_batch_handler(state, "k", 64)(
+        spark.createDataFrame([(v,) for v in b0], "k long"), 0)
+    assert {(r.bucket, r.reg)
+            for r in read_hll(spark, state).collect()} == batch
