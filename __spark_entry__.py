@@ -212,14 +212,16 @@ _R08_CERTIFIED = [
 # js_divergence_types, stream_dq_gate_cert, kmv_set_cardinality,
 # graph_adamic_adar, langid_confusion, bpe_fertility_by_lang,
 # theil_u_dow_type, seasonality_dft, hll_grid_sketch,
-# hll_grid_estimate, stream_hll_cert) — 17 total. The 33 recertify
+# hll_grid_estimate, stream_hll_cert, kmv_source_overlap) — 18 total.
+# The 32 recertify
 # slots: zipf_slope FIRST (its plan was rebuilt this round —
 # sample-bounded pair join + partitioned sampler window — so its r8
 # certification no longer covers the shipped code), then ALL 24
 # remaining r3-latest rows (the staleness tail the r8 verdict named),
-# then the 8 alphabetically-first of the 38 r4-latest rows. After this
-# round no query's latest certification predates r4, and thirty
-# r4 rows remain (dedup_keep_one, dedup_minhash_lsh,
+# then the 7 alphabetically-first of the 38 r4-latest rows. After this
+# round no query's latest certification predates r4, and thirty-one
+# r4 rows remain (dedup_embedding_blocked, dedup_keep_one,
+# dedup_minhash_lsh,
 # domain_temperature_sample, dsir_weights, knn_graph,
 # minhash_band_containment, mm_features, mm_frame_sample,
 # pagerank_words,
@@ -246,10 +248,9 @@ _RECERTIFY = [
     "text_rarity", "text_repetition", "time_rollup",
     "window_moving_avg", "window_range_value", "window_share",
     "zscore_outliers",
-    # r4-latest (alphabetically-first 8 of 38)
+    # r4-latest (alphabetically-first 7 of 38)
     "agg_cube", "agg_rollup", "ann_lsh", "approx_distinct_bounds",
     "dedup_blocked_invariance", "dedup_clusters", "dedup_embedding",
-    "dedup_embedding_blocked",
 ]
 
 
@@ -586,8 +587,9 @@ _R08_POPULATION = [
 # ks_two_sample, kendall_tau_daily); every later r9 wave (psi_drift,
 # js_divergence_types, stream_dq_gate_cert, kmv_set_cardinality,
 # graph_adamic_adar, langid_confusion, bpe_fertility_by_lang,
-# theil_u_dow_type, seasonality_dft, the hll_grid family, …) stays out
-# and enters the round-10 freeze, like every earlier freeze.
+# theil_u_dow_type, seasonality_dft, the hll_grid family,
+# kmv_source_overlap, …) stays out and enters the round-10 freeze,
+# like every earlier freeze.
 _R09_POPULATION = [
     "agg_approx_distinct", "agg_cube", "agg_filter",
     "agg_grouping_sets", "agg_histogram", "agg_incremental_merge",

@@ -164,3 +164,155 @@ def stream_hll_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# KMV INTERSECTION between source shingle sets — the set-OPERATION leg
+# of the KMV family (kmv_set_cardinality certifies single-set size;
+# this certifies |A∩B| estimation between corpus segments, the
+# "how much do these two sources overlap" question behind source-level
+# dedup budgeting). Scale-correct union sketch: the union's k smallest
+# hashes are a SUBSET of (A's k smallest ∪ B's k smallest) — h ≤
+# kth(union) ≤ kth(B) means any union-prefix member of B is in B's own
+# prefix — so the pair stage unions two ≤k-row sketches (≤2k rows per
+# pair, broadcast-sized) and NEVER windows a set-sized relation;
+# membership flags read off the per-source sketches exactly.
+# est = (matches/k)·(k−1)/unit(kth_union); exact |A∩B| (the
+# certification truth) is one distributed equi-join on the hash.
+# Restricted to the 5 lexicographically-first sources (10 pairs) to
+# keep the certified relation small; the construction is source-count
+# generic.
+# --------------------------------------------------------------------------
+_KMV_OV_K = 256
+_KMV_OV_SRC = "('src0', 'src1', 'src10', 'src11', 'src12')"
+
+
+@query("kmv_source_overlap", oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT source, md5(shingle) AS h
+  FROM (
+    SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM (
+      SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE source IN {_KMV_OV_SRC}),
+    LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+  )
+),
+kmv AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS r
+    FROM sh) WHERE r <= {_KMV_OV_K}
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM sh) a
+  JOIN (SELECT DISTINCT source FROM sh) b ON a.source < b.source
+),
+u AS (
+  SELECT sa, sb, h, CAST(max(in_a) AS BIGINT) AS in_a,
+         CAST(max(in_b) AS BIGINT) AS in_b
+  FROM (
+    SELECT p.sa, p.sb, k.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN kmv k ON k.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, k.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN kmv k ON k.source = p.sb
+  ) GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+  FROM u
+),
+kth AS (SELECT sa, sb, h AS kth_min FROM rk WHERE r = {_KMV_OV_K}),
+mt AS (
+  SELECT sa, sb,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS matches
+  FROM rk WHERE r <= {_KMV_OV_K} GROUP BY 1, 2
+),
+ex AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT kth.sa, kth.sb, mt.matches, coalesce(ex.n_inter, 0) AS n_inter,
+         (mt.matches / {_KMV_OV_K}.0) * ({_KMV_OV_K} - 1)
+         / (CAST(('0x' || substring(kth.kth_min, 1, 13)) AS BIGINT)
+            / 4503599627370496.0) AS e
+  FROM kth JOIN mt ON kth.sa = mt.sa AND kth.sb = mt.sb
+  LEFT JOIN ex ON kth.sa = ex.sa AND kth.sb = ex.sb
+)
+SELECT sa AS source_a, sb AS source_b, n_inter, matches,
+       CAST(floor(e * 1000 + 0.5) AS BIGINT) AS est_milli,
+       CAST(abs(e - n_inter) * 100 <= n_inter * 50 AS INT)
+         AS within_50pct
+FROM est ORDER BY sa, sb
+""")
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
+            .filter(F.col("source").isin(
+                "src0", "src1", "src10", "src11", "src12")))
+    from ..functions.texts import words
+
+    w = docs.select("source", words(F.lower(F.col("text"))).alias("w"))
+    tri = F.expr("transform(sequence(1, size(w) - 2), "
+                 "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")
+    sh = (w.select("source", F.explode(tri).alias("g"))
+          .select("source", F.md5("g").alias("h")).distinct()
+          .persist())
+    rk_w = W.partitionBy("source").orderBy("h")
+    kmv = (sh.withColumn("r", F.row_number().over(rk_w))
+           .filter(F.col("r") <= _KMV_OV_K).select("source", "h"))
+    srcs = sh.select("source").distinct()
+    pairs = (srcs.select(F.col("source").alias("sa"))
+             .join(srcs.select(F.col("source").alias("sb")),
+                   F.col("sa") < F.col("sb")))
+    side_a = (kmv.join(F.broadcast(pairs), kmv["source"] == pairs["sa"])
+              .select("sa", "sb", "h", F.lit(1).alias("in_a"),
+                      F.lit(0).alias("in_b")))
+    side_b = (kmv.join(F.broadcast(pairs), kmv["source"] == pairs["sb"])
+              .select("sa", "sb", "h", F.lit(0).alias("in_a"),
+                      F.lit(1).alias("in_b")))
+    u = (side_a.unionByName(side_b)
+         .groupBy("sa", "sb", "h")
+         .agg(F.max("in_a").cast("long").alias("in_a"),
+              F.max("in_b").cast("long").alias("in_b")))
+    u_w = W.partitionBy("sa", "sb").orderBy("h")
+    rk = u.withColumn("r", F.row_number().over(u_w))
+    kth = (rk.filter(F.col("r") == _KMV_OV_K)
+           .select("sa", "sb", F.col("h").alias("kth_min")))
+    mt = (rk.filter(F.col("r") <= _KMV_OV_K)
+          .groupBy("sa", "sb")
+          .agg(F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1))
+                     .cast("long")).cast("long").alias("matches")))
+    a = sh.select(F.col("source").alias("sa"), "h")
+    b = sh.select(F.col("source").alias("sb"), "h")
+    ex = (a.join(b, "h").filter(F.col("sa") < F.col("sb"))
+          .groupBy("sa", "sb")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+    e = ((F.col("matches") / F.lit(float(_KMV_OV_K)))
+         * F.lit(_KMV_OV_K - 1)
+         / (F.conv(F.substring("kth_min", 1, 13), 16, 10).cast("double")
+            / F.lit(4503599627370496.0)))
+    out = (kth.join(mt, ["sa", "sb"])
+           .join(ex, ["sa", "sb"], "left")
+           .select(F.col("sa").alias("source_a"),
+                   F.col("sb").alias("source_b"),
+                   F.coalesce("n_inter", F.lit(0)).cast("long")
+                   .alias("n_inter"), "matches",
+                   F.floor(e * 1000 + F.lit(0.5)).cast("long")
+                   .alias("est_milli"),
+                   (F.abs(e - F.coalesce("n_inter", F.lit(0))) * 100
+                    <= F.coalesce("n_inter", F.lit(0)) * 50).cast("int")
+                   .alias("within_50pct"))
+           .orderBy("source_a", "source_b"))
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
