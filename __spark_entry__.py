@@ -207,7 +207,7 @@ _R08_CERTIFIED = [
 # Round-9 recertification allocation (head + this list == 50, the
 # driver's per-round budget; test-locked). Head = cusum_drift (the r8
 # red row, oracle now cast — its re-certification is the round's #1
-# deliverable) plus this round's 12 new queries (ann_lifecycle_refresh,
+# deliverable) plus this round's 17 new queries (ann_lifecycle_refresh,
 # mann_whitney_u, ks_two_sample, kendall_tau_daily, psi_drift,
 # js_divergence_types, stream_dq_gate_cert, kmv_set_cardinality,
 # graph_adamic_adar, langid_confusion, bpe_fertility_by_lang,

@@ -748,10 +748,14 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = (deg.filter((F.col("deg") >= 2) & (F.col("deg") <= 64))
           .select("s", F.floor(F.lit(1_000_000.0) / F.log("deg")
                                + F.lit(0.5)).cast("long").alias("w")))
-    a = e.select(F.col("c").alias("c1"), "s")
-    b = e.select(F.col("c").alias("c2"), "s")
-    p = (a.join(b, "s").filter(F.col("c1") < F.col("c2"))
-         .join(F.broadcast(ds), "s"))
+    # Degree-cap BEFORE pairing: joining e with the broadcast deg-2..64
+    # relation first bounds both self-join inputs, so the Σ deg² pair
+    # blowup the cap exists for can never materialize (the w payload
+    # rides the left side; the right side needs only the capped keys).
+    e2 = e.join(F.broadcast(ds), "s")
+    a = e2.select(F.col("c").alias("c1"), "s", "w")
+    b = e2.select(F.col("c").alias("c2"), "s")
+    p = a.join(b, "s").filter(F.col("c1") < F.col("c2"))
     return (p.groupBy("c1", "c2")
             .agg(F.count(F.lit(1)).cast("long").alias("common_parts"),
                  F.sum("w").cast("long").alias("aa_micro"))

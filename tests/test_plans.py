@@ -331,3 +331,33 @@ def test_r9_drift_family_plans_clean(spark, sf_dir):
                  "bpe_fertility_by_lang"):
         plan = formatted_plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def _pair_join_inputs_contain(plan: str, needle: str) -> bool:
+    """True iff the plan's SortMergeJoin (the pair self-join) has
+    `needle` in BOTH child subtrees of the formatted tree text."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "SortMergeJoin" not in line:
+            continue
+        pos = (line.index("+-") + 3) if "+-" in line else 0
+        left, right = [], []
+        for m in lines[i + 1:]:
+            if len(m) <= pos or m[pos] not in ":+ ":
+                break
+            (left if m[pos] == ":" else right).append(m)
+        return needle in "\n".join(left) and needle in "\n".join(right)
+    return False
+
+
+def test_adamic_adar_pair_join_is_degree_capped(spark, sf_dir):
+    """The hub cap must bound the pair join's INPUTS, not just the
+    output: both sides of the single SortMergeJoin (the c1<c2 pair
+    self-join) must contain the BroadcastHashJoin with the deg-2..64
+    relation — i.e. edges are capped BEFORE pairing, so candidate
+    volume is <= 64*|edges| even on an adversarial hub graph."""
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["graph_adamic_adar"](spark, sf_dir))
+    assert plan.count("SortMergeJoin") >= 1
+    assert _pair_join_inputs_contain(plan, "BroadcastHashJoin")

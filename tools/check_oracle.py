@@ -57,7 +57,16 @@ def oracle_type_problems(con: "duckdb.DuckDBPyConnection", sql: str) -> list[str
     return bad
 
 
+# NaN→NULL normalizations since last reset (see _norm): the driver's
+# pandas path makes NULL and NaN one value, so the gate mirrors it —
+# but a query that STARTS emitting real NaNs would silently hash green.
+# main() surfaces a per-query note whenever this counter moves so a
+# NaN-producing regression is at least visible in gate output.
+_NAN_NORMALIZED = 0
+
+
 def _norm(v) -> str:
+    global _NAN_NORMALIZED
     # numpy scalars (the pandas path) → Python scalars so bool/int/float
     # normalize identically to Spark's collect() output.
     if type(v).__module__ == "numpy" and hasattr(v, "item"):
@@ -70,6 +79,7 @@ def _norm(v) -> str:
             # nullable BIGINT column as float64), so through the
             # driver's fetch path NULL and NaN are one value — normalize
             # like the driver or every nullable numeric column goes red
+            _NAN_NORMALIZED += 1
             return "NULL"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
@@ -132,6 +142,7 @@ def main() -> int:
     empties = []
     for name in names:
         t0 = time.time()
+        nan_mark = globals()["_NAN_NORMALIZED"]
         try:
             sdf = qs[name](spark, args.sf_dir)
             scols = sdf.columns
@@ -189,7 +200,11 @@ def main() -> int:
             print(f"WARN {name}: 0 rows on BOTH engines — empty match "
                   f"certifies nothing ({time.time()-t0:.1f}s)")
         else:
-            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+            n_nan = globals()["_NAN_NORMALIZED"] - nan_mark
+            note = (f" [note: {n_nan} NaN value(s) normalized to NULL]"
+                    if n_nan else "")
+            print(f"ok   {name}: {len(srows)} rows match "
+                  f"({time.time()-t0:.1f}s){note}")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} pass"
           + (f"; {len(empties)} EMPTY match(es): {','.join(empties)}"
