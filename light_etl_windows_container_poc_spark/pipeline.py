@@ -171,7 +171,14 @@ class ETLPipeline:
     # -- internals --------------------------------------------------------
 
     def _clean(self, routed: DataFrame, batch_ts: str | None) -> DataFrame:
-        base = coerce_by_name(drop_empty_rows(sanitize_column_names(routed)))
+        # dropna(how='all') parity (reference enhanced_tasks.py:97-103)
+        # runs over the DATA columns only: the pipeline's source_path /
+        # target_table lineage columns are always non-null, so including
+        # them would keep every all-empty data row
+        named = sanitize_column_names(routed)
+        data_cols = [c for c in named.columns
+                     if c not in ("source_path", "target_table")]
+        base = coerce_by_name(drop_empty_rows(named, data_cols))
         # with_etl_metadata takes a scalar source name; here lineage derives
         # from the routed target_table COLUMN so one plan serves all tables
         ts = (F.lit(batch_ts).cast("timestamp") if batch_ts
