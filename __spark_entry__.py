@@ -204,53 +204,57 @@ _R08_CERTIFIED = [
     "zorder_optimize_roundtrip", "zorder_write_roundtrip",
 ]
 
-# Round-9 recertification allocation (head + this list == 50, the
-# driver's per-round budget; test-locked). Head = cusum_drift (the r8
-# red row, oracle now cast — its re-certification is the round's #1
-# deliverable) plus this round's 17 new queries (ann_lifecycle_refresh,
-# mann_whitney_u, ks_two_sample, kendall_tau_daily, psi_drift,
-# js_divergence_types, stream_dq_gate_cert, kmv_set_cardinality,
-# graph_adamic_adar, langid_confusion, bpe_fertility_by_lang,
-# theil_u_dow_type, seasonality_dft, hll_grid_sketch,
-# hll_grid_estimate, stream_hll_cert, kmv_source_overlap) — 18 total.
-# The 32 recertify
-# slots: zipf_slope FIRST (its plan was rebuilt this round —
-# sample-bounded pair join + partitioned sampler window — so its r8
-# certification no longer covers the shipped code), then ALL 24
-# remaining r3-latest rows (the staleness tail the r8 verdict named),
-# then the 7 alphabetically-first of the 38 r4-latest rows. After this
-# round no query's latest certification predates r4, and thirty-one
-# r4 rows remain (dedup_embedding_blocked, dedup_keep_one,
-# dedup_minhash_lsh,
-# domain_temperature_sample, dsir_weights, knn_graph,
-# minhash_band_containment, mm_features, mm_frame_sample,
-# pagerank_words,
-# pivot_wide, q10_returned_items, q14_promo_effect, q18_large_orders,
-# q19_discount_revenue, q1_pricing_summary, q3_shipping_priority,
-# q4_order_priority, q5_local_supplier, q6_forecast_revenue,
-# q7_volume_shipping, set_ops, simhash_pigeonhole, sketch_hll_bounds,
-# sketch_hll_merge_consistent, sketch_pct_bounds,
-# stream_stateful_final, topk_per_group, unpivot_long,
-# window_lag_delta, window_running — they head the r10 recertify
-# list). Code changed this round but outside driver slots
-# (the unigram seed cap at its 1M default, a no-op on this corpus) is
-# re-proven by the local 3-SF gate instead (SURVEY §7 r9).
-_RECERTIFY = [
-    # plan rebuilt this round — r8 cert no longer covers the code
-    "zipf_slope",
-    # r3-latest (the full remaining bucket, drained this round)
-    "grouped_ols", "hash_funcs", "impute_forward_fill",
-    "impute_group_mean", "impute_linear_interp", "join_semi",
-    "mm_decode_real", "mm_media_meta", "pack_sequences",
-    "quality_gopher_rules", "rolling_uniques", "safe_casts",
-    "session_window_agg", "sketch_approx_percentile",
-    "sketch_hll_mergeable", "skew_profile", "text_bigram_lm",
-    "text_rarity", "text_repetition", "time_rollup",
-    "window_moving_avg", "window_range_value", "window_share",
-    "zscore_outliers",
-    # r4-latest (alphabetically-first 7 of 38)
-    "agg_cube", "agg_rollup", "ann_lsh", "approx_distinct_bounds",
+# CORRECTNESS_r09.json keys (round-9 driver run): 47 hash-green + 3
+# clean rows-only records (sketch_approx_percentile,
+# sketch_hll_mergeable, ann_lsh — all SURVEY-declared rows-only with
+# green hash-certified twins in the same run). Zero red rows — the
+# first fully green round.
+_R09_CERTIFIED = [
+    "agg_cube", "agg_rollup", "ann_lifecycle_refresh", "ann_lsh",
+    "approx_distinct_bounds", "bpe_fertility_by_lang", "cusum_drift",
     "dedup_blocked_invariance", "dedup_clusters", "dedup_embedding",
+    "graph_adamic_adar", "grouped_ols", "hash_funcs", "hll_grid_estimate",
+    "hll_grid_sketch", "impute_forward_fill", "impute_group_mean",
+    "impute_linear_interp", "join_semi", "js_divergence_types",
+    "kendall_tau_daily", "kmv_set_cardinality", "kmv_source_overlap",
+    "ks_two_sample", "langid_confusion", "mann_whitney_u", "mm_decode_real",
+    "mm_media_meta", "pack_sequences", "psi_drift", "quality_gopher_rules",
+    "rolling_uniques", "safe_casts", "seasonality_dft", "session_window_agg",
+    "sketch_approx_percentile", "sketch_hll_mergeable", "skew_profile",
+    "stream_dq_gate_cert", "stream_hll_cert", "text_bigram_lm", "text_rarity",
+    "text_repetition", "theil_u_dow_type", "time_rollup", "window_moving_avg",
+    "window_range_value", "window_share", "zipf_slope", "zscore_outliers",
+]
+
+# Round-10 recertification allocation (head + this list == 50, the
+# driver's per-round budget; test-locked). Head = this round's 6 new
+# queries (the qsketch family qsketch_build / qsketch_rank_bounds /
+# qsketch_merge_consistent / stream_qsketch_cert, plus the two r9
+# verdict asks: ann_append_cert and pipeline_e2e_cert). The 44
+# recertify slots: graph_adamic_adar FIRST (its pair join was
+# rebuilt this round — degree cap now applied BEFORE pairing — so its
+# r9 certification no longer covers the shipped plan), then ALL 31
+# remaining r4-latest rows (the staleness tail the r9 verdict named;
+# q7_volume_shipping additionally carries this round's data-adaptive
+# nation-pair rewrite), then the 12 alphabetically-first of the 45
+# r5-latest rows (agg_incremental_merge .. dup_source_overlap). After
+# this round no query's latest certification predates r5, and
+# thirty-three r5 rows remain — they head the r11 recertify list.
+_RECERTIFY = [
+    "graph_adamic_adar", "dedup_embedding_blocked", "dedup_keep_one",
+    "dedup_minhash_lsh", "domain_temperature_sample", "dsir_weights",
+    "knn_graph", "minhash_band_containment", "mm_features", "mm_frame_sample",
+    "pagerank_words", "pivot_wide", "q10_returned_items", "q14_promo_effect",
+    "q18_large_orders", "q19_discount_revenue", "q1_pricing_summary",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "set_ops",
+    "simhash_pigeonhole", "sketch_hll_bounds", "sketch_hll_merge_consistent",
+    "sketch_pct_bounds", "stream_stateful_final", "topk_per_group",
+    "unpivot_long", "window_lag_delta", "window_running",
+    "agg_incremental_merge", "ann_ivf", "anti_contamination_split",
+    "bm25_search", "budget_sample_apply", "cc_convergence",
+    "compaction_roundtrip", "curate_corpus", "daily_anomaly_mad",
+    "degree_distribution", "dq_rules", "dup_source_overlap",
 ]
 
 
@@ -680,6 +684,96 @@ _R09_POPULATION = [
     "zorder_zone_prune", "zscore_outliers",
 ]
 
+# The frozen round-10 population (273 names — the full registry at the
+# close of round 9, before this round's additions): bench.py's
+# suite_r10_subset tripwire for round 11+.
+_R10_POPULATION = [
+    "agg_approx_distinct", "agg_cube", "agg_filter", "agg_grouping_sets",
+    "agg_histogram", "agg_incremental_merge", "agg_incremental_retract",
+    "agg_median", "agg_misc", "agg_rollup", "agg_stats_moments",
+    "ann_bruteforce", "ann_ivf", "ann_ivf_fullprobe_exact", "ann_ivfpq",
+    "ann_ivfpq_fullprobe_exact", "ann_ivfpq_recall_floor",
+    "ann_lifecycle_refresh", "ann_lsh", "ann_lsh_recall_floor", "ann_pq",
+    "ann_pq_recall_floor", "anti_contamination_split",
+    "approx_distinct_bounds", "array_funcs", "array_set_ops", "asof_join",
+    "benford_digit_profile", "bloom_zone_prune", "bm25_search",
+    "boilerplate_shingles", "boilerplate_strip", "bpe_apply_large",
+    "bpe_fertility_by_lang", "bpe_learn", "bpe_symbol_census",
+    "budget_sample_apply", "cc_convergence", "cc_star_components",
+    "cdc_apply", "chi2_independence", "cohort_retention",
+    "compaction_roundtrip", "contamination", "corpus_report",
+    "countmin_sketch", "curate_corpus", "curate_corpus_v2", "cusum_drift",
+    "daily_anomaly_mad", "dedup_blocked_invariance", "dedup_clusters",
+    "dedup_containment_keep", "dedup_containment_prefix", "dedup_embedding",
+    "dedup_embedding_blocked", "dedup_exact", "dedup_incremental_consistency",
+    "dedup_incremental_exact", "dedup_jaccard_prefix", "dedup_keep_one",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_paragraph",
+    "dedup_simhash", "degree_distribution", "doc_cooccur", "domain_cap",
+    "domain_temperature_sample", "dq_rules", "dsir_weights",
+    "dup_source_overlap", "dup_span_census", "dup_span_strip",
+    "embed_centroid", "embed_outliers", "embed_pca", "embed_quantize",
+    "embed_robust_scale", "embed_standardize", "entity_resolution",
+    "equidepth_histogram", "etl_clean_columns", "etl_dedup_rows",
+    "etl_drop_empty_rows", "etl_enrich_metadata", "etl_file_stats",
+    "etl_json_extract", "etl_pattern_route", "etl_processing_stats",
+    "etl_quality_profile", "etl_scd2_merge", "etl_snapshot_diff",
+    "etl_type_coercion", "etl_validate_rows", "event_streaks",
+    "event_transitions", "ewma_halflife", "explode_wordcount", "fd_profile",
+    "fingerprint_winnowing", "first_touch_attribution", "funnel",
+    "fuzzy_join_parts", "gap_fill_daily", "graph_adamic_adar", "graph_kcore",
+    "graph_label_propagation", "graph_triangles", "grouped_ols",
+    "grouped_theil_sen", "hash_funcs", "heavy_hitters", "hilbert_zone_prune",
+    "hll_grid_estimate", "hll_grid_sketch", "hybrid_rrf_search",
+    "impute_forward_fill", "impute_group_mean", "impute_linear_interp",
+    "interval_concurrency", "interval_join", "inverted_index", "join_anti",
+    "join_incremental_delta", "join_null_safe", "join_semi",
+    "journey_trigrams", "js_divergence_types", "kendall_tau_daily",
+    "kmeans_inertia_monotone", "kmv_set_cardinality", "kmv_source_overlap",
+    "knn_graph", "ks_two_sample", "langid_confusion", "length_histogram_log2",
+    "lm_perplexity_filter", "mad_outliers", "mann_whitney_u", "map_funcs",
+    "market_basket_lift", "median_polish_anomaly", "minhash_band_containment",
+    "mm_audiofp_dedup", "mm_decode_real", "mm_features", "mm_frame_sample",
+    "mm_media_meta", "mm_phash_dedup", "mm_resize_real", "ngram_novelty",
+    "null_funcs", "ohlc_bars", "pack_sequences", "pagerank_invariants",
+    "pagerank_words", "pca_invariants", "pct_change_wow", "percentiles",
+    "pivot_wide", "psi_drift", "q10_returned_items", "q11_important_parts",
+    "q12_late_priority", "q13_cust_distribution", "q14_promo_effect",
+    "q15_top_supplier", "q16_supplier_counts", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_discount_revenue", "q1_pricing_summary",
+    "q20_promo_suppliers", "q21_waiting_supplier", "q22_sales_opportunity",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "quality_curriculum_tiers",
+    "quality_gopher_rules", "quality_logistic_score", "quantile_bands_daily",
+    "range_join", "regex_funcs", "rolling_uniques", "safe_casts",
+    "salted_join_agg", "sample_stratified", "seasonality_dft",
+    "seasonality_dow", "semdedup_keep", "semdedup_soundness",
+    "session_window_agg", "sessionize", "set_ops", "shard_assign",
+    "simhash_pigeonhole", "sink_partitioned_roundtrip",
+    "sketch_approx_percentile", "sketch_hll_bounds",
+    "sketch_hll_merge_consistent", "sketch_hll_mergeable",
+    "sketch_pct_bounds", "skew_profile", "skyline_parts", "source_gini",
+    "split_leakage_safe", "split_train_test", "src_excel", "src_excel_xls",
+    "src_excel_xlsb", "stream_countmin_cert", "stream_dedup",
+    "stream_dq_gate_cert", "stream_heavy_hitters_cert",
+    "stream_histogram_quantiles", "stream_hll_cert", "stream_ohlc_final",
+    "stream_session_window", "stream_stateful", "stream_stateful_final",
+    "stream_static_join", "stream_stream_join", "stream_window_agg",
+    "string_funcs", "subquery_scalar", "text_bigram_kn", "text_bigram_lm",
+    "text_bpe_tokenize", "text_chunk", "text_clean_pii", "text_fingerprint",
+    "text_langid", "text_quality", "text_rarity", "text_repetition",
+    "text_tfidf", "text_token_count", "text_trigram_kn", "text_word_entropy",
+    "theil_u_dow_type", "time_functions", "time_rollup", "time_window_agg",
+    "token_budget_mix", "top_movers", "topk_per_group", "unigram_invariants",
+    "unigram_lm_learn", "unpivot_long", "user_rfm", "vocab_growth",
+    "weighted_sample", "window_lag_delta", "window_moving_avg",
+    "window_ntile_firstlast", "window_percent_rank", "window_range_value",
+    "window_rolling_time", "window_running", "window_share", "zipf_slope",
+    "zonemap_stats", "zorder_optimize_roundtrip", "zorder_write_roundtrip",
+    "zorder_zone_prune", "zscore_outliers",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -691,7 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     rounds = [_R01_CERTIFIED, _R02_CERTIFIED, _R03_CERTIFIED,
               _R04_CERTIFIED, _R05_CERTIFIED, _R06_CERTIFIED,
-              _R07_CERTIFIED, _R08_CERTIFIED]
+              _R07_CERTIFIED, _R08_CERTIFIED, _R09_CERTIFIED]
     certified = set().union(*map(set, rounds))
     head = [n for n in QUERIES if n not in certified]
     redo = [n for n in _RECERTIFY if n in QUERIES and n in certified]

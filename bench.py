@@ -124,6 +124,10 @@ def main() -> None:
     r9_names = set(_ent._R09_POPULATION)
     suite_r9_subset = round(sum(t for n, t in suite_times.items()
                                 if n in r9_names), 3)
+    # ...and the frozen round-10 population for round 11+
+    r10_names = set(_ent._R10_POPULATION)
+    suite_r10_subset = round(sum(t for n, t in suite_times.items()
+                                 if n in r10_names), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -144,6 +148,7 @@ def main() -> None:
         "suite_r7_subset_sec": suite_r7_subset,
         "suite_r8_subset_sec": suite_r8_subset,
         "suite_r9_subset_sec": suite_r9_subset,
+        "suite_r10_subset_sec": suite_r10_subset,
         "sf": sf_val,
     }))
 

@@ -77,7 +77,8 @@ def test_certification_budget_is_exactly_allocated():
     certified = set().union(ent._R01_CERTIFIED, ent._R02_CERTIFIED,
                             ent._R03_CERTIFIED, ent._R04_CERTIFIED,
                             ent._R05_CERTIFIED, ent._R06_CERTIFIED,
-                            ent._R07_CERTIFIED, ent._R08_CERTIFIED)
+                            ent._R07_CERTIFIED, ent._R08_CERTIFIED,
+                            ent._R09_CERTIFIED)
     head = [n for n in QUERIES if n not in certified]
     assert len(head) + len(ent._RECERTIFY) == 50, (
         f"head={len(head)} + recertify={len(ent._RECERTIFY)} != 50 — "
@@ -103,6 +104,8 @@ def test_frozen_r5_population_is_subset_of_registry():
     assert len(ent._R08_POPULATION) == 237
     assert set(ent._R09_POPULATION) <= set(QUERIES)
     assert len(ent._R09_POPULATION) == 260
+    assert set(ent._R10_POPULATION) <= set(QUERIES)
+    assert len(ent._R10_POPULATION) == 273
 
 
 def test_q11_nonempty_at_realistic_sf(spark):
