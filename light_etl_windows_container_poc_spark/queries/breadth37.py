@@ -460,3 +460,128 @@ def pipeline_e2e_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Grouped sketches + algebraic ROLLUP — the shape a 100 TB pipeline
+# actually runs: one quantile sketch PER SOURCE (every window
+# partitioned by source), then the corpus-level sketch obtained by
+# MERGING the 20 per-source sketches — never re-scanning the data —
+# and certified cell-identical to a direct global build (the exact
+# merge theorem applied at rollup granularity). cap=16 keeps every
+# per-source L* > 0 at sf0.01+ so the rollup exercises real
+# truncation, not the degenerate keep-everything case. Output: one row
+# per source (its L*, kept-cell count, n) plus the __all__ rollup row
+# carrying the direct-vs-merged sym-diff (identically 0).
+# --------------------------------------------------------------------------
+_QSRC_CAP = 16
+
+_QSRC_SQL = """
+lv AS (
+  SELECT source, doc_id AS key, n_chars AS val,
+         CAST(52 - length(bin(CAST(('0x' || substring(
+              md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)))
+              AS BIGINT) AS lvl
+  FROM documents),
+hist AS (SELECT source, lvl, CAST(count(*) AS BIGINT) AS cnt
+         FROM lv GROUP BY source, lvl),
+cg AS (SELECT source, lvl,
+              sum(cnt) OVER (PARTITION BY source ORDER BY lvl DESC)
+                AS cnt_ge
+       FROM hist),
+ls AS (SELECT source,
+              CAST(coalesce(max(CASE WHEN cnt_ge > 16 THEN lvl END) + 1,
+                            0) AS BIGINT) AS l_star
+       FROM cg GROUP BY source),
+nt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+       FROM lv GROUP BY source),
+kept AS (SELECT lv.source, lv.key, lv.val, lv.lvl, ls.l_star
+         FROM lv JOIN ls ON lv.source = ls.source
+         WHERE lv.lvl >= ls.l_star),
+g_hist AS (SELECT lvl, CAST(count(*) AS BIGINT) AS cnt
+           FROM lv GROUP BY lvl),
+g_cg AS (SELECT lvl, sum(cnt) OVER (ORDER BY lvl DESC) AS cnt_ge
+         FROM g_hist),
+g_ls AS (SELECT CAST(coalesce(max(CASE WHEN cnt_ge > 16 THEN lvl END)
+                              + 1, 0) AS BIGINT) AS l_star,
+                (SELECT CAST(count(*) AS BIGINT) FROM lv) AS n_total
+         FROM g_cg),
+g_kept AS (SELECT key FROM lv, g_ls WHERE lvl >= g_ls.l_star)
+"""
+
+
+@query("qsketch_by_source", oracle=f"""
+WITH {_QSRC_SQL}
+SELECT source, l_star, n_kept, n_total,
+       CAST(0 AS BIGINT) AS rollup_mismatch
+FROM (
+  SELECT k.source, max(k.l_star) AS l_star,
+         CAST(count(*) AS BIGINT) AS n_kept, max(nt.n_total) AS n_total
+  FROM kept k JOIN nt ON k.source = nt.source
+  GROUP BY k.source
+  UNION ALL
+  SELECT '__all__', g_ls.l_star,
+         (SELECT CAST(count(*) AS BIGINT) FROM g_kept),
+         g_ls.n_total
+  FROM g_ls)
+ORDER BY source
+""")
+def qsketch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.qsketch import qsketch_build, qsketch_level
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    lv = docs.select("source", F.col("doc_id").alias("key"),
+                     F.col("n_chars").alias("val"),
+                     qsketch_level(F.col("doc_id")).alias("lvl"))
+    hist = lv.groupBy("source", "lvl").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = (W.partitionBy("source").orderBy(F.desc("lvl"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    ls = (hist.withColumn("cnt_ge", F.sum("cnt").over(w))
+          .groupBy("source")
+          .agg(F.coalesce(
+              F.max(F.when(F.col("cnt_ge") > _QSRC_CAP, F.col("lvl")))
+              + 1, F.lit(0)).cast("long").alias("l_star"),
+              F.sum("cnt").cast("long").alias("n_total")))
+    kept = (lv.join(F.broadcast(ls), "source")
+            .filter(F.col("lvl") >= F.col("l_star")))
+
+    # the rollup: merge the 20 per-source sketches relationally (the
+    # read_qsketch shape — scalars from ls, cells from kept) and prove
+    # it cell-identical to a direct global build
+    scal = ls.agg(F.sum("n_total").cast("long").alias("n_total"),
+                  F.max("l_star").cast("long").alias("ls_floor"))
+    g_hist = kept.groupBy("lvl").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    gw = (W.orderBy(F.desc("lvl"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    g_over = (g_hist.withColumn("cnt_ge", F.sum("cnt").over(gw))
+              .agg(F.coalesce(
+                  F.max(F.when(F.col("cnt_ge") > _QSRC_CAP,
+                               F.col("lvl"))) + 1,
+                  F.lit(0)).cast("long").alias("l_over")))
+    g_ls = (g_over.crossJoin(F.broadcast(scal))
+            .select(F.greatest("l_over", "ls_floor").cast("long")
+                    .alias("l_star"), "n_total"))
+    merged = (kept.select("key", "val", "lvl")
+              .crossJoin(F.broadcast(g_ls))
+              .filter(F.col("lvl") >= F.col("l_star")))
+    direct = qsketch_build(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", _QSRC_CAP)
+    m_cells = merged.select("key", "val", "lvl")
+    d_cells = direct.select("key", "val", "lvl")
+    mism = (m_cells.exceptAll(d_cells)
+            .unionByName(d_cells.exceptAll(m_cells))
+            .agg(F.count(F.lit(1)).cast("long").alias("rollup_mismatch")))
+
+    per_src = (kept.groupBy("source")
+               .agg(F.max("l_star").cast("long").alias("l_star"),
+                    F.count(F.lit(1)).cast("long").alias("n_kept"),
+                    F.max("n_total").cast("long").alias("n_total"))
+               .withColumn("rollup_mismatch", F.lit(0).cast("long")))
+    g_row = (merged.agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+             .crossJoin(F.broadcast(g_ls))
+             .crossJoin(F.broadcast(mism))
+             .select(F.lit("__all__").alias("source"), "l_star",
+                     "n_kept", "n_total", "rollup_mismatch"))
+    return per_src.unionByName(g_row).orderBy("source")

@@ -57,6 +57,51 @@ def start_qsketch_stream(stream: DataFrame, state_dir: str,
             .start())
 
 
+def compact_qsketch_state(spark: SparkSession, state_dir: str,
+                          cap: int) -> None:
+    """Fold live partials into one ≤ cap-row generation via the shared
+    manifest protocol (heavy_hitters.compact_state has the crash-safety
+    argument). The merged sketch is EXACTLY sufficient compacted state,
+    not an approximation of it: future unions can only RAISE L* (cnt_ge
+    grows monotonically), so the kept cells at the current L* plus the
+    (l_star, n_total) scalars reproduce every future merge decision —
+    compaction is answer-invariant here like the additive payloads,
+    by the same theorem qsketch_merge proves."""
+    import json
+
+    live = live_partial_dirs(state_dir)
+    if not live:
+        return
+    from .heavy_hitters import _read_manifest
+
+    man = _read_manifest(state_dir)
+    gen = 0
+    if man["active"]:
+        gen = int(man["active"].rsplit("_", 1)[1])
+    new_tag = f"batch_tag=compacted_{gen + 1}"
+
+    merged = read_qsketch(spark, state_dir, cap)
+    staged = os.path.join(state_dir, "_compact_staging")
+    merged.write.mode("overwrite").parquet(staged)
+
+    import shutil
+
+    shutil.rmtree(os.path.join(state_dir, new_tag), ignore_errors=True)
+    os.rename(staged, os.path.join(state_dir, new_tag))
+
+    batch_ids = [int(d.split("=", 1)[1]) for d in live
+                 if not d.split("=", 1)[1].startswith("compacted")]
+    manifest = os.path.join(state_dir, "_compact_manifest.json")
+    watermark = max([man["max_subsumed_batch"], *batch_ids])
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"active": new_tag, "max_subsumed_batch": watermark}, f)
+    os.replace(tmp, manifest)
+
+    for d in live:
+        shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+
 def read_qsketch(spark: SparkSession, state_dir: str,
                  cap: int) -> DataFrame:
     """The merged sketch over everything ingested so far — the exact

@@ -102,6 +102,35 @@ def test_stream_state_replay_idempotent(spark, tmp_path):
     assert after == _cells(direct)
 
 
+def test_compaction_is_answer_invariant(spark, tmp_path):
+    """Folding partials into a compacted generation must not change the
+    merged sketch — before, after, and after a SECOND generation built
+    from the first compaction plus fresh batches (the kept cells at the
+    current L* plus scalars are exactly sufficient state, because
+    future unions can only raise L*)."""
+    from light_etl_windows_container_poc_spark.streaming.qsketch import (
+        compact_qsketch_state, qsketch_batch_handler, read_qsketch)
+
+    df = _synth(spark, 4000)
+    state = str(tmp_path / "state")
+    handler = qsketch_batch_handler(state, "k", "v", 64)
+    handler(df.filter(F.col("k") < 1500), 0)
+    handler(df.filter((F.col("k") >= 1500) & (F.col("k") < 2500)), 1)
+    part1 = df.filter(F.col("k") < 2500)
+    before = _cells(read_qsketch(spark, state, 64))
+    compact_qsketch_state(spark, state, 64)
+    after = _cells(read_qsketch(spark, state, 64))
+    assert before == after == _cells(qsketch_build(part1, "k", "v", 64))
+    assert os.path.isdir(os.path.join(state, "batch_tag=compacted_1"))
+
+    handler(df.filter(F.col("k") >= 2500), 2)
+    merged = _cells(read_qsketch(spark, state, 64))
+    assert merged == _cells(qsketch_build(df, "k", "v", 64))
+    compact_qsketch_state(spark, state, 64)
+    assert _cells(read_qsketch(spark, state, 64)) == merged
+    assert os.path.isdir(os.path.join(state, "batch_tag=compacted_2"))
+
+
 def test_hashed_query_plans_are_bounded(spark, sf_dir):
     """The qsketch queries must never window a data-sized relation:
     the only unpartitioned windows are the ≤ 53-row level histogram
@@ -111,6 +140,6 @@ def test_hashed_query_plans_are_bounded(spark, sf_dir):
     from light_etl_windows_container_poc_spark.queries import QUERIES
 
     for name in ("qsketch_build", "qsketch_rank_bounds",
-                 "qsketch_merge_consistent"):
+                 "qsketch_merge_consistent", "qsketch_by_source"):
         plan = formatted_plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
