@@ -102,6 +102,29 @@ def test_stream_state_replay_idempotent(spark, tmp_path):
     assert after == _cells(direct)
 
 
+def test_level_bridge_matches_duckdb_on_adversarial_keys(spark):
+    """The md5/bin level bridge must agree with DuckDB's replay beyond
+    the happy path: zero, negatives (cast-to-string sign rendering),
+    and magnitudes near the BIGINT edge."""
+    import duckdb
+
+    from light_etl_windows_container_poc_spark.operators.qsketch import \
+        qsketch_level
+
+    keys = [0, 1, -1, -5, 2**62, -(2**62), 999_999_999_999, 42, 7]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sp = {r["k"]: r["lvl"] for r in
+          df.select("k", qsketch_level(F.col("k")).alias("lvl"))
+          .collect()}
+    con = duckdb.connect()
+    for k in keys:
+        d = con.execute(
+            f"SELECT 52 - length(bin(CAST(('0x' || substring("
+            f"md5(CAST({k} AS VARCHAR)), 1, 13)) AS BIGINT)))"
+        ).fetchone()[0]
+        assert d == sp[k], (k, d, sp[k])
+
+
 def test_compaction_is_answer_invariant(spark, tmp_path):
     """Folding partials into a compacted generation must not change the
     merged sketch — before, after, and after a SECOND generation built
