@@ -46,8 +46,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MAX_LEVEL = 51  # 13 hex nibbles = 52 uniform bits; lvl = 52 − bit_length ∈ [0, 51]
-
 
 def qsketch_level(key: Column) -> Column:
     """Deterministic geometric level of one row key — the shared
@@ -98,19 +96,49 @@ def qsketch_build(df: DataFrame, key_col: str, val_col: str,
     """The full sketch relation: ≤ cap rows (key, val, lvl) with
     lvl ≥ L*, plus the l_star/n_total scalars on every row (they ARE
     part of the sketch — the estimator needs 2^L* and readers need n).
-    One scan, one ≤ 53-row histogram aggregate, one broadcast filter."""
+    One scan, one ≤ 53-row histogram aggregate, one broadcast filter.
+
+    Out-of-model corner (documented, not special-cased): the kept set
+    is empty for NON-empty input only when more than cap rows share
+    the maximum present level — probability < 2^−cap under md5, i.e.
+    only with hash-ADVERSARIAL keys, the regime that equally defeats
+    every md5-keyed sketch here (HLL, KMV, MinHash). A segment in that
+    state carries no rows, so downstream merges degrade to ignoring it
+    (null scalars are skipped by the merge aggregates) rather than
+    poisoning the result."""
     levels = qsketch_levels(df, key_col, val_col)
     ls = qsketch_lstar(qsketch_hist(levels), cap)
     return (levels.crossJoin(F.broadcast(ls))
             .filter(F.col("lvl") >= F.col("l_star")))
 
 
-def qsketch_est_rank(sketch: DataFrame, probe_val) -> Column:
-    """Aggregate column: estimated |{rows : val ≤ probe}| =
-    2^L* · |kept ≤ probe| (exact BIGINT arithmetic)."""
-    return F.sum(F.when(F.col("val") <= probe_val,
-                        F.expr("shiftleft(1L, cast(l_star AS int))"))
-                 .otherwise(F.lit(0))).cast("long")
+def merge_sketch_parts(cells: DataFrame, scal: DataFrame,
+                       cap: int) -> DataFrame:
+    """The shared L* re-decision over merged sketch parts — the ONE
+    implementation behind qsketch_merge, streaming read_qsketch, and
+    the grouped rollup (a fix here fixes all three or the certified
+    theorem diverges between them).
+
+    ``cells``: the union of kept (key, val, lvl) rows across segments
+    (disjoint per-segment row sets). ``scal``: one row (n_total,
+    ls_floor) — summed totals and the max per-segment L*. Re-decides
+    L* over the union histogram floored at ls_floor and filters; see
+    qsketch_merge for the exactness proof."""
+    from pyspark.sql import Window as W
+
+    hist = cells.groupBy("lvl").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = (W.orderBy(F.desc("lvl"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    over = (hist.withColumn("cnt_ge", F.sum("cnt").over(w))
+            .agg(F.coalesce(
+                F.max(F.when(F.col("cnt_ge") > cap, F.col("lvl"))) + 1,
+                F.lit(0)).cast("long").alias("l_over")))
+    ls = (over.crossJoin(F.broadcast(scal))
+          .select(F.greatest("l_over", "ls_floor").cast("long")
+                  .alias("l_star"), "n_total"))
+    return (cells.crossJoin(F.broadcast(ls))
+            .filter(F.col("lvl") >= F.col("l_star")))
 
 
 def qsketch_merge(sketches: list[DataFrame], cap: int) -> DataFrame:
@@ -143,18 +171,4 @@ def qsketch_merge(sketches: list[DataFrame], cap: int) -> DataFrame:
         scal = t if scal is None else scal.unionByName(t)
     scal = scal.agg(F.sum("nt").cast("long").alias("n_total"),
                     F.max("ls").cast("long").alias("ls_floor"))
-    hist = cells.groupBy("lvl").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"))
-    from pyspark.sql import Window as W
-
-    w = (W.orderBy(F.desc("lvl"))
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    cg = hist.withColumn("cnt_ge", F.sum("cnt").over(w))
-    over = cg.agg(
-        F.coalesce(F.max(F.when(F.col("cnt_ge") > cap, F.col("lvl"))) + 1,
-                   F.lit(0)).cast("long").alias("l_over"))
-    ls = (over.crossJoin(F.broadcast(scal))
-          .select(F.greatest("l_over", "ls_floor").cast("long")
-                  .alias("l_star"), "n_total"))
-    return (cells.crossJoin(F.broadcast(ls))
-            .filter(F.col("lvl") >= F.col("l_star")))
+    return merge_sketch_parts(cells, scal, cap)

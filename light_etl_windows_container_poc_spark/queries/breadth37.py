@@ -35,7 +35,7 @@ _QSK_CAP = 256
 # bits of the key); L* = (largest level whose suffix-count exceeds
 # cap) + 1 else 0; kept = rows at lvl ≥ L*. cnt_ge stays internal
 # (DuckDB window sums promote to HUGEINT — never exposed as output).
-_QSK_SQL = """
+_QSK_SQL = f"""
 lv AS (
   SELECT o_orderkey AS key,
          CAST(round(o_totalprice * 100) AS BIGINT) AS val,
@@ -45,7 +45,8 @@ lv AS (
   FROM orders),
 hist AS (SELECT lvl, CAST(count(*) AS BIGINT) AS cnt FROM lv GROUP BY lvl),
 cg AS (SELECT lvl, sum(cnt) OVER (ORDER BY lvl DESC) AS cnt_ge FROM hist),
-ls AS (SELECT CAST(coalesce(max(CASE WHEN cnt_ge > 256 THEN lvl END) + 1,
+ls AS (SELECT CAST(coalesce(max(CASE WHEN cnt_ge > {_QSK_CAP} THEN lvl
+                                       END) + 1,
                             0) AS BIGINT) AS l_star,
               (SELECT CAST(count(*) AS BIGINT) FROM lv) AS n_total
        FROM cg),
@@ -476,7 +477,7 @@ def pipeline_e2e_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _QSRC_CAP = 16
 
-_QSRC_SQL = """
+_QSRC_SQL = f"""
 lv AS (
   SELECT source, doc_id AS key, n_chars AS val,
          CAST(52 - length(bin(CAST(('0x' || substring(
@@ -490,7 +491,8 @@ cg AS (SELECT source, lvl,
                 AS cnt_ge
        FROM hist),
 ls AS (SELECT source,
-              CAST(coalesce(max(CASE WHEN cnt_ge > 16 THEN lvl END) + 1,
+              CAST(coalesce(max(CASE WHEN cnt_ge > {_QSRC_CAP} THEN lvl
+                                END) + 1,
                             0) AS BIGINT) AS l_star
        FROM cg GROUP BY source),
 nt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total
@@ -502,7 +504,8 @@ g_hist AS (SELECT lvl, CAST(count(*) AS BIGINT) AS cnt
            FROM lv GROUP BY lvl),
 g_cg AS (SELECT lvl, sum(cnt) OVER (ORDER BY lvl DESC) AS cnt_ge
          FROM g_hist),
-g_ls AS (SELECT CAST(coalesce(max(CASE WHEN cnt_ge > 16 THEN lvl END)
+g_ls AS (SELECT CAST(coalesce(max(CASE WHEN cnt_ge > {_QSRC_CAP} THEN lvl
+                                       END)
                               + 1, 0) AS BIGINT) AS l_star,
                 (SELECT CAST(count(*) AS BIGINT) FROM lv) AS n_total
          FROM g_cg),
@@ -546,26 +549,16 @@ def qsketch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (lv.join(F.broadcast(ls), "source")
             .filter(F.col("lvl") >= F.col("l_star")))
 
-    # the rollup: merge the 20 per-source sketches relationally (the
-    # read_qsketch shape — scalars from ls, cells from kept) and prove
-    # it cell-identical to a direct global build
+    # the rollup: merge the 20 per-source sketches relationally through
+    # the ONE shared L* re-decision (operators/qsketch.py
+    # merge_sketch_parts — also behind qsketch_merge and the streaming
+    # reader) and prove it cell-identical to a direct global build
+    from ..operators.qsketch import merge_sketch_parts
+
     scal = ls.agg(F.sum("n_total").cast("long").alias("n_total"),
                   F.max("l_star").cast("long").alias("ls_floor"))
-    g_hist = kept.groupBy("lvl").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"))
-    gw = (W.orderBy(F.desc("lvl"))
-          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    g_over = (g_hist.withColumn("cnt_ge", F.sum("cnt").over(gw))
-              .agg(F.coalesce(
-                  F.max(F.when(F.col("cnt_ge") > _QSRC_CAP,
-                               F.col("lvl"))) + 1,
-                  F.lit(0)).cast("long").alias("l_over")))
-    g_ls = (g_over.crossJoin(F.broadcast(scal))
-            .select(F.greatest("l_over", "ls_floor").cast("long")
-                    .alias("l_star"), "n_total"))
-    merged = (kept.select("key", "val", "lvl")
-              .crossJoin(F.broadcast(g_ls))
-              .filter(F.col("lvl") >= F.col("l_star")))
+    merged = merge_sketch_parts(kept.select("key", "val", "lvl"),
+                                scal, _QSRC_CAP)
     direct = qsketch_build(
         docs.select("doc_id", "n_chars"), "doc_id", "n_chars", _QSRC_CAP)
     m_cells = merged.select("key", "val", "lvl")
@@ -579,8 +572,9 @@ def qsketch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count(F.lit(1)).cast("long").alias("n_kept"),
                     F.max("n_total").cast("long").alias("n_total"))
                .withColumn("rollup_mismatch", F.lit(0).cast("long")))
-    g_row = (merged.agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
-             .crossJoin(F.broadcast(g_ls))
+    g_row = (merged.agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                        F.max("l_star").cast("long").alias("l_star"),
+                        F.max("n_total").cast("long").alias("n_total"))
              .crossJoin(F.broadcast(mism))
              .select(F.lit("__all__").alias("source"), "l_star",
                      "n_kept", "n_total", "rollup_mismatch"))

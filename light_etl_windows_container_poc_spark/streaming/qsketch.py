@@ -80,7 +80,11 @@ def compact_qsketch_state(spark: SparkSession, state_dir: str,
         gen = int(man["active"].rsplit("_", 1)[1])
     new_tag = f"batch_tag=compacted_{gen + 1}"
 
-    merged = read_qsketch(spark, state_dir, cap)
+    # merge from the SNAPSHOT of live dirs (not a re-listing): a batch
+    # landing between the snapshot and the merge would otherwise be
+    # folded into the new generation while staying above the watermark
+    # — double-counted by every later read (the heavy_hitters guard)
+    merged = _merged_over(spark, state_dir, live, cap)
     staged = os.path.join(state_dir, "_compact_staging")
     merged.write.mode("overwrite").parquet(staged)
 
@@ -102,35 +106,31 @@ def compact_qsketch_state(spark: SparkSession, state_dir: str,
         shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
 
-def read_qsketch(spark: SparkSession, state_dir: str,
+def _merged_over(spark: SparkSession, state_dir: str, dirs: list[str],
                  cap: int) -> DataFrame:
-    """The merged sketch over everything ingested so far — the exact
-    qsketch_merge over the live batch partials, expressed over one
-    partitioned read (batch_tag is the segment id). Returns
-    qsketch_build's shape: (key, val, lvl, l_star, n_total)."""
-    from pyspark.sql import Window as W
+    """The exact merge over a FIXED snapshot of partial dirs (batch_tag
+    is the segment id) — one partitioned read, then the shared
+    merge_sketch_parts decision. Key/val types are taken from the
+    parquet footers the handler wrote, so any key/val column types the
+    builder accepts round-trip (only lvl/l_star/n_total are fixed
+    BIGINT by construction)."""
+    from ..operators.qsketch import merge_sketch_parts
 
-    dirs = live_partial_dirs(state_dir)
-    if not dirs:
-        return spark.createDataFrame([], _SCHEMA)
     u = (spark.read.option("basePath", state_dir)
-         .schema(_SCHEMA + ", batch_tag string")
          .parquet(*[os.path.join(state_dir, d) for d in dirs]))
     scal = (u.groupBy("batch_tag")
             .agg(F.max("n_total").alias("nt"), F.max("l_star").alias("ls"))
             .agg(F.sum("nt").cast("long").alias("n_total"),
                  F.max("ls").cast("long").alias("ls_floor")))
-    cells = u.select("key", "val", "lvl")
-    hist = cells.groupBy("lvl").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"))
-    w = (W.orderBy(F.desc("lvl"))
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    over = (hist.withColumn("cnt_ge", F.sum("cnt").over(w))
-            .agg(F.coalesce(
-                F.max(F.when(F.col("cnt_ge") > cap, F.col("lvl"))) + 1,
-                F.lit(0)).cast("long").alias("l_over")))
-    ls = (over.crossJoin(F.broadcast(scal))
-          .select(F.greatest("l_over", "ls_floor").cast("long")
-                  .alias("l_star"), "n_total"))
-    return (cells.crossJoin(F.broadcast(ls))
-            .filter(F.col("lvl") >= F.col("l_star")))
+    return merge_sketch_parts(u.select("key", "val", "lvl"), scal, cap)
+
+
+def read_qsketch(spark: SparkSession, state_dir: str,
+                 cap: int) -> DataFrame:
+    """The merged sketch over everything ingested so far — the exact
+    qsketch_merge over the live batch partials. Returns
+    qsketch_build's shape: (key, val, lvl, l_star, n_total)."""
+    dirs = live_partial_dirs(state_dir)
+    if not dirs:
+        return spark.createDataFrame([], _SCHEMA)
+    return _merged_over(spark, state_dir, dirs, cap)
