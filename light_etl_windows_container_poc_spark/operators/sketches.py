@@ -1,4 +1,5 @@
-"""Mergeable frequency sketches: distributed Misra-Gries heavy hitters.
+"""Mergeable frequency sketches: distributed Misra-Gries heavy hitters,
+the Count-Min grid, and the AMS second-frequency-moment estimator.
 
 The reference's warehouse answers "top values by frequency" with full
 GROUP BY counts (tasks_postgres.py:237-263 job-status rollups); at
@@ -138,3 +139,67 @@ def cm_point_query(counters: DataFrame, keys: DataFrame, key_col: str,
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("est_cnt")))
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2 sketch: the second-frequency-moment /
+# SELF-JOIN-SIZE estimator — the statistic a join planner wants before
+# committing a 100 TB shuffle (F2 = |R ⋈ R| on the join key; a skewed
+# key inflates it quadratically, so F2/n² is the canonical skew score).
+# State is `counters` signed sums X_j = Σ_v f_v·sign_j(v) with
+# sign_j(v) = ±1 drawn from the md5 bridge — E[X_j²] = F2 exactly, and
+# the sketch MERGES BY PLAIN ADDITION (X_j is linear in the rows), so
+# any partitioning, micro-batching, or replay-overwrite produces the
+# identical counter vector. All arithmetic is integer: every cell is
+# DuckDB-replayable, and X_j ≤ n keeps X_j² within BIGINT at any
+# realistic n.
+# ---------------------------------------------------------------------------
+def ams_sign(seed_col, key_col):
+    """±1 from one md5-bridge bit: first hex nibble of md5(seed:key)
+    mod 2, mapped 0→+1 / 1→−1. DuckDB twin:
+    1 - 2*(CAST(('0x'||substring(md5(seed||':'||key),1,1)) AS BIGINT)%2)."""
+    bit = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", seed_col.cast("string"),
+                              key_col.cast("string"))), 1, 1),
+        16, 10).cast("long") % 2
+    return F.lit(1) - F.lit(2) * bit
+
+
+def ams_build(df: DataFrame, col: str, counters: int) -> DataFrame:
+    """The signed counter vector: (j, x) for j in 0..counters-1.
+
+    The explode multiplies rows by `counters` before the aggregate, but
+    map-side partial aggregation compresses each task to `counters`
+    cells — the shuffle carries tasks*counters rows, independent of
+    input size or key cardinality (the cm_build shape).
+    """
+    seeds = F.array(*[F.lit(s) for s in range(counters)])
+    return (df.select(F.explode(seeds).alias("j"), F.col(col).alias("k"))
+            .select("j", ams_sign(F.col("j"), F.col("k")).alias("s"))
+            .groupBy("j")
+            .agg(F.sum("s").cast("long").alias("x")))
+
+
+def ams_f2_estimate(counter_df: DataFrame, counters: int,
+                    groups: int) -> DataFrame:
+    """Median-of-means over the counter vector, kept in exact integers.
+
+    Counters split into `groups` blocks of per = counters/groups each;
+    block sum S_g = Σ x_j² is an integer, the block mean is S_g/per,
+    and the (even-count) median of means is (S_(mid) + S_(mid+1)) /
+    (2·per). So the estimate scaled by 2·per — the sum of the two
+    middle order statistics — is exact BIGINT arithmetic with no
+    division anywhere: the caller compares est_x2p against (2·per)·F2
+    instead of est against F2. One row out: (est_x2p,).
+    """
+    per = counters // groups
+    s = (counter_df
+         .groupBy((F.col("j") / per).cast("int").alias("g"))
+         .agg(F.sum(F.col("x") * F.col("x")).cast("long").alias("sg")))
+    from pyspark.sql import Window
+    rk = s.withColumn("rn", F.row_number().over(
+        Window.orderBy("sg")))  # `groups` rows — bounded global window
+    mid = (groups // 2, groups // 2 + 1)
+    return (rk.filter(F.col("rn").isin(*mid))
+            .agg(F.sum("sg").cast("long").alias("est_x2p")))

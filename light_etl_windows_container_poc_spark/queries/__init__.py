@@ -51,3 +51,4 @@ from . import breadth34  # noqa: F401,E402
 from . import breadth35  # noqa: F401,E402
 from . import breadth36  # noqa: F401,E402
 from . import breadth37  # noqa: F401,E402
+from . import breadth38  # noqa: F401,E402
