@@ -52,3 +52,4 @@ from . import breadth35  # noqa: F401,E402
 from . import breadth36  # noqa: F401,E402
 from . import breadth37  # noqa: F401,E402
 from . import breadth38  # noqa: F401,E402
+from . import breadth39  # noqa: F401,E402

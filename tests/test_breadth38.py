@@ -188,3 +188,21 @@ def test_kmv_compaction_is_answer_invariant_and_append_safe(spark,
     kmv_batch_handler(state, "token", k)(_df(spark, extra), 99)
     assert _hashes(read_kmv(spark, state, k)) == _hashes(
         kmv_of(_df(spark, rows + extra), "token", k))
+
+
+def test_r10_wave23_plans_clean(spark, sf_dir):
+    """The AMS/sampling/graph wave must stay cartesian-free and keep
+    its scale shapes: AMS builds are map-side-combined groupBys to
+    bounded cells (the 1-row estimate crossJoin broadcasts), the
+    sampling queries compile their top-k to TakeOrderedAndProject
+    (per-partition top-k + driver merge, never a global Sort), and
+    the clustering-coefficient joins are all equi-joins."""
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+    from light_etl_windows_container_poc_spark.queries import QUERIES
+
+    for name in ("ams_f2_sketch", "ams_f2_bounds",
+                 "weighted_sample_merge", "graph_clustering_coeff"):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        if name == "weighted_sample_merge":
+            assert "TakeOrderedAndProject" in plan, name
