@@ -155,10 +155,17 @@ def qsketch_merge(sketches: list[DataFrame], cap: int) -> DataFrame:
     build's L*. Each input must be qsketch_build's output shape (its
     full kept set with l_star/n_total on every row); per-segment rows
     must be disjoint across inputs."""
-    u = sketches[0].select("key", "val", "lvl", "l_star", "n_total")
+    if not sketches:
+        raise ValueError("qsketch_merge needs at least one sketch")
+    # pin each ≤ cap-row input once: its rows feed the cells union AND
+    # the scalar aggregate, and the merged cells are scanned twice more
+    # downstream (histogram + final filter) — without the checkpoint
+    # every input's full build lineage re-executes ~3×
+    sketches = [s.select("key", "val", "lvl", "l_star", "n_total")
+                .localCheckpoint(eager=True) for s in sketches]
+    u = sketches[0]
     for s in sketches[1:]:
-        u = u.unionByName(s.select("key", "val", "lvl", "l_star",
-                                   "n_total"))
+        u = u.unionByName(s)
     cells = u.select("key", "val", "lvl")
     # per-segment scalars: n_total sums, the L* floor is the max —
     # each segment's scalars are constant over its rows, so max/sum of

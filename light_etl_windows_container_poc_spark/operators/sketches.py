@@ -193,6 +193,13 @@ def ams_f2_estimate(counter_df: DataFrame, counters: int,
     division anywhere: the caller compares est_x2p against (2·per)·F2
     instead of est against F2. One row out: (est_x2p,).
     """
+    if counters % groups or groups % 2:
+        # a runt group would bias the group means, and an odd group
+        # count makes "the two middle order statistics" the wrong
+        # median form — both silently, so reject loudly instead
+        raise ValueError(
+            f"ams_f2_estimate needs groups | counters and an even "
+            f"group count, got counters={counters} groups={groups}")
     per = counters // groups
     s = (counter_df
          .groupBy((F.col("j") / per).cast("int").alias("g"))

@@ -121,8 +121,15 @@ def read_heavy_hitters(spark: SparkSession, state_dir: str,
     return mg_merge(partials, k)
 
 
-def compact_state(spark: SparkSession, state_dir: str, k: int) -> None:
-    """Fold the live partials into one <= k-row summary generation.
+def compact_via_manifest(state_dir: str, merge_live) -> None:
+    """The ONE generation-manifest compaction sequence every sketch
+    payload shares (heavy-hitters/Count-Min/histogram/HLL/qsketch/AMS/
+    KMV/reservoir differ only in how partials merge, so the merge is
+    the single injected step: ``merge_live(live_dirs) -> DataFrame``
+    is computed from the passed SNAPSHOT of live dir names, never a
+    re-listing — a batch landing while the merge runs must stay out of
+    this generation or it would be counted both in the summary and as
+    a live partial).
 
     Crash-safe ordering — no step deletes data that is not yet
     replaced by a PUBLISHED equivalent:
@@ -134,11 +141,15 @@ def compact_state(spark: SparkSession, state_dir: str, k: int) -> None:
        the new generation active and raising the subsumed-batch
        watermark over every folded id — the single publication point;
     4. only then delete the subsumed dirs (storage sweep; readers
-       already skip them).
+       already skip them). The sweep removes every numeric batch_tag
+       at or below the NEW watermark — not just the snapshot — so a
+       crash-replayed batch that rewrote an already-subsumed tag (its
+       dir is invisible to readers but was previously orphaned on
+       disk forever) is reclaimed here too.
 
     A crash at any point leaves a state whose read-time merge equals
-    the pre- or post-compaction summary exactly; re-running
-    ``compact_state`` sweeps any orphan staging/unpublished dirs."""
+    the pre- or post-compaction summary exactly; re-running the
+    compactor sweeps any orphan staging/unpublished dirs."""
     import json
     import shutil
 
@@ -151,14 +162,7 @@ def compact_state(spark: SparkSession, state_dir: str, k: int) -> None:
         gen = int(man["active"].rsplit("_", 1)[1])
     new_tag = f"batch_tag=compacted_{gen + 1}"
 
-    # merge from the SNAPSHOT of live dirs (not a re-listing): a batch
-    # landing while the merge runs must stay out of this generation or
-    # it would be counted both in the summary and as a live partial
-    from ..operators.sketches import mg_merge
-
-    paths = [os.path.join(state_dir, d) for d in live]
-    merged = mg_merge(spark.read.schema(_SCHEMA).parquet(*paths)
-                      .select("token", "est"), k)
+    merged = merge_live(live)
     staged = os.path.join(state_dir, "_compact_staging")
     merged.write.mode("overwrite").parquet(staged)
 
@@ -174,5 +178,28 @@ def compact_state(spark: SparkSession, state_dir: str, k: int) -> None:
         json.dump({"active": new_tag, "max_subsumed_batch": watermark}, f)
     os.replace(tmp, os.path.join(state_dir, _MANIFEST))
 
-    for d in live:
-        shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+    old_active = man["active"]
+    for d in sorted(os.listdir(state_dir)):
+        if not d.startswith("batch_tag="):
+            continue
+        tag = d.split("=", 1)[1]
+        if tag.startswith("compacted"):
+            if d == old_active:  # replaced generation
+                shutil.rmtree(os.path.join(state_dir, d),
+                              ignore_errors=True)
+        elif int(tag) <= watermark:  # subsumed + crash-replay orphans
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+
+def compact_state(spark: SparkSession, state_dir: str, k: int) -> None:
+    """Fold the live partials into one <= k-row summary generation via
+    the shared ``compact_via_manifest`` sequence (whose docstring is
+    the crash-safety specification)."""
+    from ..operators.sketches import mg_merge
+
+    def merge(live: list[str]) -> DataFrame:
+        paths = [os.path.join(state_dir, d) for d in live]
+        return mg_merge(spark.read.schema(_SCHEMA).parquet(*paths)
+                        .select("token", "est"), k)
+
+    compact_via_manifest(state_dir, merge)

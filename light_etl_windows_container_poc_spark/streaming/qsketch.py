@@ -67,43 +67,10 @@ def compact_qsketch_state(spark: SparkSession, state_dir: str,
     (l_star, n_total) scalars reproduce every future merge decision —
     compaction is answer-invariant here like the additive payloads,
     by the same theorem qsketch_merge proves."""
-    import json
+    from .heavy_hitters import compact_via_manifest
 
-    live = live_partial_dirs(state_dir)
-    if not live:
-        return
-    from .heavy_hitters import _read_manifest
-
-    man = _read_manifest(state_dir)
-    gen = 0
-    if man["active"]:
-        gen = int(man["active"].rsplit("_", 1)[1])
-    new_tag = f"batch_tag=compacted_{gen + 1}"
-
-    # merge from the SNAPSHOT of live dirs (not a re-listing): a batch
-    # landing between the snapshot and the merge would otherwise be
-    # folded into the new generation while staying above the watermark
-    # — double-counted by every later read (the heavy_hitters guard)
-    merged = _merged_over(spark, state_dir, live, cap)
-    staged = os.path.join(state_dir, "_compact_staging")
-    merged.write.mode("overwrite").parquet(staged)
-
-    import shutil
-
-    shutil.rmtree(os.path.join(state_dir, new_tag), ignore_errors=True)
-    os.rename(staged, os.path.join(state_dir, new_tag))
-
-    batch_ids = [int(d.split("=", 1)[1]) for d in live
-                 if not d.split("=", 1)[1].startswith("compacted")]
-    manifest = os.path.join(state_dir, "_compact_manifest.json")
-    watermark = max([man["max_subsumed_batch"], *batch_ids])
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"active": new_tag, "max_subsumed_batch": watermark}, f)
-    os.replace(tmp, manifest)
-
-    for d in live:
-        shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+    compact_via_manifest(
+        state_dir, lambda live: _merged_over(spark, state_dir, live, cap))
 
 
 def _merged_over(spark: SparkSession, state_dir: str, dirs: list[str],

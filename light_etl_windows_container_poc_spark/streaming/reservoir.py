@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from .heavy_hitters import _MANIFEST, _read_manifest, live_partial_dirs
+from .heavy_hitters import live_partial_dirs
 
 _SCHEMA = "doc_id long, w long, lu_micro long"
 
@@ -99,35 +99,13 @@ def read_reservoir(spark: SparkSession, state_dir: str,
 def compact_reservoir_state(spark: SparkSession, state_dir: str,
                             k: int) -> None:
     """Fold live partials into one ≤ k-row generation via the shared
-    manifest protocol (answer-invariant by the top-k subset theorem)."""
-    import json
-    import shutil
+    manifest protocol (heavy_hitters.compact_via_manifest;
+    answer-invariant by the top-k subset theorem)."""
+    from .heavy_hitters import compact_via_manifest
 
-    live = live_partial_dirs(state_dir)
-    if not live:
-        return
-    man = _read_manifest(state_dir)
-    gen = 0
-    if man["active"]:
-        gen = int(man["active"].rsplit("_", 1)[1])
-    new_tag = f"batch_tag=compacted_{gen + 1}"
+    def merge(live: list[str]) -> DataFrame:
+        paths = [os.path.join(state_dir, d) for d in live]
+        return reservoir_topk(
+            spark.read.schema(_SCHEMA).parquet(*paths).distinct(), k)
 
-    paths = [os.path.join(state_dir, d) for d in live]
-    merged = reservoir_topk(
-        spark.read.schema(_SCHEMA).parquet(*paths).distinct(), k)
-    staged = os.path.join(state_dir, "_compact_staging")
-    merged.write.mode("overwrite").parquet(staged)
-
-    shutil.rmtree(os.path.join(state_dir, new_tag), ignore_errors=True)
-    os.rename(staged, os.path.join(state_dir, new_tag))
-
-    batch_ids = [int(d.split("=", 1)[1]) for d in live
-                 if not d.split("=", 1)[1].startswith("compacted")]
-    watermark = max([man["max_subsumed_batch"], *batch_ids])
-    tmp = os.path.join(state_dir, _MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump({"active": new_tag, "max_subsumed_batch": watermark}, f)
-    os.replace(tmp, os.path.join(state_dir, _MANIFEST))
-
-    for d in live:
-        shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+    compact_via_manifest(state_dir, merge)

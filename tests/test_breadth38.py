@@ -206,3 +206,28 @@ def test_r10_wave23_plans_clean(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         if name == "weighted_sample_merge":
             assert "TakeOrderedAndProject" in plan, name
+
+
+def test_compaction_sweeps_crash_replayed_subsumed_batch(spark, tmp_path):
+    """A crash-replay can rewrite a batch_tag at or below the
+    compaction watermark: readers already ignore it, but before the
+    shared-sweep fix the dir leaked on disk forever. The next
+    compaction must reclaim it without changing the answer."""
+    src, rows, b0 = _stream_src(tmp_path)
+    state = str(tmp_path / "state")
+    s = (spark.readStream.schema(SCHEMA)
+         .option("maxFilesPerTrigger", 1).json(str(src)))
+    start_ams_stream(s, state, str(tmp_path / "ckpt"), "token", 16
+                     ).awaitTermination(120)
+    compact_ams_state(spark, state)  # watermark now covers batch 0/1
+    answer = _vec(read_ams(spark, state))
+    # crash-replay batch 0 AFTER compaction: orphan dir below watermark
+    ams_batch_handler(state, "token", 16)(_df(spark, b0), 0)
+    assert os.path.isdir(os.path.join(state, "batch_tag=0"))
+    assert _vec(read_ams(spark, state)) == answer  # readers ignore it
+    # a real new batch + the next compaction sweeps the orphan
+    ams_batch_handler(state, "token", 16)(_df(spark, ["zz"]), 99)
+    compact_ams_state(spark, state)
+    assert not os.path.isdir(os.path.join(state, "batch_tag=0"))
+    expect = _vec(ams_build(_df(spark, rows + ["zz"]), "token", 16))
+    assert _vec(read_ams(spark, state)) == expect

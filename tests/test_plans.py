@@ -334,20 +334,27 @@ def test_r9_drift_family_plans_clean(spark, sf_dir):
 
 
 def _pair_join_inputs_contain(plan: str, needle: str) -> bool:
-    """True iff the plan's SortMergeJoin (the pair self-join) has
-    `needle` in BOTH child subtrees of the formatted tree text."""
+    """True iff EVERY SortMergeJoin in the formatted tree has `needle`
+    in BOTH child subtrees (checking only the first join would let a
+    future extra SMJ shadow the pair self-join the cap test exists
+    for — there must be at least one)."""
     lines = plan.splitlines()
+    found = False
     for i, line in enumerate(lines):
-        if "SortMergeJoin" not in line:
+        # tree nodes only — the formatted details section repeats the
+        # operator name as "(NN) SortMergeJoin" with no subtree under it
+        if "SortMergeJoin" not in line or "+-" not in line:
             continue
+        found = True
         pos = (line.index("+-") + 3) if "+-" in line else 0
         left, right = [], []
         for m in lines[i + 1:]:
             if len(m) <= pos or m[pos] not in ":+ ":
                 break
             (left if m[pos] == ":" else right).append(m)
-        return needle in "\n".join(left) and needle in "\n".join(right)
-    return False
+        if not (needle in "\n".join(left) and needle in "\n".join(right)):
+            return False
+    return found
 
 
 def test_adamic_adar_pair_join_is_degree_capped(spark, sf_dir):
