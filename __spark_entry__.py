@@ -227,25 +227,26 @@ _R09_CERTIFIED = [
 ]
 
 # Round-10 recertification allocation (head + this list == 50, the
-# driver's per-round budget; test-locked). Head = this round's 16 new
+# driver's per-round budget; test-locked). Head = this round's 18 new
 # queries (the qsketch family qsketch_build / qsketch_rank_bounds /
 # qsketch_merge_consistent / stream_qsketch_cert / qsketch_by_source,
 # the two r9 verdict asks ann_append_cert and pipeline_e2e_cert, the
 # AMS/stream-sketch wave ams_f2_sketch / ams_f2_bounds /
 # stream_ams_cert / stream_kmv_cert, the sampling/graph wave
 # weighted_sample_merge / stream_reservoir_cert /
-# graph_clustering_coeff, and the sketch-application wave
-# hll_rolling_uniques / cm_join_size). The 34 recertify slots:
+# graph_clustering_coeff / reservoir_by_source, and the sketch-
+# application wave hll_rolling_uniques / cm_join_size /
+# ams_skew_by_type). The 32 recertify slots:
 # graph_adamic_adar FIRST (its pair join was rebuilt this round —
 # degree cap now applied BEFORE pairing — so its r9 certification no
 # longer covers the shipped plan), then ALL 31 remaining r4-latest
 # rows (the staleness tail the r9 verdict named; q7_volume_shipping
 # additionally carries this round's data-adaptive nation-pair
-# rewrite), then the 2 alphabetically-first of the 45 r5-latest rows
-# (agg_incremental_merge, ann_ivf). After this round no query's
-# latest certification predates r5, and forty-three r5 rows remain
-# (anti_contamination_split first) — they head the r11 recertify
-# list.
+# rewrite). The head is now at its 18-slot ceiling (50 − the 32
+# mandatory recertifications: adamic + the 31 r4 rows). After this
+# round no query's latest certification predates r5, and all
+# forty-five r5-latest rows remain (agg_incremental_merge first) —
+# they head the r11 recertify list.
 _RECERTIFY = [
     "graph_adamic_adar", "dedup_embedding_blocked", "dedup_keep_one",
     "dedup_minhash_lsh", "domain_temperature_sample", "dsir_weights",
@@ -257,7 +258,6 @@ _RECERTIFY = [
     "simhash_pigeonhole", "sketch_hll_bounds", "sketch_hll_merge_consistent",
     "sketch_pct_bounds", "stream_stateful_final", "topk_per_group",
     "unpivot_long", "window_lag_delta", "window_running",
-    "agg_incremental_merge", "ann_ivf",
 ]
 
 

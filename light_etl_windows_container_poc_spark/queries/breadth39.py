@@ -105,6 +105,61 @@ def stream_reservoir_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# GROUPED weighted sampling + algebraic rollup — the per-shard form of
+# weighted_sample_merge (the shape a 100 TB pipeline runs: one ≤k-row
+# sample per source/shard/day kept next to the data, the corpus sample
+# obtained by re-selecting over the bounded union WITHOUT rescanning).
+# The subset theorem requires per-group k ≥ global k, so both are 25
+# here. Certified: the global top-25 built from per-source partitioned-
+# window top-25s equals the direct one-shot sample (oracle), with the
+# contributing source on every row.
+# --------------------------------------------------------------------------
+_RSV_GK = 25
+
+
+@query("reservoir_by_source", oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS w,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, w,
+         CAST(round(1000000 * ln((h + 1) / 4294967296.0)) AS BIGINT)
+           AS lu_micro
+  FROM d
+)
+SELECT doc_id, source, w, lu_micro
+FROM p
+ORDER BY CAST(lu_micro AS DOUBLE) / w DESC, doc_id
+LIMIT {_RSV_GK}
+""")
+def reservoir_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source samples via a PARTITIONED window (every source's
+    top-25 in one shuffle keyed by source), rollup = top-25 of the
+    ≤ 25·|sources| union — never a data-sized global sort."""
+    from pyspark.sql import Window as W
+
+    from ..streaming.reservoir import reservoir_topk
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    d = docs.select("doc_id", "source",
+                    F.length("text").cast("long").alias("w"), h.alias("h"))
+    lu = F.round(1_000_000 * F.log((F.col("h") + 1) / F.lit(4294967296.0)))
+    cands = d.select("doc_id", "source", "w",
+                     lu.cast("long").alias("lu_micro"))
+    pri = F.col("lu_micro").cast("double") / F.col("w")
+    per_src = (cands.withColumn(
+        "rn", F.row_number().over(
+            W.partitionBy("source").orderBy(pri.desc(), "doc_id")))
+        .filter(F.col("rn") <= _RSV_GK).drop("rn"))
+    return reservoir_topk(per_src, _RSV_GK)
+
+
+# --------------------------------------------------------------------------
 # Per-node LOCAL clustering coefficient over the top-30 co-occurrence
 # graph: cc(u) = 2·T(u) / (deg(u)·(deg(u)−1)) for deg ≥ 2, where T(u)
 # counts triangles through u — all integer-exact (T from the same

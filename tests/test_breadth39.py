@@ -133,3 +133,16 @@ def test_clustering_coeff_closed_triangle_plus_pendant(spark):
     assert t == {"a": 1, "b": 1, "c": 1}
     # cc: a,b = 2*1/(2*1) = 1.0 ; c = 2*1/(3*2) = 1/3 ; d excluded
     assert (2 * t["c"]) / (deg["c"] * (deg["c"] - 1)) == 1 / 3
+
+
+def test_reservoir_by_source_plan_is_partitioned_and_bounded(spark,
+                                                             sf_dir):
+    """The grouped sample's window must be PARTITIONED (by source) and
+    the rollup a TakeOrderedAndProject over the bounded union — never
+    an unpartitioned data-sized window or global sort."""
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+    from light_etl_windows_container_poc_spark.queries import QUERIES
+
+    plan = formatted_plan(QUERIES["reservoir_by_source"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

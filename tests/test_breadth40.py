@@ -54,6 +54,7 @@ def test_r10_wave4_plans_clean(spark, sf_dir):
     from light_etl_windows_container_poc_spark.plans import formatted_plan
     from light_etl_windows_container_poc_spark.queries import QUERIES
 
-    for name in ("hll_rolling_uniques", "cm_join_size"):
+    for name in ("hll_rolling_uniques", "cm_join_size",
+                 "ams_skew_by_type"):
         plan = formatted_plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
