@@ -546,8 +546,13 @@ def qsketch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.max(F.when(F.col("cnt_ge") > _QSRC_CAP, F.col("lvl")))
               + 1, F.lit(0)).cast("long").alias("l_star"),
               F.sum("cnt").cast("long").alias("n_total")))
+    # pin the per-source kept cells once (≤ |sources|·(cap+ties) rows):
+    # they feed the merge histogram, the merge filter, the per-source
+    # aggregate, and the mismatch probe — without the checkpoint the
+    # docs-scan + window lineage re-executes for every consumer
     kept = (lv.join(F.broadcast(ls), "source")
-            .filter(F.col("lvl") >= F.col("l_star")))
+            .filter(F.col("lvl") >= F.col("l_star"))
+            .localCheckpoint(eager=True))
 
     # the rollup: merge the 20 per-source sketches relationally through
     # the ONE shared L* re-decision (operators/qsketch.py
@@ -558,14 +563,21 @@ def qsketch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     scal = ls.agg(F.sum("n_total").cast("long").alias("n_total"),
                   F.max("l_star").cast("long").alias("ls_floor"))
     merged = merge_sketch_parts(kept.select("key", "val", "lvl"),
-                                scal, _QSRC_CAP)
+                                scal, _QSRC_CAP).localCheckpoint(eager=True)
     direct = qsketch_build(
-        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", _QSRC_CAP)
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars",
+        _QSRC_CAP).localCheckpoint(eager=True)
+    # multiset symmetric difference in ONE aggregation instead of two
+    # exceptAll shuffles: Σ_cells |count_merged − count_direct| — equal
+    # to |merged ∖ direct| + |direct ∖ merged| by definition
     m_cells = merged.select("key", "val", "lvl")
     d_cells = direct.select("key", "val", "lvl")
-    mism = (m_cells.exceptAll(d_cells)
-            .unionByName(d_cells.exceptAll(m_cells))
-            .agg(F.count(F.lit(1)).cast("long").alias("rollup_mismatch")))
+    mism = (m_cells.withColumn("sgn", F.lit(1))
+            .unionByName(d_cells.withColumn("sgn", F.lit(-1)))
+            .groupBy("key", "val", "lvl")
+            .agg(F.sum("sgn").alias("d"))
+            .agg(F.coalesce(F.sum(F.abs(F.col("d"))), F.lit(0))
+                 .cast("long").alias("rollup_mismatch")))
 
     per_src = (kept.groupBy("source")
                .agg(F.max("l_star").cast("long").alias("l_star"),
