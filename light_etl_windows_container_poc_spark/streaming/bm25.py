@@ -1,0 +1,162 @@
+"""Streaming inverted-index maintenance for BM25 ranked retrieval —
+the lexical-search index of queries/breadth14.bm25_search kept fresh
+from a Structured Streaming source via foreachBatch, completing the
+index-maintenance trio (ANN vectors: ann_maintenance.py; minhash
+near-dup: operators/incremental.py; lexical postings: here). A 100 TB
+corpus grows by appends; rebuilding a corpus-wide index per batch is a
+full rescan, while this maintainer lands each micro-batch's OWN
+postings under its batch_tag and serves queries from the read-time
+union.
+
+Exactness: postings partition BY DOCUMENT, and an append-only corpus
+means batches carry disjoint doc_id sets (same disjointness contract as
+qsketch_merge's segments), so the union of per-batch partials IS the
+inverted index of the full corpus — cell-for-cell, no reconciliation
+step. Corpus statistics (N, avgdl, per-term df) are recomputed from the
+merged relation at query time, so a query sees exactly the statistics a
+batch build over the same corpus would use; the pytest twin certifies
+`bm25_topk` over streamed state row-identical to the batch
+`bm25_search` query at the same parameters.
+
+State layout per batch_tag: ONE relation (tok, doc_id, tf, dl).
+Rows with tok IS NULL are the per-document stat rows (one per ingested
+doc, tf = 0) — they exist so documents with NO tokens still count in N
+and avgdl, which the batch query's statistics include. `words()` never
+emits an empty token, so NULL cannot collide with a real term.
+
+State/replay/compaction contracts are shared with heavy_hitters.py
+(whose module docstring is the full specification): overwrite-by-
+batch_tag makes crash replays idempotent, and compaction folds live
+partials into one generation via the shared manifest protocol —
+answer-INVARIANT because the merge is a plain union (postings are
+already minimal state; compaction here buys file-count reduction and
+term-clustered row groups, not mass reduction). The compacted
+generation is sorted within partitions by tok so parquet row-group
+statistics prune query-term filters — the scale move that keeps
+query cost proportional to matching postings, not corpus size.
+
+Ninth payload of the generation-manifest protocol.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.texts import words
+from .heavy_hitters import live_partial_dirs
+
+_SCHEMA = "tok string, doc_id long, tf long, dl long"
+
+
+def bm25_partial(batch: DataFrame, id_col: str,
+                 text_col: str) -> DataFrame:
+    """The inverted-index rows a set of documents contributes:
+    (tok, doc_id, tf, dl) postings plus one tok-NULL stat row per
+    document. One tokenize pass; the explode→groupBy shuffle is
+    proportional to the batch's tokens, never the corpus."""
+    d = (batch.select(F.col(id_col).alias("doc_id"),
+                      words(F.col(text_col)).alias("w"))
+         .withColumn("dl", F.size("w").cast("long")))
+    postings = (d.select("doc_id", "dl", F.explode("w").alias("tok"))
+                .groupBy("doc_id", "dl", "tok")
+                .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    stat = d.select(F.lit(None).cast("string").alias("tok"), "doc_id",
+                    F.lit(0).cast("long").alias("tf"), "dl")
+    return postings.select("tok", "doc_id", "tf", "dl").unionByName(stat)
+
+
+def bm25_batch_handler(state_dir: str, id_col: str,
+                       text_col: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: land the micro-batch's own postings under
+    its batch_tag (overwrite → replay-idempotent)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        (bm25_partial(batch, id_col, text_col)
+         .write.mode("overwrite")
+         .parquet(os.path.join(state_dir, f"batch_tag={batch_id}")))
+
+    return handle
+
+
+def start_bm25_stream(stream: DataFrame, state_dir: str,
+                      checkpoint_dir: str, id_col: str,
+                      text_col: str) -> StreamingQuery:
+    return (stream.writeStream
+            .foreachBatch(bm25_batch_handler(state_dir, id_col, text_col))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_bm25_postings(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The full inverted index over everything ingested so far — by the
+    disjoint-batch contract, cell-identical to `bm25_partial` over the
+    union of all landed batches."""
+    dirs = live_partial_dirs(state_dir)
+    if not dirs:
+        return spark.createDataFrame([], _SCHEMA)
+    paths = [os.path.join(state_dir, d) for d in dirs]
+    return spark.read.schema(_SCHEMA).parquet(*paths)
+
+
+def bm25_topk(spark: SparkSession, state_dir: str, terms: tuple[str, ...],
+              k1: float = 1.2, b: float = 0.75,
+              topk: int = 20) -> DataFrame:
+    """Top-k documents for ``terms`` served FROM THE MAINTAINED STATE —
+    the same scoring contract as queries/breadth14.bm25_search (Lucene
+    +1 idf smoothing, per-term micro-rounding BEFORE the per-doc sum,
+    ties on doc_id), certified row-identical to it by pytest.
+
+    Scale shape mirrors the batch query: the term filter hits the
+    postings scan first (term-sorted row groups in compacted
+    generations prune it further), corpus stats and the |terms|-row df
+    relation ride broadcasts, and the final top-k is
+    TakeOrderedAndProject — never a global sort."""
+    idx = read_bm25_postings(spark, state_dir)
+    dl = idx.filter(F.col("tok").isNull()).select("doc_id", "dl")
+    stats = dl.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                   (F.sum("dl").cast("double")
+                    / F.count(F.lit(1))).alias("avgdl"))
+    tf = (idx.filter(F.col("tok").isin(*terms))
+          .select("tok", "doc_id", "tf", "dl"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    s_micro = F.round(
+        1_000_000.0 * idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b
+           + b * F.col("dl") / F.col("avgdl")))).cast("long")
+    term = (tf.join(F.broadcast(df_), "tok")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", s_micro.alias("s_micro")))
+    scored = (term.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_terms"),
+                   F.sum("s_micro").cast("long").alias("score_micro")))
+    top = (scored.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+           .limit(topk))
+    w_rank = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+            .select("doc_id", "n_terms", "score_micro", "rank")
+            .orderBy("rank"))
+
+
+def compact_bm25_state(spark: SparkSession, state_dir: str) -> None:
+    """Fold live partials into one generation via the shared manifest
+    protocol (heavy_hitters.compact_via_manifest has the crash-safety
+    argument). The merge is a plain union — answer-invariant by
+    construction — written term-sorted within partitions so the
+    compacted generation's parquet row-group stats prune query-term
+    filters."""
+    from .heavy_hitters import compact_via_manifest
+
+    def merge(live: list[str]) -> DataFrame:
+        paths = [os.path.join(state_dir, d) for d in live]
+        return (spark.read.schema(_SCHEMA).parquet(*paths)
+                .sortWithinPartitions("tok"))
+
+    compact_via_manifest(state_dir, merge)
