@@ -212,3 +212,68 @@ def exact_quantile_cuts(df: DataFrame, col: str,
         F.min(F.when(F.col("cum").cast("double") / nn >= F.lit(float(p)),
                      F.col("v"))).alias(alias)
         for alias, p in probs.items()])
+
+
+def salting_advice(df: DataFrame, key_col: str, n_partitions: int,
+                   k: int = 64) -> DataFrame:
+    """Sketch-driven per-key salt factors — the planner step that turns
+    the heavy-hitter summary into a concrete skew plan BEFORE a 100 TB
+    shuffle, instead of salting uniformly (which replicates the whole
+    build side) or discovering the straggler at runtime.
+
+    A key holding c rows needs ceil(c / (n/n_partitions)) reducers to
+    spread to fair-share size. Counts come from one Misra-Gries pass
+    (operators/sketches.mg_heavy_hitters): MG never overcounts and
+    undercounts by at most n/k, so factors are computed from
+    est + n/k — an upper bound on the true count — and a true share of
+    s ≥ 1/k can never slip past the advisor unsalted. State is ≤ k rows
+    per partition regardless of key cardinality; only keys needing
+    factor ≥ 2 are returned (the broadcast stays ≤ k rows).
+
+    Returns (key, factor int ≥ 2)."""
+    from .sketches import mg_heavy_hitters
+
+    n = df.count()
+    if n == 0:
+        return (df.sparkSession.createDataFrame([], "key string, factor int"))
+    hh = mg_heavy_hitters(df.select(F.col(key_col).cast("string")
+                                    .alias(key_col)), key_col, k)
+    fair = max(1, -(-n // n_partitions))  # ceil(n / n_partitions)
+    slack = -(-n // k)                    # MG max undercount, ceil'd
+    return (hh.select(F.col("token").alias("key"),
+                      F.ceil((F.col("est") + F.lit(slack))
+                             / F.lit(fair)).cast("int").alias("factor"))
+            .filter(F.col("factor") >= 2))
+
+
+def salted_join_advised(big: DataFrame, small: DataFrame, key: str,
+                        advice: DataFrame, how: str = "inner") -> DataFrame:
+    """Equi-join salted ONLY on the advised hot keys: cold keys ride
+    salt 0 with no replication, each hot key's probe rows spread over
+    its own ``factor`` salts and only ITS build rows replicate — the
+    per-key refinement of `salted_join` (which replicates the entire
+    build side by the global factor). ``advice`` is the ≤ k-row output
+    of `salting_advice`; both sides join it broadcast, so the plan adds
+    two broadcast joins and zero extra shuffles of the big side beyond
+    the (key, salt) join itself.
+
+    Output multiset equals the unsalted join (pytest-certified): salts
+    partition each key's row pairs, they never drop or duplicate one.
+    """
+    adv = F.broadcast(advice.withColumnRenamed("key", "__advkey"))
+    bk = F.col(key).cast("string")
+    big_s = (big.join(adv, bk == F.col("__advkey"), "left")
+             .withColumn("__salt",
+                         F.when(F.col("factor").isNull(), F.lit(0))
+                         .otherwise((F.rand(seed=42) * F.col("factor"))
+                                    .cast("int")))
+             .drop("__advkey", "factor"))
+    small_s = (small.join(adv, F.col(key).cast("string")
+                          == F.col("__advkey"), "left")
+               .withColumn("__salts",
+                           F.sequence(F.lit(0),
+                                      F.coalesce(F.col("factor"), F.lit(1))
+                                      - 1))
+               .withColumn("__salt", F.explode("__salts"))
+               .drop("__advkey", "factor", "__salts"))
+    return big_s.join(small_s, [key, "__salt"], how).drop("__salt")

@@ -111,3 +111,54 @@ def test_bm25_replay_and_compaction_are_answer_invariant(
     # the new doc matches all three terms with the top tf — it must rank
     top1 = bm25_topk(spark, state2, TERMS).first()
     assert top1.doc_id == 10_000_001 and top1.n_terms == 3
+
+
+# ------------------------------------------------------- salting advisor ----
+def _skewed(spark):
+    rows = ([("hot", i) for i in range(400)]
+            + [("warm", i) for i in range(90)]
+            + [(f"k{i % 37}", i) for i in range(200)])
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def test_salting_advice_flags_only_heavy_keys(spark):
+    from light_etl_windows_container_poc_spark.operators.scale import (
+        salting_advice,
+    )
+
+    df = _skewed(spark)  # n=690; fair share at 8 partitions ~ 87 rows
+    adv = {r.key: r.factor for r in
+           salting_advice(df, "k", n_partitions=8, k=64).collect()}
+    assert "hot" in adv
+    # true count 400, fair 87 -> true factor 5; est+slack overshoots by
+    # at most the MG slack, so the advised factor brackets [5, 6]
+    assert 5 <= adv["hot"] <= 6
+    # a uniform key (≤ 6 rows each) must not be advised
+    assert not any(key.startswith("k") for key in adv)
+
+
+def test_salted_join_advised_equals_plain_join(spark):
+    from light_etl_windows_container_poc_spark.operators.scale import (
+        salted_join_advised,
+        salting_advice,
+    )
+
+    big = _skewed(spark)
+    small = spark.createDataFrame(
+        [("hot", 1), ("warm", 2), ("k3", 3), ("absent", 9)],
+        "k string, dim long")
+    adv = salting_advice(big, "k", n_partitions=8, k=64)
+    plain = sorted(tuple(r) for r in big.join(small, "k").collect())
+    salted = sorted(tuple(r) for r in
+                    salted_join_advised(big, small, "k", adv).collect())
+    assert salted == plain
+
+    # the hot key's probe rows actually spread over >1 salt value
+    from pyspark.sql import functions as F
+    adv_b = F.broadcast(adv.withColumnRenamed("key", "__advkey"))
+    spread = (big.join(adv_b, F.col("k") == F.col("__advkey"))
+              .withColumn("__salt", (F.rand(seed=42) * F.col("factor"))
+                          .cast("int"))
+              .filter(F.col("k") == "hot")
+              .select("__salt").distinct().count())
+    assert spread >= 2
