@@ -160,3 +160,60 @@ def compact_bm25_state(spark: SparkSession, state_dir: str) -> None:
                 .sortWithinPartitions("tok"))
 
     compact_via_manifest(state_dir, merge)
+
+
+def bm25_topk_batch(spark: SparkSession, state_dir: str,
+                    queries: DataFrame, qid_col: str, terms_col: str,
+                    k1: float = 1.2, b: float = 0.75,
+                    topk: int = 20) -> DataFrame:
+    """Serve a BATCH of queries against the maintained index in one
+    plan — the realistic serving shape (per-query calls pay fixed job
+    latency |queries| times; a 100 TB index answers query batches).
+
+    ``queries``: (qid, array<string> terms). One explode → one
+    postings equi-join on tok (the scan prunes to the batch's DISTINCT
+    terms, pushed as an isin filter), df per term computed once and
+    shared across queries, top-k per query via a window PARTITIONED by
+    qid — never a global sort. Scoring is the exact bm25_search
+    contract, so a 1-query batch row-matches `bm25_topk` (pytest).
+
+    Returns (qid, doc_id, n_terms, score_micro, rank ≤ topk)."""
+    idx = read_bm25_postings(spark, state_dir)
+    dl = idx.filter(F.col("tok").isNull()).select("doc_id", "dl")
+    stats = dl.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                   (F.sum("dl").cast("double")
+                    / F.count(F.lit(1))).alias("avgdl"))
+    q = (queries.select(F.col(qid_col).alias("qid"),
+                        F.explode(terms_col).alias("tok"))
+         .distinct())
+    batch_terms = [r.tok for r in q.select("tok").distinct().collect()]
+    if not batch_terms:
+        # empty-shaped result that preserves the caller's qid type
+        return (queries.select(F.col(qid_col).alias("qid")).limit(0)
+                .withColumn("doc_id", F.lit(None).cast("long"))
+                .withColumn("n_terms", F.lit(None).cast("long"))
+                .withColumn("score_micro", F.lit(None).cast("long"))
+                .withColumn("rank", F.lit(None).cast("int")))
+    tf = (idx.filter(F.col("tok").isin(*batch_terms))
+          .select("tok", "doc_id", "tf", "dl"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    s_micro = F.round(
+        1_000_000.0 * idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b
+           + b * F.col("dl") / F.col("avgdl")))).cast("long")
+    term = (tf.join(F.broadcast(q), "tok")
+            .join(F.broadcast(df_), "tok")
+            .crossJoin(F.broadcast(stats))
+            .select("qid", "doc_id", s_micro.alias("s_micro")))
+    scored = (term.groupBy("qid", "doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_terms"),
+                   F.sum("s_micro").cast("long").alias("score_micro")))
+    w_rank = (Window.partitionBy("qid")
+              .orderBy(F.col("score_micro").desc(), F.col("doc_id")))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w_rank).cast("int"))
+            .filter(F.col("rank") <= topk)
+            .select("qid", "doc_id", "n_terms", "score_micro", "rank")
+            .orderBy("qid", "rank"))

@@ -162,3 +162,36 @@ def test_salted_join_advised_equals_plain_join(spark):
               .filter(F.col("k") == "hot")
               .select("__salt").distinct().count())
     assert spread >= 2
+
+
+def test_bm25_topk_batch_matches_single_query_path(spark, sf_dir, tmp_path):
+    from light_etl_windows_container_poc_spark.streaming.bm25 import (
+        bm25_topk_batch,
+    )
+
+    state = _ingest(spark, sf_dir, tmp_path)
+    qdf = spark.createDataFrame(
+        [(1, list(TERMS)), (2, ["spark"]), (3, ["nosuchterm"])],
+        "qid long, terms array<string>")
+    batch = bm25_topk_batch(spark, state, qdf, "qid", "terms").collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.qid, []).append(
+            (r.doc_id, r.n_terms, r.score_micro, r.rank))
+    # qid 1 row-matches the single-query serving path
+    single = [(r.doc_id, r.n_terms, r.score_micro, r.rank)
+              for r in bm25_topk(spark, state, TERMS).collect()]
+    assert by_q.get(1) == single
+    # qid 2: every hit has exactly the one term
+    assert by_q.get(2) and all(n == 1 for _, n, _, _ in by_q[2])
+    # qid 3: no postings -> no rows
+    assert 3 not in by_q
+
+    # empty-terms batch returns an empty, correctly-typed relation
+    empty = bm25_topk_batch(
+        spark, state,
+        spark.createDataFrame([], "qid long, terms array<string>"),
+        "qid", "terms")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "qid", "doc_id", "n_terms", "score_micro", "rank"]
