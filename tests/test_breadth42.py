@@ -1,0 +1,67 @@
+"""Round-11 head candidates pre-certified through the EXACT local-gate
+compare (tools/check_oracle's pandas fetch + frame_fingerprint) at
+sf0.001 — queries/breadth41.py registers these in round 11 by adding
+the @query decorator; the certification evidence exists NOW."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from check_oracle import (  # noqa: E402
+    _pandas_rows,
+    frame_fingerprint,
+    oracle_type_problems,
+)
+
+from light_etl_windows_container_poc_spark.catalog import (  # noqa: E402
+    TABLES,
+    table_path,
+)
+from light_etl_windows_container_poc_spark.queries.breadth41 import (  # noqa: E402
+    SALTING_ADVICE_ORACLE,
+    STREAM_BM25_ORACLE,
+    salting_advice_cert,
+    stream_bm25_cert,
+)
+
+
+@pytest.fixture()
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{table_path(sf_dir, t)}')")
+    yield c
+    c.close()
+
+
+def _gate_compare(spark_df, con, oracle_sql):
+    """The driver-replica compare: type guard, row count, column set,
+    order-insensitive value hash over the pandas fetch path."""
+    assert oracle_type_problems(con, oracle_sql) == []
+    scols = spark_df.columns
+    srows = [tuple(r) for r in spark_df.collect()]
+    odf = con.execute(oracle_sql).df()
+    ocols, orows = list(odf.columns), _pandas_rows(odf)
+    assert len(srows) == len(orows)
+    assert sorted(scols) == sorted(ocols)
+    assert frame_fingerprint(scols, srows) == frame_fingerprint(ocols, orows)
+    return len(srows)
+
+
+def test_stream_bm25_cert_gate_green(spark, sf_dir, con):
+    n = _gate_compare(stream_bm25_cert(spark, sf_dir), con,
+                      STREAM_BM25_ORACLE)
+    assert n > 0  # non-empty certification at sf0.001
+
+
+def test_salting_advice_cert_gate_green(spark, sf_dir, con):
+    n = _gate_compare(salting_advice_cert(spark, sf_dir), con,
+                      SALTING_ADVICE_ORACLE)
+    assert n > 0
