@@ -103,3 +103,129 @@ def salting_advice_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (advice.join(exact, "key")
             .select("key", "factor", "exact_count")
             .orderBy("key"))
+
+
+MANN_KENDALL_ORACLE = """
+WITH d AS (
+  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+pr AS (
+  SELECT a.t,
+         CASE WHEN b.cnt > a.cnt THEN 1 ELSE 0 END AS pos,
+         CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END AS neg,
+         CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END AS tie
+  FROM d a JOIN d b ON a.t = b.t AND a.day < b.day
+)
+SELECT t AS event_type,
+       (SELECT CAST(count(*) AS BIGINT) FROM d x WHERE x.t = pr.t)
+         AS n_days,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       CAST(sum(tie) AS BIGINT) AS n_tie,
+       CAST(sum(pos) - sum(neg) AS BIGINT) AS s_stat
+FROM pr GROUP BY t ORDER BY t
+"""
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend statistic per event type over the daily count
+    series: S = Σ_{i<j} sign(x_j − x_i) — the standard nonparametric
+    is-this-metric-drifting monitor (monotonic trend without assuming
+    linearity), completing the cusum/theil-sen/dft family.
+
+    Scale shape follows kendall_tau_daily: the pair join is over the
+    CALENDAR-BOUNDED day spine keyed by event_type (days² per type,
+    never rows²), all-integer output."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    d = (events.select(F.col("event_type").alias("t"),
+                       F.to_date("ts").alias("day"))
+         .groupBy("t", "day")
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    a, b = d.alias("a"), d.alias("b")
+    pr = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                 & (F.col("a.day") < F.col("b.day")))
+          .select(F.col("a.t").alias("t"),
+                  (F.col("b.cnt") > F.col("a.cnt")).cast("long").alias("pos"),
+                  (F.col("b.cnt") < F.col("a.cnt")).cast("long").alias("neg"),
+                  (F.col("b.cnt") == F.col("a.cnt")).cast("long")
+                  .alias("tie")))
+    nd = d.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    agg = (pr.groupBy("t")
+           .agg(F.sum("pos").cast("long").alias("n_pos"),
+                F.sum("neg").cast("long").alias("n_neg"),
+                F.sum("tie").cast("long").alias("n_tie")))
+    return (agg.join(F.broadcast(nd), "t")
+            .select(F.col("t").alias("event_type"), "n_days", "n_pos",
+                    "n_neg", "n_tie",
+                    (F.col("n_pos") - F.col("n_neg")).cast("long")
+                    .alias("s_stat"))
+            .orderBy("event_type"))
+
+
+ACF_DAILY_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(range(1, 8)) AS lag),
+p AS (
+  SELECT lags.lag, a.cnt AS x, b.cnt AS y
+  FROM lags
+  JOIN d a ON true
+  JOIN d b ON b.day = a.day + CAST(lags.lag AS INTEGER)
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM p GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n, sx, sy, sxx, syy, sxy,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+FROM m ORDER BY lag
+"""
+
+
+def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event count — the
+    persistence/weekly-seasonality diagnostic next to seasonality_dft's
+    harmonic view. Hash backbone is the EXACT integer sums (n, sx, sy,
+    sxx, syy, sxy per lag); the Pearson r rides as a double derived
+    from those exact integers with a textually parallel formula in
+    both engines (the grouped_ols contract). Pairs come from a day-spine
+    self-join (calendar-bounded), lags from a 7-row broadcast."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    d = (events.select(F.to_date("ts").alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    a = d.alias("a").crossJoin(F.broadcast(lags))
+    b = d.alias("b")
+    p = (a.join(b, F.col("b.day")
+                == F.expr("date_add(a.day, CAST(lag AS INT))"))
+         .select("lag", F.col("a.cnt").alias("x"), F.col("b.cnt").alias("y")))
+    m = (p.groupBy("lag")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("y").cast("long").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy")))
+    n_d, sx_d = F.col("n").cast("double"), F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxx_d, syy_d = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    acf = ((n_d * sxy_d - sx_d * sy_d)
+           / F.sqrt((n_d * sxx_d - sx_d * sx_d)
+                    * (n_d * syy_d - sy_d * sy_d)))
+    return (m.select("lag", "n", "sx", "sy", "sxx", "syy", "sxy",
+                     acf.alias("acf"))
+            .orderBy("lag"))

@@ -65,3 +65,24 @@ def test_salting_advice_cert_gate_green(spark, sf_dir, con):
     n = _gate_compare(salting_advice_cert(spark, sf_dir), con,
                       SALTING_ADVICE_ORACLE)
     assert n > 0
+
+
+def test_mann_kendall_trend_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth41 import (
+        MANN_KENDALL_ORACLE,
+        mann_kendall_trend,
+    )
+
+    n = _gate_compare(mann_kendall_trend(spark, sf_dir), con,
+                      MANN_KENDALL_ORACLE)
+    assert n > 0
+
+
+def test_acf_daily_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth41 import (
+        ACF_DAILY_ORACLE,
+        acf_daily,
+    )
+
+    n = _gate_compare(acf_daily(spark, sf_dir), con, ACF_DAILY_ORACLE)
+    assert n == 7  # one row per lag 1..7
