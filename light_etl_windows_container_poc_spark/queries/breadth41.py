@@ -229,3 +229,88 @@ def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (m.select("lag", "n", "sx", "sy", "sxx", "syy", "sxy",
                      acf.alias("acf"))
             .orderBy("lag"))
+
+
+# batch serving: 3 fixed queries, one of them sharing a term with
+# another (df stats are shared across the batch — the thing the batch
+# path exists to amortize) and one single-term
+BM25_BATCH_QUERIES = [(1, ["spark", "query", "window"]),
+                      (2, ["spark", "join", "merge"]),
+                      (3, ["vector"])]
+
+BM25_BATCH_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+q(qid, tok) AS (VALUES (1, 'spark'), (1, 'query'), (1, 'window'),
+                       (2, 'spark'), (2, 'join'), (2, 'merge'),
+                       (3, 'vector')),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+  WHERE tok IN (SELECT DISTINCT tok FROM q)
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+term AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(round(1000000.0
+                    * ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                    * (tf.tf * (1.2 + 1.0))
+                    / (tf.tf + 1.2 * (1.0 - 0.75
+                       + 0.75 * dl.dl / stats.avgdl))) AS BIGINT)
+           AS s_micro
+  FROM tf
+  JOIN q ON tf.tok = q.tok
+  JOIN df ON tf.tok = df.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(s_micro) AS BIGINT) AS score_micro
+  FROM term GROUP BY qid, doc_id
+)
+SELECT CAST(qid AS BIGINT) AS qid, doc_id, n_terms, score_micro,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY score_micro DESC, doc_id)
+            AS INT) AS rank
+FROM scored
+QUALIFY rank <= 20
+ORDER BY qid, rank
+"""
+
+
+def bm25_batch_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH serving path certified: stream-ingest the corpus into
+    the maintained index, then answer a 3-query batch in ONE plan
+    (shared df stats, qid-partitioned top-k) — hashed against a DuckDB
+    replay of per-query BM25 over the same corpus. Same scoring
+    contract as bm25_search; the batch dimension is what it certifies
+    beyond stream_bm25_cert."""
+    from ..streaming.bm25 import bm25_topk_batch, start_bm25_stream
+
+    docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
+            .select("doc_id", "text"))
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(), f"spark_graft_bbm25_{h}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    docs.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_bm25_stream(stream, os.path.join(work, "state"),
+                          os.path.join(work, "ckpt"), "doc_id", "text")
+    q.awaitTermination(300)
+    qdf = spark.createDataFrame(BM25_BATCH_QUERIES,
+                                "qid long, terms array<string>")
+    out = bm25_topk_batch(spark, os.path.join(work, "state"),
+                          qdf, "qid", "terms")
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

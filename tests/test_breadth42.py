@@ -86,3 +86,14 @@ def test_acf_daily_gate_green(spark, sf_dir, con):
 
     n = _gate_compare(acf_daily(spark, sf_dir), con, ACF_DAILY_ORACLE)
     assert n == 7  # one row per lag 1..7
+
+
+def test_bm25_batch_cert_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth41 import (
+        BM25_BATCH_ORACLE,
+        bm25_batch_cert,
+    )
+
+    n = _gate_compare(bm25_batch_cert(spark, sf_dir), con,
+                      BM25_BATCH_ORACLE)
+    assert n > 20  # more than one query produced a full page
