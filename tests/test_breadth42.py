@@ -97,3 +97,51 @@ def test_bm25_batch_cert_gate_green(spark, sf_dir, con):
     n = _gate_compare(bm25_batch_cert(spark, sf_dir), con,
                       BM25_BATCH_ORACLE)
     assert n > 20  # more than one query produced a full page
+
+
+def test_r11_candidate_plans_are_cartesian_free(spark, sf_dir):
+    """The r11 pre-certified candidates hold the same plan contract the
+    registered drift family locks: no CartesianProduct anywhere; pair
+    relations are calendar-bounded and broadcast (the only nested-loop
+    joins are the 7-row lag spine and 1-row scalar broadcasts)."""
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+    from light_etl_windows_container_poc_spark.queries.breadth41 import (
+        acf_daily,
+        mann_kendall_trend,
+        salting_advice_cert,
+    )
+
+    for fn in (mann_kendall_trend, acf_daily, salting_advice_cert):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_bm25_serving_plan_prunes_postings(spark, sf_dir, tmp_path):
+    """The maintained-index serving path must push the query-term
+    filter into the postings scan (cost follows matching postings, not
+    corpus size) and stay cartesian-free."""
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+    from light_etl_windows_container_poc_spark.streaming.bm25 import bm25_topk
+
+    state = _ingest_docs(spark, sf_dir, tmp_path)
+    plan = formatted_plan(bm25_topk(spark, state, ("spark", "query")))
+    assert "CartesianProduct" not in plan
+    # the isin filter reaches the parquet scan as a pushed filter
+    assert "PushedFilters" in plan and "In(tok" in plan
+
+
+def _ingest_docs(spark, sf_dir, tmp_path):
+    from light_etl_windows_container_poc_spark.streaming.bm25 import (
+        start_bm25_stream,
+    )
+
+    src = str(tmp_path / "psrc")
+    (spark.read.parquet(f"{sf_dir}/documents.parquet")
+     .select("doc_id", "text").repartition(2).write.parquet(src))
+    state = str(tmp_path / "pstate")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_bm25_stream(stream, state, str(tmp_path / "pckpt"),
+                          "doc_id", "text")
+    q.awaitTermination(120)
+    return state
