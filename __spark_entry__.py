@@ -246,7 +246,12 @@ _R09_CERTIFIED = [
 # mandatory recertifications: adamic + the 31 r4 rows). After this
 # round no query's latest certification predates r5, and all
 # forty-five r5-latest rows remain (agg_incremental_merge first) —
-# they head the r11 recertify list.
+# they head the r11 recertify list. The r11 allocation is already
+# shaped: 45 r5 recertifications + the FIVE pre-certified heads in
+# queries/breadth41.py (stream_bm25_cert, bm25_batch_cert,
+# salting_advice_cert, mann_kendall_trend, acf_daily — each
+# local-gate green at all 3 SFs this round, tests/test_breadth42.py;
+# promote by adding @query) == exactly 50.
 _RECERTIFY = [
     "graph_adamic_adar", "dedup_embedding_blocked", "dedup_keep_one",
     "dedup_minhash_lsh", "domain_temperature_sample", "dsir_weights",
