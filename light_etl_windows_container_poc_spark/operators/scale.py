@@ -259,7 +259,14 @@ def salted_join_advised(big: DataFrame, small: DataFrame, key: str,
 
     Output multiset equals the unsalted join (pytest-certified): salts
     partition each key's row pairs, they never drop or duplicate one.
+    Inner/left joins only: under right/full semantics a replicated
+    build row with NO probe match would surface once PER SALT.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join_advised supports inner/left joins, got {how!r}: "
+            "replicated build rows without a probe match would duplicate "
+            "under right/full semantics")
     adv = F.broadcast(advice.withColumnRenamed("key", "__advkey"))
     bk = F.col(key).cast("string")
     big_s = (big.join(adv, bk == F.col("__advkey"), "left")

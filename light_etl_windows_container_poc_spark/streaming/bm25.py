@@ -59,8 +59,10 @@ def bm25_partial(batch: DataFrame, id_col: str,
     (tok, doc_id, tf, dl) postings plus one tok-NULL stat row per
     document. One tokenize pass; the explode→groupBy shuffle is
     proportional to the batch's tokens, never the corpus."""
+    # NULL text → empty doc, not a poisoned stat row (size(NULL) is -1)
     d = (batch.select(F.col(id_col).alias("doc_id"),
-                      words(F.col(text_col)).alias("w"))
+                      words(F.coalesce(F.col(text_col), F.lit("")))
+                      .alias("w"))
          .withColumn("dl", F.size("w").cast("long")))
     postings = (d.select("doc_id", "dl", F.explode("w").alias("tok"))
                 .groupBy("doc_id", "dl", "tok")

@@ -195,3 +195,30 @@ def test_bm25_topk_batch_matches_single_query_path(spark, sf_dir, tmp_path):
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == [
         "qid", "doc_id", "n_terms", "score_micro", "rank"]
+
+
+def test_bm25_partial_null_text_is_empty_doc(spark):
+    from light_etl_windows_container_poc_spark.streaming.bm25 import (
+        bm25_partial,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, "spark")], DOC_SCHEMA)
+    part = bm25_partial(df, "doc_id", "text")
+    stats = {r.doc_id: r.dl for r in
+             part.filter(F.col("tok").isNull()).collect()}
+    assert stats == {1: 0, 2: 1}  # NULL text counts as an empty doc
+
+
+def test_salted_join_advised_rejects_right_full(spark):
+    import pytest as _pytest
+
+    from light_etl_windows_container_poc_spark.operators.scale import (
+        salted_join_advised,
+    )
+
+    big = _skewed(spark)
+    small = spark.createDataFrame([("hot", 1)], "k string, dim long")
+    adv = spark.createDataFrame([("hot", 3)], "key string, factor int")
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError):
+            salted_join_advised(big, small, "k", adv, how=how)
