@@ -118,8 +118,11 @@ def bm25_topk(spark: SparkSession, state_dir: str, terms: tuple[str, ...],
     postings scan first (term-sorted row groups in compacted
     generations prune it further), corpus stats and the |terms|-row df
     relation ride broadcasts, and the final top-k is
-    TakeOrderedAndProject — never a global sort."""
-    idx = read_bm25_postings(spark, state_dir)
+    TakeOrderedAndProject — never a global sort. Tombstoned docs (see
+    the takedown section below) are excluded from postings AND corpus
+    stats, so the served result equals a batch build over the corpus
+    minus the deletions."""
+    idx = bm25_alive(read_bm25_postings(spark, state_dir))
     dl = idx.filter(F.col("tok").isNull()).select("doc_id", "dl")
     stats = dl.agg(F.count(F.lit(1)).cast("long").alias("n"),
                    (F.sum("dl").cast("double")
@@ -147,19 +150,29 @@ def bm25_topk(spark: SparkSession, state_dir: str, terms: tuple[str, ...],
             .orderBy("rank"))
 
 
-def compact_bm25_state(spark: SparkSession, state_dir: str) -> None:
+def compact_bm25_state(spark: SparkSession, state_dir: str,
+                       drop_tombstones: bool = False) -> None:
     """Fold live partials into one generation via the shared manifest
     protocol (heavy_hitters.compact_via_manifest has the crash-safety
-    argument). The merge is a plain union — answer-invariant by
-    construction — written term-sorted within partitions so the
-    compacted generation's parquet row-group stats prune query-term
-    filters."""
+    argument). The merge physically removes tombstoned docs' postings
+    (the takedown's storage reclaim) and is answer-invariant because
+    serving already excluded them; tombstone rows themselves survive —
+    deduplicated to one per doc — unless ``drop_tombstones`` (see the
+    takedown section's late-arrival argument). Output is term-sorted
+    within partitions so the compacted generation's parquet row-group
+    stats prune query-term filters."""
     from .heavy_hitters import compact_via_manifest
 
     def merge(live: list[str]) -> DataFrame:
         paths = [os.path.join(state_dir, d) for d in live]
-        return (spark.read.schema(_SCHEMA).parquet(*paths)
-                .sortWithinPartitions("tok"))
+        idx = spark.read.schema(_SCHEMA).parquet(*paths)
+        alive = bm25_alive(idx).sortWithinPartitions("tok")
+        if drop_tombstones:
+            return alive
+        is_tomb = F.col("tok").isNull() & (F.col("tf") < 0)
+        tombs = (idx.filter(is_tomb)
+                 .select("tok", "doc_id", "tf", "dl").distinct())
+        return alive.unionByName(tombs)
 
     compact_via_manifest(state_dir, merge)
 
@@ -180,7 +193,7 @@ def bm25_topk_batch(spark: SparkSession, state_dir: str,
     contract, so a 1-query batch row-matches `bm25_topk` (pytest).
 
     Returns (qid, doc_id, n_terms, score_micro, rank ≤ topk)."""
-    idx = read_bm25_postings(spark, state_dir)
+    idx = bm25_alive(read_bm25_postings(spark, state_dir))
     dl = idx.filter(F.col("tok").isNull()).select("doc_id", "dl")
     stats = dl.agg(F.count(F.lit(1)).cast("long").alias("n"),
                    (F.sum("dl").cast("double")
@@ -219,3 +232,52 @@ def bm25_topk_batch(spark: SparkSession, state_dir: str,
             .filter(F.col("rank") <= topk)
             .select("qid", "doc_id", "n_terms", "score_micro", "rank")
             .orderBy("qid", "rank"))
+
+
+# ----------------------------------------------------------------------
+# Takedowns: the right-to-be-forgotten path a training-data index needs.
+# A tombstone is a row with tok NULL and tf = -1 (stat rows are tok NULL
+# tf = 0, postings have tok set — no collision); it lands under its own
+# batch_tag like any other batch, so the replay/compaction protocol
+# covers deletes with zero new machinery. Serving anti-joins the (tiny,
+# broadcastable) tombstoned-id set; corpus stats (N, avgdl, df) exclude
+# deleted docs, so the served result equals a batch build over the
+# corpus MINUS the deletions (pytest-certified). Compaction physically
+# removes the deleted docs' postings but KEEPS the tombstones by
+# default: ids never recur under the append-only contract, and a
+# surviving tombstone still suppresses a late-arriving posting batch
+# for the same doc; pass drop_tombstones=True once ingest has provably
+# passed the delete frontier.
+# ----------------------------------------------------------------------
+
+def bm25_tombstones(batch: DataFrame, id_col: str) -> DataFrame:
+    """Tombstone rows for a batch of doc ids to delete."""
+    return batch.select(
+        F.lit(None).cast("string").alias("tok"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lit(-1).cast("long").alias("tf"),
+        F.lit(0).cast("long").alias("dl"))
+
+
+def bm25_delete_handler(state_dir: str,
+                        id_col: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for a DELETE stream: land the batch's
+    tombstones under its batch_tag (overwrite → replay-idempotent).
+    Batch ids must not collide with the posting stream's — run deletes
+    through their own checkpointed stream or a disjoint manual range."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        (bm25_tombstones(batch, id_col)
+         .write.mode("overwrite")
+         .parquet(os.path.join(state_dir, f"batch_tag={batch_id}")))
+
+    return handle
+
+
+def bm25_alive(idx: DataFrame) -> DataFrame:
+    """The index relation with tombstoned docs removed (and the
+    tombstone rows themselves dropped). The tombstone set is |deletes|
+    rows — the anti-join broadcasts it at any realistic delete rate."""
+    is_tomb = F.col("tok").isNull() & (F.col("tf") < 0)
+    tomb = idx.filter(is_tomb).select("doc_id").distinct()
+    return idx.filter(~is_tomb).join(tomb, "doc_id", "left_anti")

@@ -222,3 +222,56 @@ def test_salted_join_advised_rejects_right_full(spark):
     for how in ("right", "full", "outer"):
         with _pytest.raises(ValueError):
             salted_join_advised(big, small, "k", adv, how=how)
+
+
+# ------------------------------------------------------------ takedowns ----
+def test_bm25_takedown_serves_corpus_minus_deletions(spark, sf_dir, tmp_path):
+    from light_etl_windows_container_poc_spark.streaming.bm25 import (
+        bm25_delete_handler,
+        bm25_topk,
+        compact_bm25_state,
+        read_bm25_postings,
+    )
+
+    state = _ingest(spark, sf_dir, tmp_path)
+    # delete the current top-2 hits plus one arbitrary doc
+    top = bm25_topk(spark, state, TERMS).collect()
+    gone = [top[0].doc_id, top[1].doc_id, 7]
+    dels = spark.createDataFrame([(i,) for i in gone], "doc_id long")
+    bm25_delete_handler(state, "doc_id")(dels, 1_000)
+
+    served = [tuple(r) for r in bm25_topk(spark, state, TERMS).collect()]
+    assert all(r[0] not in gone for r in served)
+
+    # ground truth: a fresh state over the corpus minus the deletions
+    truth_state = str(tmp_path / "truth")
+    from light_etl_windows_container_poc_spark.streaming.bm25 import (
+        bm25_batch_handler,
+    )
+    kept_docs = _docs(spark, sf_dir).filter(~F.col("doc_id").isin(gone))
+    bm25_batch_handler(truth_state, "doc_id", "text")(kept_docs, 0)
+    truth = [tuple(r) for r in bm25_topk(spark, truth_state, TERMS).collect()]
+    assert served == truth
+
+    # replaying the tombstone batch changes nothing (overwrite-by-tag)
+    bm25_delete_handler(state, "doc_id")(dels, 1_000)
+    assert [tuple(r)
+            for r in bm25_topk(spark, state, TERMS).collect()] == served
+
+    # compaction reclaims the deleted postings, keeps the tombstones,
+    # and preserves the served answer
+    compact_bm25_state(spark, state)
+    idx = read_bm25_postings(spark, state)
+    assert idx.filter(F.col("doc_id").isin(gone)
+                      & F.col("tok").isNotNull()).count() == 0
+    n_tombs = idx.filter(F.col("tok").isNull() & (F.col("tf") < 0)).count()
+    assert n_tombs == len(gone)
+    assert [tuple(r)
+            for r in bm25_topk(spark, state, TERMS).collect()] == served
+
+    # drop_tombstones=True vacuums them once the delete frontier passed
+    compact_bm25_state(spark, state, drop_tombstones=True)
+    idx2 = read_bm25_postings(spark, state)
+    assert idx2.filter(F.col("tf") < 0).count() == 0
+    assert [tuple(r)
+            for r in bm25_topk(spark, state, TERMS).collect()] == served
