@@ -115,6 +115,7 @@ def query_ivf_index(spark: SparkSession, index_path: str,
                         q_probes.select("cluster").distinct().collect()})
     vectors = (spark.read.parquet(os.path.join(index_path, "vectors"))
                .filter(F.col("cluster").isin(probe_ids)))
+    vectors = _without_tombstones(spark, index_path, vectors)
     scored = (vectors.join(F.broadcast(q_probes), "cluster")
               .filter(F.col("q_id") != F.col("n_id"))
               .withColumn("sim", dot(F.col("qv"), F.col("nv"))
@@ -226,7 +227,9 @@ def query_pq_index(spark: SparkSession, index_path: str, corpus: DataFrame,
     books = load_pq_books(spark, index_path)
     B = [np.array(b, dtype=np.float64) for b in books]
     dsub = B[0].shape[1]
-    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    codes = _without_tombstones(
+        spark, index_path,
+        spark.read.parquet(os.path.join(index_path, "codes")))
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -555,6 +558,7 @@ def query_ivfpq_index(spark: SparkSession, index_path: str,
         cluster_scalar[:, a_ids] = qmn @ am.T
     codes = (spark.read.parquet(os.path.join(index_path, "codes"))
              .filter(F.col("cluster").isin(probe_ids)))
+    codes = _without_tombstones(spark, index_path, codes)
     cand = adc_scan_candidates(codes, books, q_ids, qm, rerank,
                                probe_mask=mask,
                                cluster_scalar=cluster_scalar)
@@ -580,6 +584,9 @@ def compact_ivfpq_codes(spark: SparkSession, index_path: str) -> int:
     staging = tempfile.mkdtemp(prefix=".codes_compact_", dir=parent)
     try:
         codes = spark.read.parquet(codes_path)
+        # physical reclaim for takedowns rides the same sweep: drop
+        # tombstoned rows here (queries already exclude them)
+        codes = _without_tombstones(spark, index_path, codes)
         # repartition BY the cluster column (partition count stays the
         # session's shuffle parallelism): each cluster's rows land in
         # one task, so the partitioned write emits ~one file per
@@ -685,3 +692,49 @@ def drift_check(corpus: DataFrame, id_col: str, vec_col: str,
     return {"baseline": baseline, "current": current,
             "mean_drop_micro": int(drop),
             "needs_refresh": bool(flag)}
+
+
+# ----------------------------------------------------------------------
+# Takedowns for the vector index — the right-to-be-forgotten path
+# (streaming/bm25.py's takedown section is the lexical sibling).
+# Tombstoned ids live in _tombstones/ INSIDE the index directory; the
+# query paths anti-join them out of the candidate scan (the set is
+# |deletes| rows — broadcastable at any realistic delete rate), so a
+# deleted vector can never be returned as a neighbor while its code
+# rows await physical reclaim by compact_ivfpq_codes. A REFRESH drops
+# tombstones by design: the rebuild's caller-provided corpus is
+# authoritative (exclude deletions there), and the whole-directory swap
+# replaces _tombstones with the fresh empty state.
+# ----------------------------------------------------------------------
+
+ANN_TOMBSTONES_SUBDIR = "_tombstones"
+
+
+def tombstone_ann_ids(ids: DataFrame, id_col: str,
+                      index_path: str) -> int:
+    """Mark ids deleted (append-only; duplicates collapse at read).
+    Returns the number of ids in this batch."""
+    rows = ids.select(F.col(id_col).cast("long").alias("n_id")).distinct()
+    n = rows.count()
+    (rows.write.mode("append")
+     .parquet(os.path.join(index_path, ANN_TOMBSTONES_SUBDIR)))
+    return n
+
+
+def load_ann_tombstones(spark: SparkSession,
+                        index_path: str) -> DataFrame | None:
+    """The distinct tombstoned-id relation, or None when no takedown
+    has ever been filed (the common case — query paths skip the
+    anti-join entirely)."""
+    path = os.path.join(index_path, ANN_TOMBSTONES_SUBDIR)
+    if not os.path.isdir(path):
+        return None
+    return spark.read.schema("n_id long").parquet(path).distinct()
+
+
+def _without_tombstones(spark: SparkSession, index_path: str,
+                        rows: DataFrame) -> DataFrame:
+    tombs = load_ann_tombstones(spark, index_path)
+    if tombs is None:
+        return rows
+    return rows.join(F.broadcast(tombs), "n_id", "left_anti")

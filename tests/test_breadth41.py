@@ -275,3 +275,56 @@ def test_bm25_takedown_serves_corpus_minus_deletions(spark, sf_dir, tmp_path):
     assert idx2.filter(F.col("tf") < 0).count() == 0
     assert [tuple(r)
             for r in bm25_topk(spark, state, TERMS).collect()] == served
+
+
+# -------------------------------------------------------- ANN takedowns ----
+def test_ann_takedown_excludes_deleted_neighbors(spark, sf_dir, tmp_path):
+    from light_etl_windows_container_poc_spark.operators.ann_index import (
+        build_ivfpq_index,
+        compact_ivfpq_codes,
+        query_ivfpq_index,
+        tombstone_ann_ids,
+    )
+    from light_etl_windows_container_poc_spark.operators.similarity import (
+        ann_bruteforce_topk,
+    )
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(emb, "vec_id", "embedding", idx, n_clusters=4)
+    queries = emb.filter(F.col("vec_id") % 25 == 1)
+
+    # delete the two most-returned neighbors
+    before = query_ivfpq_index(spark, idx, emb, queries, "vec_id",
+                               "embedding", k=5, nprobe=4, rerank=1 << 30)
+    top_n = (before.groupBy("n_id").count()
+             .orderBy(F.desc("count"), "n_id").limit(2).collect())
+    gone = [r.n_id for r in top_n]
+    tombstone_ann_ids(
+        spark.createDataFrame([(i,) for i in gone], "vec_id long"),
+        "vec_id", idx)
+
+    after = query_ivfpq_index(spark, idx, emb, queries, "vec_id",
+                              "embedding", k=5, nprobe=4, rerank=1 << 30)
+    got = {(r.q_id, r.n_id) for r in after.collect()}
+    assert all(n not in gone for _, n in got)
+
+    # probe-all + rerank-all == brute force over the corpus MINUS the
+    # deletions (the fullprobe-exact theorem surviving the takedown)
+    alive = emb.filter(~F.col("vec_id").isin(gone))
+    truth = {(r.q_id, r.n_id) for r in
+             ann_bruteforce_topk(alive, queries, "vec_id", "embedding",
+                                 k=5).collect()}
+    assert got == truth
+
+    # compaction physically reclaims the deleted codes; answers hold
+    n = compact_ivfpq_codes(spark, idx)
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.filter(F.col("n_id").isin(gone)).count() == 0
+    assert n == emb.count() - len(gone)
+    after2 = {(r.q_id, r.n_id) for r in
+              query_ivfpq_index(spark, idx, emb, queries, "vec_id",
+                                "embedding", k=5, nprobe=4,
+                                rerank=1 << 30).collect()}
+    assert after2 == truth
