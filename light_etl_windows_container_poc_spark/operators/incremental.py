@@ -117,6 +117,12 @@ def incremental_exact_dedup(batch: DataFrame, id_col: str, text_col: str,
         hist = _read_state(spark, path, _EXACT_DDL_COLS)
         if batch_tag is not None and "batch_tag" in hist.columns:
             hist = hist.filter(F.col("batch_tag") != batch_tag)
+        tombs = _dedup_tombstones(spark, index_dir)
+        if tombs is not None:
+            # taken-down docs are no longer history: a new duplicate of
+            # one is new content and must be KEPT (takedown section)
+            hist = hist.join(F.broadcast(tombs),
+                             F.col("keep_id") == F.col("doc"), "left_anti")
         hist = hist.select("content_hash", F.lit(1).alias("_hist"))
     else:
         hist = spark.createDataFrame([], "content_hash string, _hist int")
@@ -420,6 +426,13 @@ def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
             if "batch_tag" in hist_sigs.columns:
                 hist_sigs = hist_sigs.filter(
                     F.col("batch_tag") != batch_tag)
+        tombs = _dedup_tombstones(spark, index_dir)
+        if tombs is not None:
+            # takedown section: a taken-down doc stops being history
+            hist_bands = hist_bands.join(F.broadcast(tombs), "doc",
+                                         "left_anti")
+            hist_sigs = hist_sigs.join(F.broadcast(tombs), "doc",
+                                       "left_anti")
         cand_h = (bbands.join(hist_bands
                               .withColumnRenamed("doc", "h_doc")
                               .select("h_doc", "band_hash"),
@@ -472,3 +485,92 @@ def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
                      .withColumn("batch_tag", tag),
                      bands_path, "append", None)
     return decisions
+
+
+# --------------------------------------------------------------------------
+# Takedowns — the dedup-index sibling of the BM25/ANN tombstone paths
+# (streaming/bm25.py, operators/ann_index.py). Deleting a document from
+# the corpus means future batches must STOP deduplicating against it: a
+# later near-duplicate of a taken-down doc is new content now, not a
+# dup. Tombstoned ids live in tombstones/ inside the index dir; both
+# probe paths anti-join history against the (broadcastable) set, so
+# past decisions never change (history stays append-only) while future
+# decisions see the post-takedown corpus. A re-ingested duplicate then
+# re-enters the index under ITS OWN id and dedup resumes against it —
+# the correct post-takedown steady state. `vacuum_dedup_tombstones`
+# physically reclaims the tombstoned rows (preserving each state
+# table's plain/bucketed layout) and clears the tombstone set.
+# --------------------------------------------------------------------------
+
+TOMBS_SUBDIR = "tombstones"
+
+
+def tombstone_dedup_ids(ids: DataFrame, id_col: str,
+                        index_dir: str) -> int:
+    """Mark doc ids taken down (append-only; duplicates collapse at
+    read). Returns the batch's id count."""
+    rows = ids.select(F.col(id_col).cast("long").alias("doc")).distinct()
+    n = rows.count()
+    (rows.write.mode("append")
+     .parquet(os.path.join(index_dir, TOMBS_SUBDIR)))
+    return n
+
+
+def _dedup_tombstones(spark: SparkSession,
+                      index_dir: str) -> DataFrame | None:
+    path = os.path.join(index_dir, TOMBS_SUBDIR)
+    if not os.path.isdir(path):
+        return None
+    return spark.read.schema("doc long").parquet(path).distinct()
+
+
+def vacuum_dedup_tombstones(spark: SparkSession, index_dir: str) -> None:
+    """Physically remove tombstoned docs' rows from exact/, sigs/ and
+    bands/, preserving each table's layout (plain parquet or the
+    bucketed catalog shape, re-read from its _bucket_spec), then clear
+    the tombstone set. Probe results are unchanged before/after
+    (pytest): the anti-join already excluded these rows."""
+    import json
+    import shutil
+
+    tombs = _dedup_tombstones(spark, index_dir)
+    if tombs is None:
+        return
+    tombs = tombs.localCheckpoint(eager=True)
+
+    def spec(path: str) -> tuple[int | None, str | None]:
+        p = _bucket_spec_path(path)
+        if not os.path.exists(p):
+            return None, None
+        with open(p) as f:
+            s = json.load(f)
+        return s["num_buckets"], s["key"]
+
+    exact_path = os.path.join(index_dir, EXACT_SUBDIR)
+    if os.path.exists(exact_path):
+        kept = (_read_state(spark, exact_path, _EXACT_DDL_COLS)
+                .join(F.broadcast(tombs),
+                      F.col("keep_id") == F.col("doc"), "left_anti")
+                .localCheckpoint(eager=True))
+        nb, key = spec(exact_path)
+        _write_state(kept, exact_path, "overwrite",
+                     key or "content_hash", _EXACT_DDL_COLS, nb)
+
+    sigs_path = os.path.join(index_dir, SIGS_SUBDIR)
+    if os.path.exists(sigs_path):
+        kept = (spark.read.parquet(sigs_path)
+                .join(F.broadcast(tombs), "doc", "left_anti")
+                .localCheckpoint(eager=True))
+        kept.write.mode("overwrite").parquet(sigs_path)
+
+    bands_path = os.path.join(index_dir, BANDS_SUBDIR)
+    if os.path.exists(bands_path):
+        kept = (_read_bands(spark, bands_path)
+                .join(F.broadcast(tombs), "doc", "left_anti")
+                .localCheckpoint(eager=True))
+        nb, key = spec(bands_path)
+        _write_state(kept, bands_path, "overwrite",
+                     key or "band_hash", _BANDS_DDL_COLS, nb)
+
+    shutil.rmtree(os.path.join(index_dir, TOMBS_SUBDIR),
+                  ignore_errors=True)

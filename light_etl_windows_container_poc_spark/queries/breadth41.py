@@ -59,7 +59,8 @@ def stream_bm25_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
             .select("doc_id", "text"))
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_sbm25_{h}")
+    work = os.path.join(tempfile.gettempdir(),
+                    f"spark_graft_sbm25_{h}_{os.getpid()}")
     shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "src")
     docs.repartition(3).write.parquet(src)
@@ -298,7 +299,8 @@ def bm25_batch_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
             .select("doc_id", "text"))
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_bbm25_{h}")
+    work = os.path.join(tempfile.gettempdir(),
+                    f"spark_graft_bbm25_{h}_{os.getpid()}")
     shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "src")
     docs.repartition(3).write.parquet(src)

@@ -328,3 +328,72 @@ def test_ann_takedown_excludes_deleted_neighbors(spark, sf_dir, tmp_path):
                                 "embedding", k=5, nprobe=4,
                                 rerank=1 << 30).collect()}
     assert after2 == truth
+
+
+# ------------------------------------------------------ dedup takedowns ----
+def test_dedup_takedown_readmits_future_duplicates(spark, tmp_path):
+    from light_etl_windows_container_poc_spark.operators.incremental import (
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+        tombstone_dedup_ids,
+        vacuum_dedup_tombstones,
+    )
+
+    idx = str(tmp_path / "didx")
+    schema = "doc_id long, text string"
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee")
+    text = base + " zulu"
+    near = base + " zebra"  # one trailing word differs -> jaccard ~0.92
+
+    # batch A keeps doc 1; batch B's doc 2 is a dup of history
+    incremental_exact_dedup(spark.createDataFrame([(1, text)], schema),
+                            "doc_id", "text", idx)
+    d2 = incremental_exact_dedup(spark.createDataFrame([(2, text)], schema),
+                                 "doc_id", "text", idx,
+                                 update_index=False).first()
+    assert d2.keep == 0 and d2.dup_of_history == 1
+
+    # take down doc 1: a later duplicate is NEW content and is kept
+    tombstone_dedup_ids(spark.createDataFrame([(1,)], "doc_id long"),
+                        "doc_id", idx)
+    d3 = incremental_exact_dedup(spark.createDataFrame([(3, text)], schema),
+                                 "doc_id", "text", idx).first()
+    assert d3.keep == 1 and d3.dup_of_history == 0
+    # and dedup resumes against the re-ingested doc 3
+    d4 = incremental_exact_dedup(spark.createDataFrame([(4, text)], schema),
+                                 "doc_id", "text", idx,
+                                 update_index=False).first()
+    assert d4.keep == 0
+
+    # vacuum physically reclaims doc 1's rows; decisions unchanged
+    vacuum_dedup_tombstones(spark, idx)
+    assert not (tmp_path / "didx" / "tombstones").exists()
+    hist = spark.read.parquet(str(tmp_path / "didx" / "exact"))
+    assert hist.filter(F.col("keep_id") == 1).count() == 0
+    d5 = incremental_exact_dedup(spark.createDataFrame([(5, text)], schema),
+                                 "doc_id", "text", idx,
+                                 update_index=False).first()
+    assert d5.keep == 0  # still a dup — of doc 3 now
+
+    # minhash path: same contract on near-dups
+    midx = str(tmp_path / "midx")
+    incremental_minhash_dedup(
+        spark.createDataFrame([(10, text)], schema), "doc_id", "text",
+        midx, num_parts=2)
+    m2 = incremental_minhash_dedup(
+        spark.createDataFrame([(11, near)], schema), "doc_id", "text",
+        midx, num_parts=2, update_index=False).first()
+    assert m2.keep == 0 and m2.dup_of_history == 1
+    tombstone_dedup_ids(spark.createDataFrame([(10,)], "doc_id long"),
+                        "doc_id", midx)
+    m3 = incremental_minhash_dedup(
+        spark.createDataFrame([(12, near)], schema), "doc_id", "text",
+        midx, num_parts=2).first()
+    assert m3.keep == 1 and m3.dup_of_history == 0
+    vacuum_dedup_tombstones(spark, midx)
+    m4 = incremental_minhash_dedup(
+        spark.createDataFrame([(13, text)], schema), "doc_id", "text",
+        midx, num_parts=2, update_index=False).first()
+    assert m4.keep == 0  # near-dup of the re-ingested doc 12
