@@ -235,3 +235,43 @@ def apply_ttl(spark: SparkSession, path: str, ts_col: str,
     if keep_null_ts:
         cond = cond | F.col(ts_col).isNull()
     return _staged_rewrite(spark, df.filter(cond), path, partition_by)
+
+
+def delete_where(spark: SparkSession, path: str, keys: DataFrame,
+                 key_cols: list[str],
+                 partition_by: list[str] | None = None) -> int:
+    """Key-set row deletion from a parquet table — the warehouse tier of
+    the takedown story (streaming/bm25.py, operators/ann_index.py and
+    operators/incremental.py cover the maintained indexes; this covers
+    the routed tables the reference's Postgres warehouse would DELETE
+    from). Rows whose ``key_cols`` match any row of ``keys`` are
+    removed; the survivors are rewritten via the same staging-directory
+    + atomic-rename discipline as ``upsert_parquet``, so a failed write
+    never truncates the live table. Returns the number of rows deleted.
+
+    The key match is NULL-SAFE (a NULL-keyed delete removes the
+    NULL-keyed rows, mirroring upsert's replace semantics). An empty
+    key set returns 0 WITHOUT rewriting the table. At warehouse scale
+    the deleted-key relation is takedown-sized — the anti-join
+    broadcasts it; pass ``partition_by`` to preserve a partitioned
+    layout through the rewrite."""
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(path):
+        return 0
+    dels = keys.select(*key_cols).dropDuplicates(key_cols)
+    if dels.limit(1).count() == 0:
+        return 0
+    existing = spark.read.parquet(path)
+    missing = set(key_cols) - set(existing.columns)
+    if missing:
+        raise ValueError(
+            f"delete_where key columns {sorted(missing)} not in table")
+    cond = None
+    for k in key_cols:
+        c = existing[k].eqNullSafe(dels[k])
+        cond = c if cond is None else (cond & c)
+    n_before = existing.count()
+    kept = existing.join(F.broadcast(dels), cond, "left_anti")
+    n_kept = _staged_rewrite(spark, kept, path, partition_by)
+    return n_before - n_kept

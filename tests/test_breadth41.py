@@ -397,3 +397,28 @@ def test_dedup_takedown_readmits_future_duplicates(spark, tmp_path):
         spark.createDataFrame([(13, text)], schema), "doc_id", "text",
         midx, num_parts=2, update_index=False).first()
     assert m4.keep == 0  # near-dup of the re-ingested doc 12
+
+
+def test_delete_where_removes_key_set_atomically(spark, tmp_path):
+    from light_etl_windows_container_poc_spark.sinks import delete_where
+
+    path = str(tmp_path / "wh")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "d"), (None, "e")],
+        "id long, v string")
+    df.write.parquet(path)
+
+    # empty key set: no-op, no rewrite
+    empty = spark.createDataFrame([], "id long")
+    assert delete_where(spark, path, empty, ["id"]) == 0
+
+    gone = spark.createDataFrame([(2,), (None,), (99,)], "id long")
+    n = delete_where(spark, path, gone, ["id"])
+    assert n == 3  # id=2 plus BOTH null-keyed rows; 99 matches nothing
+    left = {r.v for r in spark.read.parquet(path).collect()}
+    assert left == {"a", "c"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        delete_where(spark, path,
+                     spark.createDataFrame([(1,)], "nope long"), ["nope"])
