@@ -422,3 +422,21 @@ def test_delete_where_removes_key_set_atomically(spark, tmp_path):
     with _pytest.raises(ValueError):
         delete_where(spark, path,
                      spark.createDataFrame([(1,)], "nope long"), ["nope"])
+
+
+def test_salted_join_advised_plan_shape(spark):
+    """The advised join adds two broadcast advice joins and the
+    (key, salt) equi-join — no cartesian, and the big side is never
+    shuffled by anything except the join itself."""
+    from light_etl_windows_container_poc_spark.operators.scale import (
+        salted_join_advised,
+    )
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+
+    big = _skewed(spark)
+    small = spark.createDataFrame([("hot", 1), ("warm", 2)],
+                                  "k string, dim long")
+    adv = spark.createDataFrame([("hot", 4)], "key string, factor int")
+    plan = formatted_plan(salted_join_advised(big, small, "k", adv))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # both advice joins ride broadcasts
