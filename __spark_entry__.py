@@ -251,7 +251,10 @@ _R09_CERTIFIED = [
 # queries/breadth41.py (stream_bm25_cert, bm25_batch_cert,
 # salting_advice_cert, mann_kendall_trend, acf_daily — each
 # local-gate green at all 3 SFs this round, tests/test_breadth42.py;
-# promote by adding @query) == exactly 50.
+# promote by adding @query) == exactly 50. Two MORE pre-certified
+# candidates (bm25_takedown_cert, ann_takedown_cert — same 3-SF
+# evidence) queue behind them for r12, or swap into r11 if the r10
+# verdict reprioritizes.
 _RECERTIFY = [
     "graph_adamic_adar", "dedup_embedding_blocked", "dedup_keep_one",
     "dedup_minhash_lsh", "domain_temperature_sample", "dsir_weights",

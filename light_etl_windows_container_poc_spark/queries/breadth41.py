@@ -316,3 +316,155 @@ def bm25_batch_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --- takedown certificates: the delete semantics under the driver hash.
+# The deterministic takedown set is doc_id % 17 == 3 (~6% of docs); the
+# oracle is BM25 over the corpus WITH THOSE DOCS NEVER INGESTED — the
+# certified statement is "serve-after-delete == build-over-survivors".
+BM25_TAKEDOWN_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+  WHERE doc_id % 17 <> 3
+),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+  WHERE tok IN ('spark', 'query', 'window')
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+term AS (
+  SELECT tf.doc_id,
+         CAST(round(1000000.0
+                    * ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                    * (tf.tf * (1.2 + 1.0))
+                    / (tf.tf + 1.2 * (1.0 - 0.75
+                       + 0.75 * dl.dl / stats.avgdl))) AS BIGINT)
+           AS s_micro
+  FROM tf
+  JOIN df ON tf.tok = df.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(s_micro) AS BIGINT) AS score_micro
+  FROM term GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score_micro,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+            AS INT) AS rank
+FROM scored
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+
+def bm25_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown semantics under the driver hash: ingest the WHOLE
+    corpus through the maintainer, tombstone doc_id % 17 == 3 through
+    the real delete handler, compact (physical reclaim, tombstones
+    kept), then serve — hashed against BM25 over a corpus from which
+    those docs were never ingested. Certifies that deletion removes a
+    doc from postings AND from every corpus statistic (N, avgdl, df),
+    and that compaction's reclaim does not disturb the answer."""
+    from ..streaming.bm25 import (bm25_delete_handler, bm25_topk,
+                                  compact_bm25_state, start_bm25_stream)
+
+    docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
+            .select("doc_id", "text"))
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_tbm25_{h}_{os.getpid()}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    docs.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_bm25_stream(stream, os.path.join(work, "state"),
+                          os.path.join(work, "ckpt"), "doc_id", "text")
+    q.awaitTermination(300)
+    dels = docs.filter(F.col("doc_id") % 17 == 3).select("doc_id")
+    bm25_delete_handler(os.path.join(work, "state"),
+                        "doc_id")(dels, 1_000_000)
+    compact_bm25_state(spark, os.path.join(work, "state"))
+    out = bm25_topk(spark, os.path.join(work, "state"), _BM25_TERMS)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+ANN_TAKEDOWN_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN vec_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deleted,
+       CAST(sum(CASE WHEN vec_id % 100 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_queries,
+       CAST(0 AS BIGINT) AS mismatched_neighbors,
+       CAST(1 AS INT) AS codes_reclaimed,
+       CAST(0 AS BIGINT) AS post_compact_mismatched
+FROM embeddings
+"""
+
+
+def ann_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index takedown under the driver hash: build IVF-PQ on the
+    full embeddings, tombstone vec_id % 10 == 3, then certify (a)
+    probe-all + rerank-all == brute force over the ALIVE corpus (the
+    fullprobe-exact theorem surviving the takedown), (b) compaction
+    physically reclaims exactly the deleted codes, (c) the equality
+    still holds after the reclaim. Deterministic at the seeded
+    quantizers like every ANN certificate here."""
+    from ..operators.ann_index import (build_ivfpq_index,
+                                       compact_ivfpq_codes,
+                                       query_ivfpq_index,
+                                       tombstone_ann_ids)
+    from ..operators.similarity import ann_bruteforce_topk
+    from .invariants import _sym_diff_count
+
+    emb = (load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+           .select("vec_id", "embedding"))
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_tann_{h}_{os.getpid()}")
+    shutil.rmtree(work, ignore_errors=True)
+    idx = os.path.join(work, "idx")
+    build_ivfpq_index(emb, "vec_id", "embedding", idx, n_clusters=6)
+
+    dels = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+    n_deleted = tombstone_ann_ids(dels, "vec_id", idx)
+    n_total = emb.count()
+
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    n_queries = queries.count()
+    alive = emb.filter(F.col("vec_id") % 10 != 3)
+    truth = (ann_bruteforce_topk(alive, queries, "vec_id", "embedding",
+                                 k=5).select(F.col("q_id").alias("a_id"),
+                                             F.col("n_id").alias("b_id"))
+             .localCheckpoint(eager=True))
+
+    def exact_now():
+        return (query_ivfpq_index(spark, idx, emb, queries, "vec_id",
+                                  "embedding", k=5, nprobe=6,
+                                  rerank=1 << 30)
+                .select(F.col("q_id").alias("a_id"),
+                        F.col("n_id").alias("b_id")))
+
+    mismatched = _sym_diff_count(exact_now(), truth).count()
+    n_codes = compact_ivfpq_codes(spark, idx)
+    reclaimed = int(n_codes == n_total - n_deleted)
+    post = _sym_diff_count(exact_now(), truth).count()
+    shutil.rmtree(work, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [(n_total, n_deleted, n_queries, int(mismatched), reclaimed,
+          int(post))],
+        "n_total long, n_deleted long, n_queries long, "
+        "mismatched_neighbors long, codes_reclaimed int, "
+        "post_compact_mismatched long")

@@ -145,3 +145,25 @@ def _ingest_docs(spark, sf_dir, tmp_path):
                           "doc_id", "text")
     q.awaitTermination(120)
     return state
+
+
+def test_bm25_takedown_cert_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth41 import (
+        BM25_TAKEDOWN_ORACLE,
+        bm25_takedown_cert,
+    )
+
+    n = _gate_compare(bm25_takedown_cert(spark, sf_dir), con,
+                      BM25_TAKEDOWN_ORACLE)
+    assert n > 0
+
+
+def test_ann_takedown_cert_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth41 import (
+        ANN_TAKEDOWN_ORACLE,
+        ann_takedown_cert,
+    )
+
+    n = _gate_compare(ann_takedown_cert(spark, sf_dir), con,
+                      ANN_TAKEDOWN_ORACLE)
+    assert n == 1
