@@ -468,3 +468,48 @@ def ann_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total long, n_deleted long, n_queries long, "
         "mismatched_neighbors long, codes_reclaimed int, "
         "post_compact_mismatched long")
+
+
+DEDUP_TAKEDOWN_ORACLE = """
+WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+k AS (SELECT content_hash, min(doc_id) AS keeper
+      FROM h GROUP BY content_hash)
+SELECT h.doc_id, h.content_hash,
+       CAST(CASE WHEN k.keeper % 11 <> 0 THEN 1 ELSE 0 END AS INT)
+         AS dup_of_history,
+       CAST(CASE WHEN k.keeper % 11 = 0 AND h.doc_id = k.keeper
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM h JOIN k ON h.content_hash = k.content_hash
+ORDER BY h.doc_id
+"""
+
+
+def dedup_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index takedown under the driver hash: batch 1 ingests the
+    whole corpus (keeper = min doc per content hash enters history),
+    keepers with id % 11 == 0 are taken down, then batch 2 re-presents
+    EVERY doc. The hashed per-doc decisions state the takedown
+    semantics exactly: a doc whose hash has a surviving keeper is a dup
+    of history; a doc whose keeper was taken down is NEW content again
+    — kept iff it is the batch's min id for its hash (which is the
+    original keeper id, re-admitted). DuckDB replays the whole decision
+    relation from md5(text) + min-per-hash + the %11 takedown rule."""
+    from ..operators.incremental import (incremental_exact_dedup,
+                                         tombstone_dedup_ids)
+
+    docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
+            .select("doc_id", "text"))
+    work = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_tded_{os.getpid()}")
+    shutil.rmtree(work, ignore_errors=True)
+    d1 = incremental_exact_dedup(docs, "doc_id", "text", work)
+    dels = (d1.filter((F.col("keep") == 1) & (F.col("doc_id") % 11 == 0))
+            .select("doc_id"))
+    tombstone_dedup_ids(dels, "doc_id", work)
+    d2 = (incremental_exact_dedup(docs, "doc_id", "text", work,
+                                  update_index=False)
+          .select("doc_id", "content_hash", "dup_of_history", "keep")
+          .orderBy("doc_id"))
+    d2 = d2.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return d2

@@ -167,3 +167,14 @@ def test_ann_takedown_cert_gate_green(spark, sf_dir, con):
     n = _gate_compare(ann_takedown_cert(spark, sf_dir), con,
                       ANN_TAKEDOWN_ORACLE)
     assert n == 1
+
+
+def test_dedup_takedown_cert_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth41 import (
+        DEDUP_TAKEDOWN_ORACLE,
+        dedup_takedown_cert,
+    )
+
+    n = _gate_compare(dedup_takedown_cert(spark, sf_dir), con,
+                      DEDUP_TAKEDOWN_ORACLE)
+    assert n > 0
