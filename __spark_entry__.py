@@ -253,7 +253,7 @@ _R09_CERTIFIED = [
 # local-gate green at all 3 SFs this round, tests/test_breadth42.py;
 # promote by adding @query) == exactly 50. Two MORE pre-certified
 # candidates (bm25_takedown_cert, ann_takedown_cert,
-# dedup_takedown_cert — same 3-SF
+# dedup_takedown_cert, phrase_search_cert — same 3-SF
 # evidence) queue behind them for r12, or swap into r11 if the r10
 # verdict reprioritizes.
 _RECERTIFY = [

@@ -513,3 +513,55 @@ def dedup_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = d2.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return d2
+
+
+PHRASE_SEARCH_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS idx
+      FROM d),
+m AS (
+  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+  WHERE a.tok = 'window' AND b.tok = 'join'
+  GROUP BY a.doc_id
+)
+SELECT doc_id, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, doc_id)
+            AS INT) AS rank
+FROM m
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+
+def phrase_search_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search from the POSITIONAL maintained index under
+    the driver hash: ingest the corpus through the maintainer, then
+    answer the phrase query ("window", "join") by consecutive-offset
+    equi-joins over the positional postings — hashed against a DuckDB
+    replay that re-derives token offsets with unnest WITH ORDINALITY
+    and chains idx+1. The query class a bag-of-words index cannot
+    answer, served from the SAME state as bm25_topk."""
+    from ..streaming.bm25 import phrase_topk, start_bm25_stream
+
+    docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
+            .select("doc_id", "text"))
+    work = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_pbm25_{os.getpid()}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    docs.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_bm25_stream(stream, os.path.join(work, "state"),
+                          os.path.join(work, "ckpt"), "doc_id", "text")
+    q.awaitTermination(300)
+    out = phrase_topk(spark, os.path.join(work, "state"),
+                      ("window", "join"))
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -18,11 +18,14 @@ batch build over the same corpus would use; the pytest twin certifies
 `bm25_topk` over streamed state row-identical to the batch
 `bm25_search` query at the same parameters.
 
-State layout per batch_tag: ONE relation (tok, doc_id, tf, dl).
-Rows with tok IS NULL are the per-document stat rows (one per ingested
-doc, tf = 0) — they exist so documents with NO tokens still count in N
-and avgdl, which the batch query's statistics include. `words()` never
-emits an empty token, so NULL cannot collide with a real term.
+State layout per batch_tag: ONE relation (tok, doc_id, tf, dl, pos) —
+POSITIONAL postings (pos = sorted 0-based token offsets), so the same
+maintained state answers both ranked bag-of-words queries (bm25_topk)
+and exact phrase queries (phrase_topk). Rows with tok IS NULL are the
+per-document stat rows (one per ingested doc, tf = 0, pos NULL) — they
+exist so documents with NO tokens still count in N and avgdl, which
+the batch query's statistics include. `words()` never emits an empty
+token, so NULL cannot collide with a real term.
 
 State/replay/compaction contracts are shared with heavy_hitters.py
 (whose module docstring is the full specification): overwrite-by-
@@ -50,13 +53,16 @@ from pyspark.sql.streaming import StreamingQuery
 from ..functions.texts import words
 from .heavy_hitters import live_partial_dirs
 
-_SCHEMA = "tok string, doc_id long, tf long, dl long"
+_SCHEMA = "tok string, doc_id long, tf long, dl long, pos array<int>"
 
 
 def bm25_partial(batch: DataFrame, id_col: str,
                  text_col: str) -> DataFrame:
     """The inverted-index rows a set of documents contributes:
-    (tok, doc_id, tf, dl) postings plus one tok-NULL stat row per
+    (tok, doc_id, tf, dl, pos) POSITIONAL postings — pos is the sorted
+    0-based token-offset list, the column that turns the index from
+    bag-of-words into phrase-capable (see `phrase_topk`) at the cost
+    of one int per token occurrence — plus one tok-NULL stat row per
     document. One tokenize pass; the explode→groupBy shuffle is
     proportional to the batch's tokens, never the corpus."""
     # NULL text → empty doc, not a poisoned stat row (size(NULL) is -1)
@@ -64,12 +70,17 @@ def bm25_partial(batch: DataFrame, id_col: str,
                       words(F.coalesce(F.col(text_col), F.lit("")))
                       .alias("w"))
          .withColumn("dl", F.size("w").cast("long")))
-    postings = (d.select("doc_id", "dl", F.explode("w").alias("tok"))
+    postings = (d.select("doc_id", "dl",
+                         F.posexplode("w").alias("p", "tok"))
                 .groupBy("doc_id", "dl", "tok")
-                .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+                .agg(F.count(F.lit(1)).cast("long").alias("tf"),
+                     F.sort_array(F.collect_list(F.col("p").cast("int")))
+                     .alias("pos")))
     stat = d.select(F.lit(None).cast("string").alias("tok"), "doc_id",
-                    F.lit(0).cast("long").alias("tf"), "dl")
-    return postings.select("tok", "doc_id", "tf", "dl").unionByName(stat)
+                    F.lit(0).cast("long").alias("tf"), "dl",
+                    F.lit(None).cast("array<int>").alias("pos"))
+    return (postings.select("tok", "doc_id", "tf", "dl", "pos")
+            .unionByName(stat))
 
 
 def bm25_batch_handler(state_dir: str, id_col: str,
@@ -171,7 +182,8 @@ def compact_bm25_state(spark: SparkSession, state_dir: str,
             return alive
         is_tomb = F.col("tok").isNull() & (F.col("tf") < 0)
         tombs = (idx.filter(is_tomb)
-                 .select("tok", "doc_id", "tf", "dl").distinct())
+                 .select("tok", "doc_id", "tf", "dl").distinct()
+                 .withColumn("pos", F.lit(None).cast("array<int>")))
         return alive.unionByName(tombs)
 
     compact_via_manifest(state_dir, merge)
@@ -256,7 +268,8 @@ def bm25_tombstones(batch: DataFrame, id_col: str) -> DataFrame:
         F.lit(None).cast("string").alias("tok"),
         F.col(id_col).cast("long").alias("doc_id"),
         F.lit(-1).cast("long").alias("tf"),
-        F.lit(0).cast("long").alias("dl"))
+        F.lit(0).cast("long").alias("dl"),
+        F.lit(None).cast("array<int>").alias("pos"))
 
 
 def bm25_delete_handler(state_dir: str,
@@ -281,3 +294,41 @@ def bm25_alive(idx: DataFrame) -> DataFrame:
     is_tomb = F.col("tok").isNull() & (F.col("tf") < 0)
     tomb = idx.filter(is_tomb).select("doc_id").distinct()
     return idx.filter(~is_tomb).join(tomb, "doc_id", "left_anti")
+
+
+def phrase_topk(spark: SparkSession, state_dir: str,
+                phrase: tuple[str, ...], topk: int = 20) -> DataFrame:
+    """EXACT phrase search from the positional postings — the query
+    class a bag-of-words index cannot answer. Each phrase term's
+    postings prune the scan (isin on tok, same pushdown as bm25_topk),
+    positions explode, and consecutive-offset equi-joins chain the
+    terms: a match is a doc position p with term_i at p + i for every
+    i. Occurrences per doc = matched start offsets; top-k by count then
+    doc_id via TakeOrderedAndProject. Join traffic is proportional to
+    the PHRASE TERMS' postings, never the corpus; tombstoned docs are
+    excluded like every served path.
+
+    Returns (doc_id, n_occurrences, rank)."""
+    if not phrase:
+        raise ValueError("phrase_topk needs at least one term")
+    idx = bm25_alive(read_bm25_postings(spark, state_dir))
+    base = idx.filter(F.col("tok").isin(*set(phrase)))
+    legs = None
+    for i, t in enumerate(phrase):
+        leg = (base.filter(F.col("tok") == t)
+               .select("doc_id", F.explode("pos").alias(f"p{i}")))
+        if legs is None:
+            legs = leg
+        else:
+            legs = legs.join(
+                leg, (legs.doc_id == leg.doc_id)
+                & (leg[f"p{i}"] == legs.p0 + i)).drop(leg.doc_id)
+    occ = (legs.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences")))
+    top = (occ.orderBy(F.col("n_occurrences").desc(), F.col("doc_id"))
+           .limit(topk))
+    w_rank = Window.orderBy(F.col("n_occurrences").desc(),
+                            F.col("doc_id"))
+    return (top.withColumn("rank",
+                           F.row_number().over(w_rank).cast("int"))
+            .select("doc_id", "n_occurrences", "rank").orderBy("rank"))

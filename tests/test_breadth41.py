@@ -440,3 +440,43 @@ def test_salted_join_advised_plan_shape(spark):
     plan = formatted_plan(salted_join_advised(big, small, "k", adv))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # both advice joins ride broadcasts
+
+
+# --------------------------------------------------------- phrase search ----
+def test_phrase_topk_exact_semantics(spark, tmp_path):
+    from light_etl_windows_container_poc_spark.streaming.bm25 import (
+        bm25_batch_handler,
+        bm25_delete_handler,
+        phrase_topk,
+    )
+
+    state = str(tmp_path / "pstate")
+    docs = spark.createDataFrame(
+        [(1, "spark window join fast window join"),   # 2 occurrences
+         (2, "window fast join window join slow"),    # 1 occurrence
+         (3, "join window"),                          # reversed: 0
+         (4, "window windowjoin join"),               # no token split: 0
+         (5, "a a a")],                               # overlap fixture
+        DOC_SCHEMA)
+    bm25_batch_handler(state, "doc_id", "text")(docs, 0)
+
+    got = {(r.doc_id, r.n_occurrences)
+           for r in phrase_topk(spark, state, ("window", "join")).collect()}
+    assert got == {(1, 2), (2, 1)}
+
+    # overlapping occurrences of a repeated-term phrase all count
+    rep = {(r.doc_id, r.n_occurrences)
+           for r in phrase_topk(spark, state, ("a", "a")).collect()}
+    assert rep == {(5, 2)}
+
+    # single-term phrase degenerates to occurrence count
+    one = {(r.doc_id, r.n_occurrences)
+           for r in phrase_topk(spark, state, ("join",)).collect()}
+    assert one == {(1, 2), (2, 2), (3, 1), (4, 1)}
+
+    # takedown excludes a doc from phrase results too
+    bm25_delete_handler(state, "doc_id")(
+        spark.createDataFrame([(1,)], "doc_id long"), 99)
+    got2 = {(r.doc_id, r.n_occurrences)
+            for r in phrase_topk(spark, state, ("window", "join")).collect()}
+    assert got2 == {(2, 1)}

@@ -178,3 +178,14 @@ def test_dedup_takedown_cert_gate_green(spark, sf_dir, con):
     n = _gate_compare(dedup_takedown_cert(spark, sf_dir), con,
                       DEDUP_TAKEDOWN_ORACLE)
     assert n > 0
+
+
+def test_phrase_search_cert_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth41 import (
+        PHRASE_SEARCH_ORACLE,
+        phrase_search_cert,
+    )
+
+    n = _gate_compare(phrase_search_cert(spark, sf_dir), con,
+                      PHRASE_SEARCH_ORACLE)
+    assert n > 0
