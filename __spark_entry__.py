@@ -226,47 +226,60 @@ _R09_CERTIFIED = [
     "window_range_value", "window_share", "zipf_slope", "zscore_outliers",
 ]
 
-# Round-10 recertification allocation (head + this list == 50, the
-# driver's per-round budget; test-locked). Head = this round's 18 new
-# queries (the qsketch family qsketch_build / qsketch_rank_bounds /
-# qsketch_merge_consistent / stream_qsketch_cert / qsketch_by_source,
-# the two r9 verdict asks ann_append_cert and pipeline_e2e_cert, the
-# AMS/stream-sketch wave ams_f2_sketch / ams_f2_bounds /
-# stream_ams_cert / stream_kmv_cert, the sampling/graph wave
-# weighted_sample_merge / stream_reservoir_cert /
-# graph_clustering_coeff / reservoir_by_source, and the sketch-
-# application wave hll_rolling_uniques / cm_join_size /
-# ams_skew_by_type). The 32 recertify slots:
-# graph_adamic_adar FIRST (its pair join was rebuilt this round —
-# degree cap now applied BEFORE pairing — so its r9 certification no
-# longer covers the shipped plan), then ALL 31 remaining r4-latest
-# rows (the staleness tail the r9 verdict named; q7_volume_shipping
-# additionally carries this round's data-adaptive nation-pair
-# rewrite). The head is now at its 18-slot ceiling (50 − the 32
-# mandatory recertifications: adamic + the 31 r4 rows). After this
-# round no query's latest certification predates r5, and all
-# forty-five r5-latest rows remain (agg_incremental_merge first) —
-# they head the r11 recertify list. The r11 allocation is already
-# shaped: 45 r5 recertifications + the FIVE pre-certified heads in
-# queries/breadth41.py (stream_bm25_cert, bm25_batch_cert,
-# salting_advice_cert, mann_kendall_trend, acf_daily — each
-# local-gate green at all 3 SFs this round, tests/test_breadth42.py;
-# promote by adding @query) == exactly 50. Two MORE pre-certified
-# candidates (bm25_takedown_cert, ann_takedown_cert,
-# dedup_takedown_cert, phrase_search_cert — same 3-SF
-# evidence) queue behind them for r12, or swap into r11 if the r10
-# verdict reprioritizes.
-_RECERTIFY = [
-    "graph_adamic_adar", "dedup_embedding_blocked", "dedup_keep_one",
+# Round-10's 50 green driver rows (CORRECTNESS_r10.json: 47 hash-pass
+# + 3 recorded rows-only), folded in as the newest certification tail.
+_R10_CERTIFIED = [
+    "ams_f2_bounds", "ams_f2_sketch", "ams_skew_by_type", "ann_append_cert",
+    "cm_join_size", "dedup_embedding_blocked", "dedup_keep_one",
     "dedup_minhash_lsh", "domain_temperature_sample", "dsir_weights",
-    "knn_graph", "minhash_band_containment", "mm_features", "mm_frame_sample",
-    "pagerank_words", "pivot_wide", "q10_returned_items", "q14_promo_effect",
-    "q18_large_orders", "q19_discount_revenue", "q1_pricing_summary",
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "q7_volume_shipping", "set_ops",
-    "simhash_pigeonhole", "sketch_hll_bounds", "sketch_hll_merge_consistent",
-    "sketch_pct_bounds", "stream_stateful_final", "topk_per_group",
-    "unpivot_long", "window_lag_delta", "window_running",
+    "graph_adamic_adar", "graph_clustering_coeff", "hll_rolling_uniques",
+    "knn_graph", "minhash_band_containment", "mm_features",
+    "mm_frame_sample", "pagerank_words", "pipeline_e2e_cert", "pivot_wide",
+    "q10_returned_items", "q14_promo_effect", "q18_large_orders",
+    "q19_discount_revenue", "q1_pricing_summary", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
+    "q7_volume_shipping", "qsketch_build", "qsketch_by_source",
+    "qsketch_merge_consistent", "qsketch_rank_bounds",
+    "reservoir_by_source", "set_ops", "simhash_pigeonhole",
+    "sketch_hll_bounds", "sketch_hll_merge_consistent", "sketch_pct_bounds",
+    "stream_ams_cert", "stream_kmv_cert", "stream_qsketch_cert",
+    "stream_reservoir_cert", "stream_stateful_final", "topk_per_group",
+    "unpivot_long", "weighted_sample_merge", "window_lag_delta",
+    "window_running",
+]
+
+# Round-11 recertification allocation (head + this list == 50, the
+# driver's per-round budget; test-locked) — executing the allocation the
+# r10 verdict locked. Head = the FIVE breadth41 queries promoted this
+# round by adding @query (stream_bm25_cert, bm25_batch_cert,
+# salting_advice_cert, mann_kendall_trend, acf_daily — each carried
+# 3-SF local-gate pre-certification evidence from round 10 in
+# tests/test_breadth42.py). Recertify = ALL forty-five r5-latest rows
+# (the oldest staleness tier; agg_incremental_merge alphabetically
+# first), burning the tier exactly as the r10 verdict's done-criterion
+# requires: after this round no query's latest certification predates
+# r6. 5 + 45 == 50. The r12 queue holds FIVE pre-certified candidates
+# with live 3-SF gate evidence: bm25_takedown_cert, ann_takedown_cert,
+# dedup_takedown_cert, phrase_search_cert (queries/breadth41.py) and
+# pipeline_e2e_stream_cert (queries/breadth42.py) — but the r12
+# recertify floor is the 49 r6-latest rows, so at most ONE promotes in
+# r12 unless the r11 verdict reprioritizes the staleness/head split.
+_RECERTIFY = [
+    "agg_incremental_merge", "ann_ivf", "anti_contamination_split",
+    "bm25_search", "budget_sample_apply", "cc_convergence",
+    "compaction_roundtrip", "curate_corpus", "daily_anomaly_mad",
+    "degree_distribution", "dq_rules", "dup_source_overlap",
+    "dup_span_census", "embed_outliers", "embed_robust_scale",
+    "event_transitions", "ewma_halflife", "first_touch_attribution",
+    "graph_triangles", "join_null_safe", "journey_trigrams",
+    "kmeans_inertia_monotone", "length_histogram_log2",
+    "lm_perplexity_filter", "mad_outliers", "market_basket_lift",
+    "mm_resize_real", "ngram_novelty", "ohlc_bars", "pagerank_invariants",
+    "pca_invariants", "quality_logistic_score", "quantile_bands_daily",
+    "salted_join_agg", "seasonality_dow", "semdedup_keep",
+    "semdedup_soundness", "shard_assign", "sink_partitioned_roundtrip",
+    "source_gini", "stream_ohlc_final", "text_word_entropy",
+    "token_budget_mix", "vocab_growth", "zonemap_stats",
 ]
 
 
@@ -797,7 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     rounds = [_R01_CERTIFIED, _R02_CERTIFIED, _R03_CERTIFIED,
               _R04_CERTIFIED, _R05_CERTIFIED, _R06_CERTIFIED,
-              _R07_CERTIFIED, _R08_CERTIFIED, _R09_CERTIFIED]
+              _R07_CERTIFIED, _R08_CERTIFIED, _R09_CERTIFIED,
+              _R10_CERTIFIED]
     certified = set().union(*map(set, rounds))
     head = [n for n in QUERIES if n not in certified]
     redo = [n for n in _RECERTIFY if n in QUERIES and n in certified]

@@ -524,11 +524,43 @@ def _dedup_tombstones(spark: SparkSession,
     return spark.read.schema("doc long").parquet(path).distinct()
 
 
+def _staged_state_rewrite(spark: SparkSession, kept: DataFrame, path: str,
+                          key: str, ddl_cols: str,
+                          num_buckets: int | None) -> None:
+    """Stage the rewritten state NEXT TO the target and atomically swap
+    in (the sinks._staged_rewrite discipline): Spark's overwrite
+    deletes the target before writing, so a crash or executor failure
+    mid-rewrite would destroy the live index. The staged dir carries
+    its own _bucket_spec.json; both catalog entries are dropped before
+    the swap so the next _read_state re-registers against the swapped
+    files."""
+    import shutil
+    import tempfile
+
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    staging = tempfile.mkdtemp(prefix=".staging_", dir=parent)
+    try:
+        _write_state(kept, staging, "overwrite", key, ddl_cols,
+                     num_buckets)
+    except BaseException:
+        spark.sql(f"DROP TABLE IF EXISTS {_state_table_name(staging)}")
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    spark.sql(f"DROP TABLE IF EXISTS {_state_table_name(staging)}")
+    spark.sql(f"DROP TABLE IF EXISTS {_state_table_name(path)}")
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.replace(staging, path)  # same-filesystem rename — atomic
+
+
 def vacuum_dedup_tombstones(spark: SparkSession, index_dir: str) -> None:
     """Physically remove tombstoned docs' rows from exact/, sigs/ and
     bands/, preserving each table's layout (plain parquet or the
     bucketed catalog shape, re-read from its _bucket_spec), then clear
-    the tombstone set. Probe results are unchanged before/after
+    the tombstone set. Each table is rebuilt in a staging dir and
+    swapped in with an atomic rename — a crash mid-vacuum leaves the
+    live index intact (never the half-written ruin an in-place
+    overwrite risks). Probe results are unchanged before/after
     (pytest): the anti-join already excluded these rows."""
     import json
     import shutil
@@ -553,15 +585,16 @@ def vacuum_dedup_tombstones(spark: SparkSession, index_dir: str) -> None:
                       F.col("keep_id") == F.col("doc"), "left_anti")
                 .localCheckpoint(eager=True))
         nb, key = spec(exact_path)
-        _write_state(kept, exact_path, "overwrite",
-                     key or "content_hash", _EXACT_DDL_COLS, nb)
+        _staged_state_rewrite(spark, kept, exact_path,
+                              key or "content_hash", _EXACT_DDL_COLS, nb)
 
     sigs_path = os.path.join(index_dir, SIGS_SUBDIR)
     if os.path.exists(sigs_path):
         kept = (spark.read.parquet(sigs_path)
                 .join(F.broadcast(tombs), "doc", "left_anti")
                 .localCheckpoint(eager=True))
-        kept.write.mode("overwrite").parquet(sigs_path)
+        _staged_state_rewrite(spark, kept, sigs_path, "doc",
+                              "doc BIGINT", None)
 
     bands_path = os.path.join(index_dir, BANDS_SUBDIR)
     if os.path.exists(bands_path):
@@ -569,8 +602,8 @@ def vacuum_dedup_tombstones(spark: SparkSession, index_dir: str) -> None:
                 .join(F.broadcast(tombs), "doc", "left_anti")
                 .localCheckpoint(eager=True))
         nb, key = spec(bands_path)
-        _write_state(kept, bands_path, "overwrite",
-                     key or "band_hash", _BANDS_DDL_COLS, nb)
+        _staged_state_rewrite(spark, kept, bands_path,
+                              key or "band_hash", _BANDS_DDL_COLS, nb)
 
     shutil.rmtree(os.path.join(index_dir, TOMBS_SUBDIR),
                   ignore_errors=True)

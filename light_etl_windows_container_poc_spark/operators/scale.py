@@ -223,21 +223,30 @@ def salting_advice(df: DataFrame, key_col: str, n_partitions: int,
 
     A key holding c rows needs ceil(c / (n/n_partitions)) reducers to
     spread to fair-share size. Counts come from one Misra-Gries pass
-    (operators/sketches.mg_heavy_hitters): MG never overcounts and
+    (operators/sketches.mg_partial_summaries_with_n): MG never overcounts and
     undercounts by at most n/k, so factors are computed from
     est + n/k — an upper bound on the true count — and a true share of
     s ≥ 1/k can never slip past the advisor unsalted. State is ≤ k rows
     per partition regardless of key cardinality; only keys needing
     factor ≥ 2 are returned (the broadcast stays ≤ k rows).
 
-    Returns (key, factor int ≥ 2)."""
-    from .sketches import mg_heavy_hitters
+    ONE scan of df: the MG partials carry each partition's row count on
+    a token-NULL carrier row (`mg_partial_summaries_with_n`), so n
+    comes from the materialized ≤ (k+1)·partitions-row relation instead
+    of a separate count() pass — for an advisor that exists to run
+    BEFORE a 100 TB shuffle, one table scan instead of two.
 
-    n = df.count()
+    Returns (key, factor int ≥ 2)."""
+    from .sketches import mg_merge, mg_partial_summaries_with_n
+
+    partials = (mg_partial_summaries_with_n(
+        df.select(F.col(key_col).cast("string").alias(key_col)),
+        key_col, k).localCheckpoint(eager=True))
+    n = (partials.filter(F.col("token").isNull())
+         .agg(F.sum("est")).collect()[0][0]) or 0
     if n == 0:
         return (df.sparkSession.createDataFrame([], "key string, factor int"))
-    hh = mg_heavy_hitters(df.select(F.col(key_col).cast("string")
-                                    .alias(key_col)), key_col, k)
+    hh = mg_merge(partials.filter(F.col("token").isNotNull()), k)
     fair = max(1, -(-n // n_partitions))  # ceil(n / n_partitions)
     slack = -(-n // k)                    # MG max undercount, ceil'd
     return (hh.select(F.col("token").alias("key"),
@@ -267,20 +276,32 @@ def salted_join_advised(big: DataFrame, small: DataFrame, key: str,
             f"salted_join_advised supports inner/left joins, got {how!r}: "
             "replicated build rows without a probe match would duplicate "
             "under right/full semantics")
-    adv = F.broadcast(advice.withColumnRenamed("key", "__advkey"))
+    # the advice relation joins into BOTH sides under reserved names so
+    # a user column named 'factor' can never make the reference
+    # ambiguous (AnalysisException) or get silently dropped; the
+    # __-prefixed working columns are reserved outright
+    reserved = {"__advkey", "__adv_factor", "__salt", "__salts"}
+    for side, cols in (("big", big.columns), ("small", small.columns)):
+        clash = reserved & set(cols)
+        if clash:
+            raise ValueError(
+                f"salted_join_advised reserves columns {sorted(clash)} "
+                f"for its salting plumbing but {side} already has them — "
+                "rename them before the call")
+    adv = F.broadcast(advice.select(F.col("key").alias("__advkey"),
+                                    F.col("factor").alias("__adv_factor")))
+    fac = F.col("__adv_factor")
     bk = F.col(key).cast("string")
     big_s = (big.join(adv, bk == F.col("__advkey"), "left")
              .withColumn("__salt",
-                         F.when(F.col("factor").isNull(), F.lit(0))
-                         .otherwise((F.rand(seed=42) * F.col("factor"))
-                                    .cast("int")))
-             .drop("__advkey", "factor"))
+                         F.when(fac.isNull(), F.lit(0))
+                         .otherwise((F.rand(seed=42) * fac).cast("int")))
+             .drop("__advkey", "__adv_factor"))
     small_s = (small.join(adv, F.col(key).cast("string")
                           == F.col("__advkey"), "left")
                .withColumn("__salts",
                            F.sequence(F.lit(0),
-                                      F.coalesce(F.col("factor"), F.lit(1))
-                                      - 1))
+                                      F.coalesce(fac, F.lit(1)) - 1))
                .withColumn("__salt", F.explode("__salts"))
-               .drop("__advkey", "factor", "__salts"))
+               .drop("__advkey", "__adv_factor", "__salts"))
     return big_s.join(small_s, [key, "__salt"], how).drop("__salt")

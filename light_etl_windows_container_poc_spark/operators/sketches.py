@@ -53,6 +53,40 @@ def mg_partial_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
     return df.mapInPandas(run, "token string, est long")
 
 
+def mg_partial_summaries_with_n(df: DataFrame, col: str,
+                                k: int) -> DataFrame:
+    """`mg_partial_summaries` plus one token-NULL row per partition
+    carrying the partition's ROW COUNT in est — callers that need both
+    the summary and n (the salting advisor's slack term n/k and
+    fair-share n/partitions) pay ONE scan of df instead of a count()
+    pass followed by a sketch pass. Real tokens are never NULL (the
+    summary's index is stringified), so the carrier rows are
+    unambiguous; filter them off before `mg_merge`."""
+
+    def run(batches):
+        import pandas as pd
+
+        counters = pd.Series(dtype="int64")
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            vc = pdf[col].value_counts()
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        counters = counters.astype("int64")
+        yield pd.concat(
+            [pd.DataFrame({"token": counters.index.astype(str),
+                           "est": counters.values}),
+             pd.DataFrame({"token": pd.array([None], dtype="object"),
+                           "est": [n]})],
+            ignore_index=True)
+
+    return df.mapInPandas(run, "token string, est long")
+
+
 def mg_merge(partials: DataFrame, k: int) -> DataFrame:
     """Merge per-partition MG summaries into one global <= k-row summary.
 

@@ -14,22 +14,19 @@ hashes, window minima over per-doc partitions).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..functions.texts import word_ngrams_raw, words
-from .registry import query
+from .registry import cert_work_dir, query
 
 
 def _tmp(tag: str, sf_dir: str) -> str:
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{h}")
+    return cert_work_dir(tag, sf_dir)
 
 
 def _fresh(path: str) -> str:

@@ -13,20 +13,17 @@ rows-only and its twin certify by hash.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from .registry import query
+from .registry import cert_work_dir, query
 
 
 def _tmp(tag: str, sf_dir: str) -> str:
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{h}")
+    return cert_work_dir(tag, sf_dir)
 
 
 def _ivfpq_result(spark: SparkSession, sf_dir: str, nprobe: int,

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from ..functions.texts import words
 from .breadth27 import BPE_MERGES, _bpe_oracle
-from .registry import query
+from .registry import cert_work_dir, query
 
 
 # --------------------------------------------------------------------------
@@ -338,10 +338,8 @@ def stream_heavy_hitters_cert(spark: SparkSession, sf_dir: str,
     (est <= exact, deficit·(k+1) <= n, heavy => present) are checked
     per token. Rebuilt per call (the ann_ivfpq pattern) so the
     certification always reflects the current warehouse."""
-    import hashlib
     import os
     import shutil
-    import tempfile
 
     from ..streaming.heavy_hitters import (read_heavy_hitters,
                                            start_heavy_hitters_stream)
@@ -350,8 +348,7 @@ def stream_heavy_hitters_cert(spark: SparkSession, sf_dir: str,
     toks = docs.select(
         F.explode(words(F.lower(F.col("text")))).alias("token"))
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_shh_{h}")
+    work = cert_work_dir("shh", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "src")
     toks.repartition(4).write.parquet(src)
@@ -424,9 +421,7 @@ def zorder_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-artifact class) BECAUSE the read-back filter must be
     literal — only literal predicates reach the parquet footers as
     min/max row-group pruning, which is the lever being laid out."""
-    import hashlib
     import os
-    import tempfile
 
     from .breadth30 import _z_terms
 
@@ -446,8 +441,7 @@ def zorder_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(min(y) + (max(y) - min(y)) * 45 div 100 AS BIGINT)")
         .alias("hi_y")).collect()[0]
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_zw_{h}")
+    path = cert_work_dir("zw", sf_dir)
     z = base.withColumn("zv", F.expr(_z_terms("x", "y", "", True)))
     (z.repartitionByRange(16, "zv").sortWithinPartitions("zv")
      .write.mode("overwrite").parquet(path))
@@ -591,10 +585,8 @@ def zorder_optimize_roundtrip(spark: SparkSession, sf_dir: str,
     unsorted deltas, optimize (incremental fold), box-aggregate the
     result. Any row lost or duplicated by the link/rewrite/swap/sweep
     machinery flips the hash."""
-    import hashlib
     import os
     import shutil
-    import tempfile
 
     from ..operators.zorder import (append_zorder_delta, optimize_zorder,
                                     read_zordered, write_zordered)
@@ -615,8 +607,7 @@ def zorder_optimize_roundtrip(spark: SparkSession, sf_dir: str,
         F.expr("CAST(min(y) + (max(y) - min(y)) * 45 div 100 AS BIGINT)")
         .alias("hi_y")).collect()[0]
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_zopt_{h}")
+    path = cert_work_dir("zopt", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     write_zordered(base.filter(F.col("k") % 7 != 0), path, "x", "y",
                    n_files=8)

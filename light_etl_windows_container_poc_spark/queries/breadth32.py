@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from .registry import query
+from .registry import cert_work_dir, query
 
 _CM_DEPTH = 4
 _CM_WIDTH = 64
@@ -411,18 +411,15 @@ def stream_countmin_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial grids → manifest-aware read-time merge → the SAME top-20
     point-query relation the batch query hashes. Rebuilt per call (the
     stream_heavy_hitters_cert pattern)."""
-    import hashlib
     import os
     import shutil
-    import tempfile
 
     from ..operators.sketches import cm_point_query
     from ..streaming.countmin import read_countmin, start_countmin_stream
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_scm_{h}")
+    work = cert_work_dir("scm", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "src")
     ev.select("user_id").repartition(4).write.parquet(src)

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from .registry import query
+from .registry import cert_work_dir, query
 
 _TS_SAMPLE = 120  # rows per group → ≤ 7140 pairs per group
 
@@ -247,10 +247,8 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials → merged state answers the quantiles (the
     stream_countmin_cert pattern: streamed state is cell-identical to
     the batch histogram, so the oracle builds it from the table)."""
-    import hashlib
     import os
     import shutil
-    import tempfile
 
     from ..streaming.histogram import (read_histogram,
                                        start_histogram_stream)
@@ -259,8 +257,7 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ev.select(F.round(F.col("value") * 100).cast("long")
                       .alias("cents"))
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_shq_{h}")
+    work = cert_work_dir("shq", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "src")
     cents.repartition(4).write.parquet(src)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from .registry import query
+from .registry import cert_work_dir, query
 
 
 def _cents(col):
@@ -62,10 +62,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_vectors,
 FROM embeddings
 """)
 def ann_lifecycle_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
     import shutil
-    import tempfile
 
     from ..operators.ann_index import (build_ivfpq_index, drift_check,
                                        query_ivfpq_index,
@@ -80,8 +78,7 @@ def ann_lifecycle_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100_000).alias("vec_id"),
         F.transform("embedding", lambda x: -x).alias("embedding"))
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    idx = os.path.join(tempfile.gettempdir(), f"spark_graft_annlc_{h}")
+    idx = cert_work_dir("annlc", sf_dir)
     shutil.rmtree(idx, ignore_errors=True)  # rerunnable: fresh lifecycle
 
     build_ivfpq_index(base, "vec_id", "embedding", idx, n_clusters=6)
@@ -561,17 +558,14 @@ SELECT rule, CAST(n AS BIGINT) AS n FROM (
 ) ORDER BY rule
 """)
 def stream_dq_gate_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
     import shutil
-    import tempfile
 
     from ..streaming.quality_gate import start_dq_gate_stream
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_sdq_{h}")
+    work = cert_work_dir("sdq", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "src")
     (ev.select("event_id", "user_id", "event_type", "value")

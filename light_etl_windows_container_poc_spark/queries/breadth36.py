@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from .registry import query
+from .registry import cert_work_dir, query
 
 _HLL_M = 64  # registers; RSE = 1.04/√64 ≈ 13%
 _HLL_ALPHA = 0.709  # the standard alpha_64
@@ -141,17 +141,14 @@ WITH {_HLL_GRID_SQL}
 SELECT bucket, reg FROM regs ORDER BY bucket
 """)
 def stream_hll_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
     import shutil
-    import tempfile
 
     from ..streaming.hll import read_hll, start_hll_stream
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_shll_{h}")
+    work = cert_work_dir("shll", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "src")
     ev.select("user_id").repartition(4).write.parquet(src)

@@ -18,16 +18,14 @@ targets as integer ceil-div, all oracle outputs CAST (HUGEINT guard).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from .registry import query
+from .registry import cert_work_dir, query
 
 _QSK_CAP = 256
 
@@ -215,8 +213,7 @@ def stream_qsketch_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.qsketch import read_qsketch, start_qsketch_stream
 
     df = _orders_cents(spark, sf_dir)
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_sqsk_{h}")
+    work = cert_work_dir("sqsk", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "src")
     df.repartition(4).write.parquet(src)
@@ -273,8 +270,7 @@ def ann_append_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") % 2 == 0)
     growth = emb.filter(F.col("vec_id") % 2 == 1)
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_annap_{h}")
+    work = cert_work_dir("annap", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     idx = os.path.join(work, "idx")
     build_ivfpq_index(base, "vec_id", "embedding", idx, n_clusters=6)
@@ -385,8 +381,7 @@ def pipeline_e2e_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline import ETLPipeline
 
     t = load_tables(spark, sf_dir, ("customer", "orders", "nation"))
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_pipe_{h}")
+    work = cert_work_dir("pipe", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     drop = os.path.join(work, "drop")
     wh = os.path.join(work, "warehouse")

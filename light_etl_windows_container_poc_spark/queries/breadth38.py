@@ -24,16 +24,14 @@ exact integers (no division), every oracle output CAST (HUGEINT guard).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from .registry import query
+from .registry import cert_work_dir, query
 
 _AMS_J = 64          # counters
 _AMS_GROUPS = 4      # median-of-means groups (16 counters each)
@@ -154,8 +152,7 @@ def stream_ams_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_sams_{h}")
+    work = cert_work_dir("sams", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "src")
     orders.select("o_custkey").repartition(4).write.parquet(src)
@@ -206,8 +203,7 @@ def stream_kmv_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_skmv_{h}")
+    work = cert_work_dir("skmv", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "src")
     orders.select("o_custkey").repartition(4).write.parquet(src)

@@ -18,16 +18,14 @@ global sort, and a streamed sample exactly equal to a batch rerun.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from .registry import query
+from .registry import cert_work_dir, query
 from .breadth3 import COOCCUR_PAIRS_CTES, word_cooccur_pairs
 
 _RSV_K = 100
@@ -88,8 +86,7 @@ def stream_reservoir_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_srsv_{h}")
+    work = cert_work_dir("srsv", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "src")
     docs.select("doc_id", "text").repartition(4).write.parquet(src)

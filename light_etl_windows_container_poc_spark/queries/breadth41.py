@@ -1,13 +1,13 @@
-"""Round-11 head candidates, PRE-certified this round.
+"""Round-11 head queries (promoted) + the r12 pre-certified queue.
 
-The round-10 driver budget is spent (head at its 18-slot ceiling + the
-32 mandatory recertifications == 50), so these queries deliberately do
-NOT carry the @query decorator yet — registering them would push
-mandatory recertify rows out of the driver's 50-slot window. Each ships
-with its full DuckDB oracle string and a pytest that runs the EXACT
-local-gate compare (tools/check_oracle frame_fingerprint over the
-pandas fetch path) at sf0.001, so round 11 turns them into driver rows
-by adding the decorator — nothing else.
+Round 10 shipped everything here WITHOUT @query (the driver budget was
+at its 50-slot ceiling) but WITH full DuckDB oracles and pytests running
+the EXACT local-gate compare (tools/check_oracle frame_fingerprint over
+the pandas fetch path) at all three SFs. Round 11 promoted the five
+heads — stream_bm25_cert, bm25_batch_cert, salting_advice_cert,
+mann_kendall_trend, acf_daily — by adding the decorator; the four
+takedown/phrase certificates below stay decorator-less with live 3-SF
+gate evidence, queued for the r12 head.
 
 Contents:
 - stream_bm25_cert — the streaming BM25 index maintainer
@@ -28,17 +28,15 @@ Contents:
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from .breadth14 import bm25_search  # noqa: F401  (registers the oracle twin)
-from .registry import ORACLES
+from .registry import ORACLES, cert_work_dir, query
 
 _BM25_TERMS = ("spark", "query", "window")
 
@@ -48,6 +46,7 @@ _BM25_TERMS = ("spark", "query", "window")
 STREAM_BM25_ORACLE = ORACLES["bm25_search"]
 
 
+@query("stream_bm25_cert", oracle=STREAM_BM25_ORACLE)
 def stream_bm25_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents stream → per-batch postings → compaction → served
     top-k; row-identical to the batch bm25_search query by the
@@ -58,22 +57,21 @@ def stream_bm25_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
             .select("doc_id", "text"))
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(),
-                    f"spark_graft_sbm25_{h}_{os.getpid()}")
+    work = cert_work_dir("sbm25", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    src = os.path.join(work, "src")
-    docs.repartition(3).write.parquet(src)
-    stream = (spark.readStream.schema("doc_id long, text string")
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    q = start_bm25_stream(stream, os.path.join(work, "state"),
-                          os.path.join(work, "ckpt"), "doc_id", "text")
-    q.awaitTermination(300)
-    compact_bm25_state(spark, os.path.join(work, "state"))
-    out = bm25_topk(spark, os.path.join(work, "state"), _BM25_TERMS)
-    out = out.localCheckpoint(eager=True)
-    shutil.rmtree(work, ignore_errors=True)
-    return out
+    try:
+        src = os.path.join(work, "src")
+        docs.repartition(3).write.parquet(src)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_bm25_stream(stream, os.path.join(work, "state"),
+                              os.path.join(work, "ckpt"), "doc_id", "text")
+        assert q.awaitTermination(300), "bm25 ingest did not finish"
+        compact_bm25_state(spark, os.path.join(work, "state"))
+        out = bm25_topk(spark, os.path.join(work, "state"), _BM25_TERMS)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 SALTING_ADVICE_ORACLE = """
@@ -88,6 +86,7 @@ SELECT key, factor, exact_count FROM p WHERE factor >= 2 ORDER BY key
 """
 
 
+@query("salting_advice_cert", oracle=SALTING_ADVICE_ORACLE)
 def salting_advice_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The advisor's exact contract on a ≤ 64-distinct key: MG never
     compresses, est == true count under ANY partitioning, so the
@@ -130,6 +129,7 @@ FROM pr GROUP BY t ORDER BY t
 """
 
 
+@query("mann_kendall_trend", oracle=MANN_KENDALL_ORACLE)
 def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend statistic per event type over the daily count
     series: S = Σ_{i<j} sign(x_j − x_i) — the standard nonparametric
@@ -186,16 +186,23 @@ m AS (
   FROM p GROUP BY lag
 )
 SELECT CAST(lag AS BIGINT) AS lag, n, sx, sy, sxx, syy, sxy,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+              OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
+            THEN NULL
+            ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS acf
 FROM m ORDER BY lag
 """
 
 
+@query("acf_daily", oracle=ACF_DAILY_ORACLE)
 def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1..7 autocorrelation of the daily event count — the
     persistence/weekly-seasonality diagnostic next to seasonality_dft's
@@ -203,7 +210,14 @@ def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx, syy, sxy per lag); the Pearson r rides as a double derived
     from those exact integers with a textually parallel formula in
     both engines (the grouped_ols contract). Pairs come from a day-spine
-    self-join (calendar-bounded), lags from a 7-row broadcast."""
+    self-join (calendar-bounded), lags from a 7-row broadcast.
+
+    Degenerate guard (r10 ADVICE): a zero-variance series at some lag
+    makes Spark's Divide return NULL while DuckDB's IEEE division
+    yields NaN/inf — both sides now NULL the acf explicitly when either
+    variance term is 0, so engine and oracle agree on degenerate data
+    too (the guard compares the exact integer-valued doubles, all well
+    under 2^53)."""
     events = load_tables(spark, sf_dir, ("events",))["events"]
     d = (events.select(F.to_date("ts").alias("day"))
          .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("cnt")))
@@ -224,9 +238,9 @@ def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy_d = F.col("sy").cast("double")
     sxx_d, syy_d = F.col("sxx").cast("double"), F.col("syy").cast("double")
     sxy_d = F.col("sxy").cast("double")
-    acf = ((n_d * sxy_d - sx_d * sy_d)
-           / F.sqrt((n_d * sxx_d - sx_d * sx_d)
-                    * (n_d * syy_d - sy_d * sy_d)))
+    vx, vy = n_d * sxx_d - sx_d * sx_d, n_d * syy_d - sy_d * sy_d
+    acf = (F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
+           .otherwise((n_d * sxy_d - sx_d * sy_d) / F.sqrt(vx * vy)))
     return (m.select("lag", "n", "sx", "sy", "sxx", "syy", "sxy",
                      acf.alias("acf"))
             .orderBy("lag"))
@@ -287,6 +301,7 @@ ORDER BY qid, rank
 """
 
 
+@query("bm25_batch_cert", oracle=BM25_BATCH_ORACLE)
 def bm25_batch_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BATCH serving path certified: stream-ingest the corpus into
     the maintained index, then answer a 3-query batch in ONE plan
@@ -298,24 +313,23 @@ def bm25_batch_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
             .select("doc_id", "text"))
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(),
-                    f"spark_graft_bbm25_{h}_{os.getpid()}")
+    work = cert_work_dir("bbm25", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    src = os.path.join(work, "src")
-    docs.repartition(3).write.parquet(src)
-    stream = (spark.readStream.schema("doc_id long, text string")
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    q = start_bm25_stream(stream, os.path.join(work, "state"),
-                          os.path.join(work, "ckpt"), "doc_id", "text")
-    q.awaitTermination(300)
-    qdf = spark.createDataFrame(BM25_BATCH_QUERIES,
-                                "qid long, terms array<string>")
-    out = bm25_topk_batch(spark, os.path.join(work, "state"),
-                          qdf, "qid", "terms")
-    out = out.localCheckpoint(eager=True)
-    shutil.rmtree(work, ignore_errors=True)
-    return out
+    try:
+        src = os.path.join(work, "src")
+        docs.repartition(3).write.parquet(src)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_bm25_stream(stream, os.path.join(work, "state"),
+                              os.path.join(work, "ckpt"), "doc_id", "text")
+        assert q.awaitTermination(300), "bm25 ingest did not finish"
+        qdf = spark.createDataFrame(BM25_BATCH_QUERIES,
+                                    "qid long, terms array<string>")
+        out = bm25_topk_batch(spark, os.path.join(work, "state"),
+                              qdf, "qid", "terms")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # --- takedown certificates: the delete semantics under the driver hash.
@@ -379,25 +393,23 @@ def bm25_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
             .select("doc_id", "text"))
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_tbm25_{h}_{os.getpid()}")
+    work = cert_work_dir("tbm25", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    src = os.path.join(work, "src")
-    docs.repartition(3).write.parquet(src)
-    stream = (spark.readStream.schema("doc_id long, text string")
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    q = start_bm25_stream(stream, os.path.join(work, "state"),
-                          os.path.join(work, "ckpt"), "doc_id", "text")
-    q.awaitTermination(300)
-    dels = docs.filter(F.col("doc_id") % 17 == 3).select("doc_id")
-    bm25_delete_handler(os.path.join(work, "state"),
-                        "doc_id")(dels, 1_000_000)
-    compact_bm25_state(spark, os.path.join(work, "state"))
-    out = bm25_topk(spark, os.path.join(work, "state"), _BM25_TERMS)
-    out = out.localCheckpoint(eager=True)
-    shutil.rmtree(work, ignore_errors=True)
-    return out
+    try:
+        src = os.path.join(work, "src")
+        docs.repartition(3).write.parquet(src)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_bm25_stream(stream, os.path.join(work, "state"),
+                              os.path.join(work, "ckpt"), "doc_id", "text")
+        assert q.awaitTermination(300), "bm25 ingest did not finish"
+        dels = docs.filter(F.col("doc_id") % 17 == 3).select("doc_id")
+        bm25_delete_handler(os.path.join(work, "state"), "doc_id")(dels, 0)
+        compact_bm25_state(spark, os.path.join(work, "state"))
+        out = bm25_topk(spark, os.path.join(work, "state"), _BM25_TERMS)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 ANN_TAKEDOWN_ORACLE = """
@@ -430,37 +442,37 @@ def ann_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = (load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
            .select("vec_id", "embedding"))
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_tann_{h}_{os.getpid()}")
+    work = cert_work_dir("tann", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    idx = os.path.join(work, "idx")
-    build_ivfpq_index(emb, "vec_id", "embedding", idx, n_clusters=6)
+    try:
+        idx = os.path.join(work, "idx")
+        build_ivfpq_index(emb, "vec_id", "embedding", idx, n_clusters=6)
 
-    dels = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
-    n_deleted = tombstone_ann_ids(dels, "vec_id", idx)
-    n_total = emb.count()
+        dels = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+        n_deleted = tombstone_ann_ids(dels, "vec_id", idx)
+        n_total = emb.count()
 
-    queries = emb.filter(F.col("vec_id") % 100 == 1)
-    n_queries = queries.count()
-    alive = emb.filter(F.col("vec_id") % 10 != 3)
-    truth = (ann_bruteforce_topk(alive, queries, "vec_id", "embedding",
-                                 k=5).select(F.col("q_id").alias("a_id"),
-                                             F.col("n_id").alias("b_id"))
-             .localCheckpoint(eager=True))
+        queries = emb.filter(F.col("vec_id") % 100 == 1)
+        n_queries = queries.count()
+        alive = emb.filter(F.col("vec_id") % 10 != 3)
+        truth = (ann_bruteforce_topk(alive, queries, "vec_id", "embedding",
+                                     k=5).select(F.col("q_id").alias("a_id"),
+                                                 F.col("n_id").alias("b_id"))
+                 .localCheckpoint(eager=True))
 
-    def exact_now():
-        return (query_ivfpq_index(spark, idx, emb, queries, "vec_id",
-                                  "embedding", k=5, nprobe=6,
-                                  rerank=1 << 30)
-                .select(F.col("q_id").alias("a_id"),
-                        F.col("n_id").alias("b_id")))
+        def exact_now():
+            return (query_ivfpq_index(spark, idx, emb, queries, "vec_id",
+                                      "embedding", k=5, nprobe=6,
+                                      rerank=1 << 30)
+                    .select(F.col("q_id").alias("a_id"),
+                            F.col("n_id").alias("b_id")))
 
-    mismatched = _sym_diff_count(exact_now(), truth).count()
-    n_codes = compact_ivfpq_codes(spark, idx)
-    reclaimed = int(n_codes == n_total - n_deleted)
-    post = _sym_diff_count(exact_now(), truth).count()
-    shutil.rmtree(work, ignore_errors=True)
+        mismatched = _sym_diff_count(exact_now(), truth).count()
+        n_codes = compact_ivfpq_codes(spark, idx)
+        reclaimed = int(n_codes == n_total - n_deleted)
+        post = _sym_diff_count(exact_now(), truth).count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
     return spark.createDataFrame(
         [(n_total, n_deleted, n_queries, int(mismatched), reclaimed,
@@ -499,20 +511,21 @@ def dedup_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
             .select("doc_id", "text"))
-    work = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_tded_{os.getpid()}")
+    work = cert_work_dir("tded", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    d1 = incremental_exact_dedup(docs, "doc_id", "text", work)
-    dels = (d1.filter((F.col("keep") == 1) & (F.col("doc_id") % 11 == 0))
-            .select("doc_id"))
-    tombstone_dedup_ids(dels, "doc_id", work)
-    d2 = (incremental_exact_dedup(docs, "doc_id", "text", work,
-                                  update_index=False)
-          .select("doc_id", "content_hash", "dup_of_history", "keep")
-          .orderBy("doc_id"))
-    d2 = d2.localCheckpoint(eager=True)
-    shutil.rmtree(work, ignore_errors=True)
-    return d2
+    try:
+        d1 = incremental_exact_dedup(docs, "doc_id", "text", work)
+        dels = (d1.filter((F.col("keep") == 1)
+                          & (F.col("doc_id") % 11 == 0))
+                .select("doc_id"))
+        tombstone_dedup_ids(dels, "doc_id", work)
+        d2 = (incremental_exact_dedup(docs, "doc_id", "text", work,
+                                      update_index=False)
+              .select("doc_id", "content_hash", "dup_of_history", "keep")
+              .orderBy("doc_id"))
+        return d2.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 PHRASE_SEARCH_ORACLE = """
@@ -550,18 +563,18 @@ def phrase_search_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
             .select("doc_id", "text"))
-    work = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_pbm25_{os.getpid()}")
+    work = cert_work_dir("pbm25", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    src = os.path.join(work, "src")
-    docs.repartition(3).write.parquet(src)
-    stream = (spark.readStream.schema("doc_id long, text string")
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    q = start_bm25_stream(stream, os.path.join(work, "state"),
-                          os.path.join(work, "ckpt"), "doc_id", "text")
-    q.awaitTermination(300)
-    out = phrase_topk(spark, os.path.join(work, "state"),
-                      ("window", "join"))
-    out = out.localCheckpoint(eager=True)
-    shutil.rmtree(work, ignore_errors=True)
-    return out
+    try:
+        src = os.path.join(work, "src")
+        docs.repartition(3).write.parquet(src)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_bm25_stream(stream, os.path.join(work, "state"),
+                              os.path.join(work, "ckpt"), "doc_id", "text")
+        assert q.awaitTermination(300), "bm25 ingest did not finish"
+        out = phrase_topk(spark, os.path.join(work, "state"),
+                          ("window", "join"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -347,11 +347,10 @@ def _nation_excel_roundtrip(spark: SparkSession, sf_dir: str,
     dependency-free writer, write it as a .{ext} file, and read it back
     through the distributed binaryFile+mapInPandas reader exercising
     sheet selection, skiprows, and usecols."""
-    import hashlib
     import os
-    import tempfile
 
     from ..sources.files import read_excel
+    from .registry import cert_work_dir
 
     nation = load_tables(spark, sf_dir, ("nation",))["nation"]
     rows = nation.orderBy("n_nationkey").collect()  # 25 rows at any SF
@@ -360,9 +359,7 @@ def _nation_excel_roundtrip(spark: SparkSession, sf_dir: str,
     grid += [[int(r.n_nationkey), r.n_name, "x", int(r.n_regionkey)]
              for r in rows]
     book = build_fn({"meta": [["ignore me"]], "nation": grid})
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out_dir = os.path.join(tempfile.gettempdir(),
-                           f"spark_graft_{ext}_{tag}")
+    out_dir = cert_work_dir(ext, sf_dir)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, f"nation.{ext}"), "wb") as fh:
         fh.write(book)

@@ -25,7 +25,10 @@ and exact phrase queries (phrase_topk). Rows with tok IS NULL are the
 per-document stat rows (one per ingested doc, tf = 0, pos NULL) — they
 exist so documents with NO tokens still count in N and avgdl, which
 the batch query's statistics include. `words()` never emits an empty
-token, so NULL cannot collide with a real term.
+token, so NULL cannot collide with a real term. Takedown tombstones
+(tok NULL, tf = -1) land under the separate ``_tombstones/batch_tag=N``
+namespace — outside the posting manifest's watermark, so deletes never
+interfere with posting batch ids (see the takedown section).
 
 State/replay/compaction contracts are shared with heavy_hitters.py
 (whose module docstring is the full specification): overwrite-by-
@@ -106,15 +109,36 @@ def start_bm25_stream(stream: DataFrame, state_dir: str,
             .start())
 
 
+_TOMBSTONE_SUBDIR = "_tombstones"
+
+
+def _tombstone_dirs(state_dir: str) -> list[str]:
+    """Landed tombstone batch directories. Tombstones live under their
+    own ``_tombstones/`` namespace, NOT under the posting stream's
+    batch_tag= namespace: the compaction manifest's watermark covers
+    numeric posting batch ids, and a tombstone batch sharing that
+    namespace (as the original 'disjoint manual range' contract had it)
+    would RAISE the watermark past every later posting micro-batch —
+    silently excluding and then sweeping fresh ingest. The separate
+    namespace keeps delete-batch ids (their own checkpointed stream,
+    starting at 0) and posting-batch ids fully independent."""
+    root = os.path.join(state_dir, _TOMBSTONE_SUBDIR)
+    if not os.path.isdir(root):
+        return []
+    return [os.path.join(root, d) for d in sorted(os.listdir(root))
+            if d.startswith("batch_tag=")]
+
+
 def read_bm25_postings(spark: SparkSession, state_dir: str) -> DataFrame:
     """The full inverted index over everything ingested so far — by the
     disjoint-batch contract, cell-identical to `bm25_partial` over the
-    union of all landed batches."""
-    dirs = live_partial_dirs(state_dir)
+    union of all landed batches — plus every landed tombstone row (the
+    serve paths go through `bm25_alive`, which applies them)."""
+    dirs = [os.path.join(state_dir, d) for d in live_partial_dirs(state_dir)]
+    dirs += _tombstone_dirs(state_dir)
     if not dirs:
         return spark.createDataFrame([], _SCHEMA)
-    paths = [os.path.join(state_dir, d) for d in dirs]
-    return spark.read.schema(_SCHEMA).parquet(*paths)
+    return spark.read.schema(_SCHEMA).parquet(*dirs)
 
 
 def bm25_topk(spark: SparkSession, state_dir: str, terms: tuple[str, ...],
@@ -163,30 +187,38 @@ def bm25_topk(spark: SparkSession, state_dir: str, terms: tuple[str, ...],
 
 def compact_bm25_state(spark: SparkSession, state_dir: str,
                        drop_tombstones: bool = False) -> None:
-    """Fold live partials into one generation via the shared manifest
-    protocol (heavy_hitters.compact_via_manifest has the crash-safety
-    argument). The merge physically removes tombstoned docs' postings
-    (the takedown's storage reclaim) and is answer-invariant because
-    serving already excluded them; tombstone rows themselves survive —
-    deduplicated to one per doc — unless ``drop_tombstones`` (see the
-    takedown section's late-arrival argument). Output is term-sorted
+    """Fold live POSTING partials into one generation via the shared
+    manifest protocol (heavy_hitters.compact_via_manifest has the
+    crash-safety argument). The merge reads the landed tombstones and
+    physically removes tombstoned docs' postings (the takedown's
+    storage reclaim) — answer-invariant because serving already
+    excluded them. Tombstone rows live under their own ``_tombstones/``
+    namespace, which the manifest watermark and sweep never touch, so
+    ingest can CONTINUE after a delete + compaction with its
+    checkpointed batch ids intact (the watermark only ever covers
+    posting ids — regression-tested by
+    test_ingest_continues_after_delete_and_compaction). Pass
+    ``drop_tombstones=True`` to vacuum the tombstone namespace once
+    ingest has provably passed the delete frontier; the vacuum runs
+    strictly AFTER the compacted generation (which already excludes the
+    deleted postings) is published, so a crash between the two steps
+    only leaves harmless tombstones behind. Output is term-sorted
     within partitions so the compacted generation's parquet row-group
     stats prune query-term filters."""
     from .heavy_hitters import compact_via_manifest
 
     def merge(live: list[str]) -> DataFrame:
         paths = [os.path.join(state_dir, d) for d in live]
+        paths += _tombstone_dirs(state_dir)
         idx = spark.read.schema(_SCHEMA).parquet(*paths)
-        alive = bm25_alive(idx).sortWithinPartitions("tok")
-        if drop_tombstones:
-            return alive
-        is_tomb = F.col("tok").isNull() & (F.col("tf") < 0)
-        tombs = (idx.filter(is_tomb)
-                 .select("tok", "doc_id", "tf", "dl").distinct()
-                 .withColumn("pos", F.lit(None).cast("array<int>")))
-        return alive.unionByName(tombs)
+        return bm25_alive(idx).sortWithinPartitions("tok")
 
     compact_via_manifest(state_dir, merge)
+    if drop_tombstones:
+        import shutil
+
+        shutil.rmtree(os.path.join(state_dir, _TOMBSTONE_SUBDIR),
+                      ignore_errors=True)
 
 
 def bm25_topk_batch(spark: SparkSession, state_dir: str,
@@ -249,17 +281,25 @@ def bm25_topk_batch(spark: SparkSession, state_dir: str,
 # ----------------------------------------------------------------------
 # Takedowns: the right-to-be-forgotten path a training-data index needs.
 # A tombstone is a row with tok NULL and tf = -1 (stat rows are tok NULL
-# tf = 0, postings have tok set — no collision); it lands under its own
-# batch_tag like any other batch, so the replay/compaction protocol
-# covers deletes with zero new machinery. Serving anti-joins the (tiny,
-# broadcastable) tombstoned-id set; corpus stats (N, avgdl, df) exclude
-# deleted docs, so the served result equals a batch build over the
-# corpus MINUS the deletions (pytest-certified). Compaction physically
-# removes the deleted docs' postings but KEEPS the tombstones by
-# default: ids never recur under the append-only contract, and a
-# surviving tombstone still suppresses a late-arriving posting batch
-# for the same doc; pass drop_tombstones=True once ingest has provably
-# passed the delete frontier.
+# tf = 0, postings have tok set — no collision); it lands under
+# _tombstones/batch_tag=N — its OWN namespace with its own (delete-
+# stream-checkpointed) batch ids, deliberately OUTSIDE the posting
+# manifest's watermark. Sharing the posting batch_tag namespace (the
+# original 'disjoint manual range' contract) was a silent-data-loss
+# bug: one compaction folding a high delete tag raised the watermark
+# past every later posting micro-batch, excluding and then sweeping
+# fresh ingest. Overwrite-by-tag keeps delete replays idempotent
+# exactly as before. Serving anti-joins the (tiny, broadcastable)
+# tombstoned-id set; corpus stats (N, avgdl, df) exclude deleted docs,
+# so the served result equals a batch build over the corpus MINUS the
+# deletions (pytest-certified). Compaction physically removes the
+# deleted docs' postings but KEEPS the tombstone namespace by default:
+# ids never recur under the append-only contract, and a surviving
+# tombstone still suppresses a late-arriving posting batch for the
+# same doc; pass drop_tombstones=True once ingest has provably passed
+# the delete frontier (a delete replay AFTER the vacuum re-lands
+# tombstones for already-reclaimed docs — harmless, the anti-join
+# no-ops).
 # ----------------------------------------------------------------------
 
 def bm25_tombstones(batch: DataFrame, id_col: str) -> DataFrame:
@@ -275,14 +315,18 @@ def bm25_tombstones(batch: DataFrame, id_col: str) -> DataFrame:
 def bm25_delete_handler(state_dir: str,
                         id_col: str) -> Callable[[DataFrame, int], None]:
     """foreachBatch function for a DELETE stream: land the batch's
-    tombstones under its batch_tag (overwrite → replay-idempotent).
-    Batch ids must not collide with the posting stream's — run deletes
-    through their own checkpointed stream or a disjoint manual range."""
+    tombstones under ``_tombstones/batch_tag=N`` (overwrite →
+    replay-idempotent). The namespace is independent of the posting
+    stream's, so delete batch ids (their own checkpointed stream,
+    starting at 0) never interact with the posting manifest's
+    watermark — see the section comment above for why that separation
+    is load-bearing."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         (bm25_tombstones(batch, id_col)
          .write.mode("overwrite")
-         .parquet(os.path.join(state_dir, f"batch_tag={batch_id}")))
+         .parquet(os.path.join(state_dir, _TOMBSTONE_SUBDIR,
+                               f"batch_tag={batch_id}")))
 
     return handle
 

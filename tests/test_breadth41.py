@@ -480,3 +480,118 @@ def test_phrase_topk_exact_semantics(spark, tmp_path):
     got2 = {(r.doc_id, r.n_occurrences)
             for r in phrase_topk(spark, state, ("window", "join")).collect()}
     assert got2 == {(2, 1)}
+
+
+def test_ingest_continues_after_delete_and_compaction(spark, tmp_path):
+    """Regression for the tombstone/watermark interaction (r10 ADVICE,
+    high): tombstones land in their own _tombstones/ namespace, so a
+    compaction that folds them must NOT raise the posting manifest's
+    watermark past later posting micro-batches. The old contract
+    (deletes under a high manual batch_tag) made every posting batch
+    landed AFTER delete+compact invisible AND swept it on the next
+    compaction — silent index data loss on the module's headline
+    use case (append-only corpus that keeps ingesting after
+    takedowns)."""
+    from light_etl_windows_container_poc_spark.streaming.bm25 import (
+        bm25_delete_handler,
+    )
+
+    state = str(tmp_path / "state")
+    bm25_batch_handler(state, "doc_id", "text")(
+        spark.createDataFrame([(1, "spark query"), (2, "spark window")],
+                              DOC_SCHEMA), 0)
+    bm25_batch_handler(state, "doc_id", "text")(
+        spark.createDataFrame([(3, "window query spark")], DOC_SCHEMA), 1)
+
+    # delete doc 2 — the delete stream's OWN batch id 0 must not clobber
+    # the posting stream's batch_tag=0
+    bm25_delete_handler(state, "doc_id")(
+        spark.createDataFrame([(2,)], "doc_id long"), 0)
+    compact_bm25_state(spark, state)
+    assert {r.doc_id for r in bm25_topk(spark, state, TERMS).collect()} \
+        == {1, 3}
+
+    # ingest CONTINUES: the checkpointed posting stream's next ids are
+    # small numbers — they must stay above the watermark, be served,
+    # and survive the next compaction's sweep
+    bm25_batch_handler(state, "doc_id", "text")(
+        spark.createDataFrame([(4, "spark spark window")], DOC_SCHEMA), 2)
+    bm25_batch_handler(state, "doc_id", "text")(
+        spark.createDataFrame([(5, "query window")], DOC_SCHEMA), 3)
+    assert {r.doc_id for r in bm25_topk(spark, state, TERMS).collect()} \
+        == {1, 3, 4, 5}
+
+    compact_bm25_state(spark, state)
+    assert {r.doc_id for r in bm25_topk(spark, state, TERMS).collect()} \
+        == {1, 3, 4, 5}
+    # the fold physically kept the late batches' postings
+    idx = read_bm25_postings(spark, state)
+    assert idx.filter(F.col("doc_id").isin(4, 5)
+                      & F.col("tok").isNotNull()).count() > 0
+
+    # delete again AFTER compactions, with a reused delete-stream id:
+    # overwrite-by-tag idempotence holds in the tombstone namespace too
+    bm25_delete_handler(state, "doc_id")(
+        spark.createDataFrame([(4,)], "doc_id long"), 1)
+    bm25_delete_handler(state, "doc_id")(
+        spark.createDataFrame([(4,)], "doc_id long"), 1)
+    assert {r.doc_id for r in bm25_topk(spark, state, TERMS).collect()} \
+        == {1, 3, 5}
+
+    # vacuum once the frontier passed: tombstones gone, answers stable
+    compact_bm25_state(spark, state, drop_tombstones=True)
+    idx2 = read_bm25_postings(spark, state)
+    assert idx2.filter(F.col("tf") < 0).count() == 0
+    assert {r.doc_id for r in bm25_topk(spark, state, TERMS).collect()} \
+        == {1, 3, 5}
+
+
+def test_salted_join_advised_reserved_columns_guarded(spark):
+    """r10 ADVICE (low): a user column named 'factor' must survive the
+    advised join untouched, and the reserved __-prefixed working
+    columns raise a clear error instead of an AnalysisException deep
+    in the plan."""
+    import pytest as _pytest
+
+    from light_etl_windows_container_poc_spark.operators.scale import (
+        salted_join_advised,
+    )
+
+    big = _skewed(spark).withColumn("factor", F.col("v") * 10)
+    small = spark.createDataFrame(
+        [("hot", 1), ("warm", 2)], "k string, dim long")
+    adv = spark.createDataFrame([("hot", 3)], "key string, factor int")
+    got = salted_join_advised(big, small, "k", adv)
+    assert "factor" in got.columns  # the USER's column, not the advice's
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, plain.collect()))
+
+    for bad in ("__salt", "__salts", "__advkey", "__adv_factor"):
+        poisoned = big.withColumn(bad, F.lit(1))
+        with _pytest.raises(ValueError, match="reserves columns"):
+            salted_join_advised(poisoned, small, "k", adv)
+
+
+def test_salting_advice_is_one_scan(spark):
+    """The advisor folds n into the MG pass (r10 verdict #6): the plan
+    that produces the advice must contain exactly ONE scan of the input
+    relation — materialized by the partials' localCheckpoint — and the
+    advised factors must match the two-pass formula exactly."""
+    from light_etl_windows_container_poc_spark.operators.scale import (
+        salting_advice,
+    )
+
+    df = _skewed(spark)
+    n = df.count()
+    adv = {r.key: r.factor for r in
+           salting_advice(df, "k", n_partitions=8, k=64).collect()}
+    # ≤64 distinct keys -> MG is exact; replay the formula
+    fair = -(-n // 8)
+    slack = -(-n // 64)
+    truth = {}
+    for row in df.groupBy("k").count().collect():
+        f = -(-(row["count"] + slack) // fair)
+        if f >= 2:
+            truth[row.k] = f
+    assert adv == truth
