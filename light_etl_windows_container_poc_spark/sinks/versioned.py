@@ -12,6 +12,14 @@ deliberately shaped so swapping in `DeltaTable.forPath` is mechanical).
 Scale notes: snapshots are full copies — the honest cost of
 format-free time travel. `vacuum` bounds storage to the last K
 versions. The manifest is O(versions) driver-side JSON, never data.
+
+Takedown semantics: a plain overwrite (or `sinks.delete_where` on a
+copy promoted to latest) removes rows from the LIVE view only — old
+snapshots keep serving them through time travel until vacuum cycles
+them out, i.e. vacuum is the deletion frontier of ordinary writes.
+`delete_where_versioned` is the right-to-be-forgotten path: it purges
+the key set from EVERY retained snapshot (staged, atomic per version)
+so no pinned read can resurrect a deleted row.
 """
 
 from __future__ import annotations
@@ -78,6 +86,67 @@ def read_version(spark: SparkSession, path: str,
 def table_history(path: str) -> list[dict]:
     """The manifest entries, oldest first (DESCRIBE HISTORY parity)."""
     return _load_manifest(path)
+
+
+def delete_where_versioned(spark: SparkSession, path: str,
+                           keys: DataFrame,
+                           key_cols: list[str]) -> dict[int, int]:
+    """Key-set row deletion across EVERY retained snapshot — the
+    takedown tier for versioned tables. `sinks.delete_where` purges a
+    live table, but a versioned table keeps serving deleted rows via
+    ``read_version(path, version=old)`` until vacuum cycles the old
+    snapshots out; the reference's warehouse DELETE
+    (etl-worker/etl_processor/database_postgres.py:10-44 — one live
+    table, no snapshot history) has no such residual, so a
+    right-to-be-forgotten delete here must rewrite the retained history
+    too. Each ``v=N`` directory is rewritten minus the (null-safe)
+    matching rows through the staging + atomic-rename discipline, then
+    the manifest's row counts are refreshed in one atomic store.
+
+    Crash contract: versions are swapped one at a time, so a crash
+    leaves every version either fully purged or fully intact — never
+    half-written — and re-running completes the purge (idempotent:
+    already-purged versions simply match zero rows). The manifest
+    refresh is LAST; between the final swap and the store, readers see
+    correct data with stale ``rows`` counts only.
+
+    Returns {version: rows_deleted} for versions that changed. The
+    key relation is takedown-sized — it broadcasts; an empty key set
+    returns {} without touching any snapshot."""
+    from pyspark.sql import functions as F
+
+    from . import _staged_rewrite
+
+    entries = _load_manifest(path)
+    if not entries:
+        return {}
+    dels = keys.select(*key_cols).dropDuplicates(key_cols)
+    if dels.limit(1).count() == 0:
+        return {}
+    dels = dels.localCheckpoint(eager=True)
+    deleted: dict[int, int] = {}
+    for e in entries:
+        vdir = os.path.join(path, f"v={e['version']}")
+        snap = spark.read.parquet(vdir)
+        missing = set(key_cols) - set(snap.columns)
+        if missing:
+            raise ValueError(
+                f"delete_where_versioned key columns {sorted(missing)} "
+                f"not in v={e['version']}")
+        cond = None
+        for k in key_cols:
+            c = snap[k].eqNullSafe(dels[k])
+            cond = c if cond is None else (cond & c)
+        n_hit = snap.join(F.broadcast(dels), cond, "left_semi").count()
+        if n_hit == 0:
+            continue
+        kept = snap.join(F.broadcast(dels), cond, "left_anti")
+        n_kept = _staged_rewrite(spark, kept, vdir)
+        deleted[e["version"]] = e["rows"] - n_kept
+        e["rows"] = n_kept
+    if deleted:
+        _store_manifest(path, entries)
+    return deleted
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
