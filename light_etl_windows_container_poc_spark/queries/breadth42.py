@@ -1,5 +1,9 @@
-"""Round-12 head candidate, pre-certified: the STREAMING flagship flow
-under the driver hash.
+"""Round-12+ head candidates, pre-certified. Four queries:
+pipeline_e2e_stream_cert (the streaming flagship flow under the driver
+hash), graph_jaccard_similarity, ann_dim_truncation_recall and
+wordpiece_tokenize — each with a full DuckDB oracle and the exact
+driver-replica gate compare green at all three SFs
+(tests/test_breadth43.py holds the sf0.001 legs).
 
 `pipeline_e2e_cert` (queries/breadth37.py) certifies the BATCH
 re-expression of the reference's whole watcher flow; this module
@@ -162,3 +166,309 @@ def pipeline_e2e_stream_cert(spark: SparkSession,
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Neighbor-Jaccard link prediction — the set-overlap sibling of
+# graph_adamic_adar over the same customer–part bipartite graph:
+# J(c1,c2) = |N(c1) ∩ N(c2)| / |N(c1) ∪ N(c2)| on the hub-capped
+# signal subgraph (parts with deg in [2, 64]; deg-1 parts witness no
+# pair, hubs alone drive the Σ deg² pair blowup — the same cap, with
+# degrees and unions defined over the SAME subgraph so the statement
+# is self-consistent and DuckDB-replayable). All-integer backbone:
+# common, deg1, deg2, and jac_micro = floor(1e6·common/(d1+d2−common)
+# + 0.5); pairs need common ≥ 2 (single-witness pairs are the
+# J-saturating noise tier), top-50 rides TakeOrdered on the total
+# order (jac DESC, c1, c2) — never a global window.
+# --------------------------------------------------------------------------
+GRAPH_JACCARD_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+keep AS (
+  SELECT s FROM (SELECT s, count(*) AS deg FROM e0 GROUP BY s)
+  WHERE deg BETWEEN 2 AND 64
+),
+e AS (SELECT c, e0.s FROM e0 JOIN keep ON e0.s = keep.s),
+cd AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY c),
+p AS (
+  SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS common_parts
+  FROM e a JOIN e b ON a.s = b.s AND a.c < b.c
+  GROUP BY a.c, b.c
+  HAVING count(*) >= 2
+)
+SELECT p.c1, p.c2, p.common_parts,
+       d1.deg AS deg1, d2.deg AS deg2,
+       CAST(floor(1000000.0 * p.common_parts
+                  / (d1.deg + d2.deg - p.common_parts) + 0.5) AS BIGINT)
+         AS jac_micro
+FROM p JOIN cd d1 ON p.c1 = d1.c JOIN cd d2 ON p.c2 = d2.c
+ORDER BY jac_micro DESC, p.c1, p.c2 LIMIT 50
+"""
+
+
+def graph_jaccard_similarity(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Top-50 customer pairs by neighbor-Jaccard over shared purchased
+    parts. Scale shape mirrors graph_adamic_adar: the hub cap bounds
+    the self-join to ≤ 64·|edges| candidate rows, per-customer degrees
+    ride a broadcast-joinable |customers|-row relation, and the final
+    top-50 is TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    e0 = (t["orders"].join(t["lineitem"],
+                           F.col("o_orderkey") == F.col("l_orderkey"))
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_partkey").alias("s"))
+          .distinct())
+    keep = (e0.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+            .filter((F.col("deg") >= 2) & (F.col("deg") <= 64))
+            .select("s"))
+    e = e0.join(F.broadcast(keep), "s")
+    cd = e.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    a = e.select(F.col("c").alias("c1"), "s")
+    b = e.select(F.col("c").alias("c2"), "s")
+    p = (a.join(b, "s").filter(F.col("c1") < F.col("c2"))
+         .groupBy("c1", "c2")
+         .agg(F.count(F.lit(1)).cast("long").alias("common_parts"))
+         .filter(F.col("common_parts") >= 2))
+    d1 = cd.select(F.col("c").alias("c1"), F.col("deg").alias("deg1"))
+    d2 = cd.select(F.col("c").alias("c2"), F.col("deg").alias("deg2"))
+    jac = F.floor(F.lit(1_000_000.0) * F.col("common_parts")
+                  / (F.col("deg1") + F.col("deg2")
+                     - F.col("common_parts")) + F.lit(0.5)).cast("long")
+    return (p.join(d1, "c1").join(d2, "c2")
+            .select("c1", "c2", "common_parts", "deg1", "deg2",
+                    jac.alias("jac_micro"))
+            .orderBy(F.desc("jac_micro"), "c1", "c2").limit(50))
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style truncation recall — the embedding-ops certificate a
+# dimension-reduction rollout needs: serve from a PREFIX of each vector
+# (16 / 32 of 64 dims) and measure exact recall@5 against the full-dim
+# brute-force truth. Both sides are exact brute-force scans (the
+# ann_bruteforce exactness contract: re-scored left-fold cosine,
+# bit-identical to DuckDB's list kernel, ties on n_id), so the overlap
+# counts are deterministic integers — the dim=64 row doubles as the
+# identity check (overlap == 5·queries). Complements embed_pca
+# (learned projection) with the projection-free truncation every
+# Matryoshka-trained embedder offers.
+# --------------------------------------------------------------------------
+ANN_DIM_TRUNCATION_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 100 = 1),
+c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+      FROM embeddings),
+dims(dim) AS (VALUES (16), (32), (64)),
+scored AS (
+  SELECT dims.dim, q.q_id, c.n_id,
+         list_cosine_similarity(q.qv[1:dims.dim],
+                                c.nv[1:dims.dim]) AS sim
+  FROM q, c, dims WHERE q.q_id <> c.n_id
+),
+topk AS (
+  SELECT dim, q_id, n_id
+  FROM (SELECT dim, q_id, n_id,
+               row_number() OVER (PARTITION BY dim, q_id
+                                  ORDER BY sim DESC, n_id) AS rn
+        FROM scored)
+  WHERE rn <= 5
+),
+truth AS (SELECT q_id, n_id FROM topk WHERE dim = 64),
+hits AS (
+  SELECT t.dim, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM topk t JOIN truth ON t.q_id = truth.q_id
+                        AND t.n_id = truth.n_id
+  GROUP BY t.dim
+)
+SELECT CAST(dim AS INT) AS dim,
+       (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+       n_overlap,
+       CAST(floor(1000000.0 * n_overlap
+                  / (5 * (SELECT count(*) FROM q)) + 0.5) AS BIGINT)
+         AS recall_micro
+FROM hits ORDER BY dim
+"""
+
+
+def ann_dim_truncation_recall(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """recall@5 of prefix-truncated cosine search (16/32/64 of 64 dims)
+    vs the full-dim exact truth, as exact overlap counts. One GEMM-
+    batched brute-force scan per dim (operators/similarity
+    .ann_bruteforce_topk — local top-k per Arrow batch, no scored
+    |q|·|corpus| exchange); the dim=64 leg must equal 5·n_queries."""
+    from ..operators.similarity import ann_bruteforce_topk
+
+    emb = (load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+           .select("vec_id", "embedding"))
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    n_queries = queries.count()
+
+    def topk_at(dim: int) -> DataFrame:
+        trunc = F.slice("embedding", 1, dim).alias("embedding")
+        return (ann_bruteforce_topk(emb.select("vec_id", trunc),
+                                    queries.select("vec_id", trunc),
+                                    "vec_id", "embedding", k=5)
+                .select("q_id", "n_id"))
+
+    truth = topk_at(64).localCheckpoint(eager=True)
+    rows = []
+    for dim in (16, 32, 64):
+        got = topk_at(dim) if dim != 64 else truth
+        n_overlap = got.join(truth, ["q_id", "n_id"]).count()
+        rows.append((dim, n_queries, n_overlap,
+                     int(1_000_000.0 * n_overlap
+                         / (5 * n_queries) + 0.5)))
+    return spark.createDataFrame(
+        rows, "dim int, n_queries long, n_overlap long, recall_micro long")
+
+
+# --------------------------------------------------------------------------
+# WordPiece-style greedy tokenizer — the longest-match-first tier of the
+# tokenizer family (BPE applies merges in LEARNED RANK order,
+# breadth27/breadth31; unigram-LM segments by likelihood, breadth32;
+# WordPiece walks each word left-to-right taking the longest vocab
+# entry at every position, with a separate continuation vocabulary for
+# non-initial positions — the BERT-family scheme). The vocab here is a
+# FROZEN fixture (learning is certified separately by bpe_learn /
+# unigram_lm_learn); what this op certifies is the greedy matcher
+# itself, replayed step-for-step in DuckDB by a recursive CTE whose
+# recursive term is an unrolled longest-first CASE over the vocab —
+# each (word, pos) state has exactly one successor, so the chain is
+# deterministic and terminal rows (pos ≥ len) carry the token count.
+#
+# Scale shape: tokenization runs ONCE PER DISTINCT (16-char-truncated)
+# word via an Arrow-batched pandas UDF with a per-batch memo dict, and
+# instance counts join back — cost follows |vocabulary|, never corpus
+# tokens (the dictionary-not-corpus contract of bpe_apply_large).
+# --------------------------------------------------------------------------
+WP_INITIAL = [
+    "stream", "window", "column", "filter", "vector", "query", "merge",
+    "group", "batch", "table", "spark", "order", "value", "scan",
+    "sort", "part", "join", "hash", "line", "key", "agg", "the",
+    "fast", "slow", "qu", "st", "sc", "wh", "th", "gr", "pa", "jo",
+    "ba", "ta", "va", "co", "fi", "me", "or", "so",
+]
+WP_CONTINUATION = [
+    "tion", "ing", "er", "ed", "es", "le", "re", "ry", "rt", "up",
+    "in", "an", "on", "at", "ow", "ue", "sh", "ort", "ine", "ump",
+    "ble", "dow", "umn", "lter", "rge", "tch", "eam", "ctor", "uery",
+]
+_WP_MAX_WORD = 16
+
+
+def _wp_case(vocab: list[str], pos_expr: str) -> str:
+    branches = "\n".join(
+        f"WHEN substr(word, {pos_expr}, {len(v)}) = '{v}' THEN {len(v)}"
+        for v in sorted(vocab, key=len, reverse=True))
+    return f"CASE {branches} ELSE 1 END"
+
+
+def _wordpiece_oracle() -> str:
+    return f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, substr(word, 1, {_WP_MAX_WORD}) AS word
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                     '\\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents)
+),
+seg AS (
+  SELECT doc_id, word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n_tok
+  FROM w
+  UNION ALL
+  SELECT doc_id, word, pos + step, n_tok + 1
+  FROM (
+    SELECT doc_id, word, pos, n_tok,
+           CASE WHEN pos = 0
+                THEN {_wp_case(WP_INITIAL, "1")}
+                ELSE {_wp_case(WP_CONTINUATION, "CAST(pos + 1 AS INT)")}
+           END AS step
+    FROM seg WHERE pos < len(word))
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(1000 * sum(n_tok) // count(*) AS BIGINT)
+         AS tokens_per_word_milli
+FROM seg WHERE pos >= len(word)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+WORDPIECE_TOKENIZE_ORACLE = _wordpiece_oracle()
+
+
+def wordpiece_greedy_lengths(word: str) -> int:
+    """Reference greedy matcher (driver-side twin of the UDF loop):
+    token count of one ≤16-char word under the frozen vocab."""
+    init = sorted(WP_INITIAL, key=len, reverse=True)
+    cont = sorted(WP_CONTINUATION, key=len, reverse=True)
+    pos, n = 0, 0
+    while pos < len(word):
+        table = init if pos == 0 else cont
+        step = 1
+        for v in table:
+            if word.startswith(v, pos):
+                step = len(v)
+                break
+        pos += step
+        n += 1
+    return n
+
+
+def wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc WordPiece-style token stats: n_words, n_tokens and the
+    milli-fertility, greedy longest-match over the frozen two-table
+    vocab. Distinct-word tokenization + instance-count join-back."""
+    from ..functions.texts import words
+
+    init = sorted(WP_INITIAL, key=len, reverse=True)
+    cont = sorted(WP_CONTINUATION, key=len, reverse=True)
+
+    def tok_batches(batches):
+        memo: dict[str, int] = {}
+
+        def count(word: str) -> int:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            pos, n = 0, 0
+            while pos < len(word):
+                table = init if pos == 0 else cont
+                step = 1
+                for v in table:
+                    if word.startswith(v, pos):
+                        step = len(v)
+                        break
+                pos += step
+                n += 1
+            memo[word] = n
+            return n
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["n_tok"] = pdf["word"].map(count).astype("int64")
+            yield pdf
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    inst = (docs.select("doc_id",
+                        F.explode(words(F.lower(F.col("text"))))
+                        .alias("raw"))
+            .select("doc_id",
+                    F.substring("raw", 1, _WP_MAX_WORD).alias("word")))
+    per_word = (inst.groupBy("doc_id", "word")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_inst")))
+    vocab = (per_word.select("word").distinct()
+             .mapInPandas(tok_batches, "word string, n_tok long"))
+    return (per_word.join(F.broadcast(vocab), "word")
+            .groupBy("doc_id")
+            .agg(F.sum("n_inst").cast("long").alias("n_words"),
+                 F.sum(F.col("n_inst") * F.col("n_tok")).cast("long")
+                 .alias("n_tokens"))
+            .withColumn("tokens_per_word_milli",
+                        F.expr("1000 * n_tokens div n_words").cast("long"))
+            .orderBy("doc_id"))

@@ -50,3 +50,75 @@ def test_pipeline_e2e_stream_cert_gate_green(spark, sf_dir, con):
     assert len(srows) == len(orows) == 2  # one row per routed table
     assert sorted(scols) == sorted(ocols)
     assert frame_fingerprint(scols, srows) == frame_fingerprint(ocols, orows)
+
+
+def _gate_compare(spark_df, con, oracle_sql):
+    assert oracle_type_problems(con, oracle_sql) == []
+    scols = spark_df.columns
+    srows = [tuple(r) for r in spark_df.collect()]
+    odf = con.execute(oracle_sql).df()
+    ocols, orows = list(odf.columns), _pandas_rows(odf)
+    assert len(srows) == len(orows)
+    assert sorted(scols) == sorted(ocols)
+    assert frame_fingerprint(scols, srows) == frame_fingerprint(ocols, orows)
+    return len(srows)
+
+
+def test_graph_jaccard_similarity_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth42 import (
+        GRAPH_JACCARD_ORACLE,
+        graph_jaccard_similarity,
+    )
+
+    n = _gate_compare(graph_jaccard_similarity(spark, sf_dir), con,
+                      GRAPH_JACCARD_ORACLE)
+    assert n > 0
+
+
+def test_ann_dim_truncation_recall_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth42 import (
+        ANN_DIM_TRUNCATION_ORACLE,
+        ann_dim_truncation_recall,
+    )
+
+    sdf = ann_dim_truncation_recall(spark, sf_dir)
+    rows = {r.dim: r for r in sdf.collect()}
+    # the identity leg: full-dim search recalls everything
+    assert rows[64].n_overlap == 5 * rows[64].n_queries
+    assert rows[64].recall_micro == 1_000_000
+    # truncation can only lose recall, monotonically in dim
+    assert rows[16].n_overlap <= rows[32].n_overlap <= rows[64].n_overlap
+    n = _gate_compare(sdf, con, ANN_DIM_TRUNCATION_ORACLE)
+    assert n == 3
+
+
+def test_wordpiece_greedy_reference_cases():
+    """Hand-checked greedy longest-match chains under the frozen vocab
+    (initial table at pos 0, continuation table after)."""
+    from light_etl_windows_container_poc_spark.queries.breadth42 import (
+        wordpiece_greedy_lengths,
+    )
+
+    # 'window' is an initial vocab entry -> 1 token
+    assert wordpiece_greedy_lengths("window") == 1
+    # 'windows': 'window'(6) + 's' fallback -> 2
+    assert wordpiece_greedy_lengths("windows") == 2
+    # 'streaming': 'stream'(6) + 'ing'(3) -> 2
+    assert wordpiece_greedy_lengths("streaming") == 2
+    # 'queryable': 'query'(5) + 'able'? no -> 'a' fallback? cont has
+    # 'an','at','ble' -> pos5 'a' fallback(1), pos6 'ble'(3) -> 3
+    assert wordpiece_greedy_lengths("queryable") == 3
+    # unmatched word: every char falls back
+    assert wordpiece_greedy_lengths("zzz") == 3
+    assert wordpiece_greedy_lengths("") == 0
+
+
+def test_wordpiece_tokenize_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth42 import (
+        WORDPIECE_TOKENIZE_ORACLE,
+        wordpiece_tokenize,
+    )
+
+    n = _gate_compare(wordpiece_tokenize(spark, sf_dir), con,
+                      WORDPIECE_TOKENIZE_ORACLE)
+    assert n > 0
