@@ -1,7 +1,8 @@
-"""Round-12+ head candidates, pre-certified. Four queries:
+"""Round-12+ head candidates, pre-certified. Five queries:
 pipeline_e2e_stream_cert (the streaming flagship flow under the driver
-hash), graph_jaccard_similarity, ann_dim_truncation_recall and
-wordpiece_tokenize — each with a full DuckDB oracle and the exact
+hash), graph_jaccard_similarity, ann_dim_truncation_recall,
+wordpiece_tokenize and changepoint_binary_seg — each with a full
+DuckDB oracle and the exact
 driver-replica gate compare green at all three SFs
 (tests/test_breadth43.py holds the sf0.001 legs).
 
@@ -472,3 +473,104 @@ def wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("tokens_per_word_milli",
                         F.expr("1000 * n_tokens div n_words").cast("long"))
             .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# Binary-segmentation changepoint — the drift family's "WHERE did the
+# level shift" tier next to cusum (sequential drift score), theil-sen /
+# mann-kendall (trend), seasonality_dft/acf (periodicity): per event
+# type, the split day t of the daily count series minimizing two-
+# segment SSE, equivalently maximizing score(t) = S1²/n1 + S2²/n2.
+# Exact-integer backbone (n1, n2, S1, S2 from one cumulative window
+# over the calendar-bounded day spine); the score rides as a double
+# derived from those exact integers with a textually parallel formula
+# in both engines (the grouped_ols contract), gain_micro =
+# floor(1e6·(best − unsplit S²/n) + 0.5) micro-rounds ONCE at the end.
+# Argmax ties break on the earlier day — a total order, so the picked
+# split is deterministic. Splits per type are |days|² only in the
+# trivial sense of scoring |days| candidates with O(1) window state —
+# one pass, never a pair join.
+# --------------------------------------------------------------------------
+CHANGEPOINT_ORACLE = """
+WITH d AS (
+  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cnt) AS BIGINT) AS s
+  FROM d GROUP BY t
+),
+cum AS (
+  SELECT t, day,
+         CAST(row_number() OVER w AS BIGINT) AS n1,
+         CAST(sum(cnt) OVER w AS BIGINT) AS s1
+  FROM d WINDOW w AS (PARTITION BY t ORDER BY day
+                      ROWS UNBOUNDED PRECEDING)
+),
+scored AS (
+  SELECT cum.t, cum.day, cum.n1, tot.n - cum.n1 AS n2,
+         cum.s1, tot.s - cum.s1 AS s2, tot.n AS n, tot.s AS s,
+         CAST(cum.s1 AS DOUBLE) * CAST(cum.s1 AS DOUBLE)
+           / CAST(cum.n1 AS DOUBLE)
+         + CAST(tot.s - cum.s1 AS DOUBLE)
+           * CAST(tot.s - cum.s1 AS DOUBLE)
+           / CAST(tot.n - cum.n1 AS DOUBLE) AS score
+  FROM cum JOIN tot ON cum.t = tot.t
+  WHERE cum.n1 < tot.n
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY t
+                               ORDER BY score DESC, day) AS rn
+  FROM scored
+)
+SELECT t AS event_type, CAST(day AS VARCHAR) AS split_day,
+       n1, n2, s1, s2,
+       CAST(floor(1000000.0 * (score - CAST(s AS DOUBLE)
+                                       * CAST(s AS DOUBLE)
+                                       / CAST(n AS DOUBLE)) + 0.5)
+            AS BIGINT) AS gain_micro
+FROM best WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def changepoint_binary_seg(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Best two-segment split of each event type's daily count series:
+    one cumulative window over the day spine scores every candidate
+    split, distributed TakeOrdered-free argmax via a type-partitioned
+    rank on the (score DESC, day) total order."""
+    from pyspark.sql import Window as W
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    d = (events.select(F.col("event_type").alias("t"),
+                       F.to_date("ts").alias("day"))
+         .groupBy("t", "day")
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    tot = d.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"),
+                             F.sum("cnt").cast("long").alias("s"))
+    w = (W.partitionBy("t").orderBy("day")
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = (d.withColumn("n1", F.count(F.lit(1)).over(w).cast("long"))
+           .withColumn("s1", F.sum("cnt").over(w).cast("long")))
+    j = (cum.join(F.broadcast(tot), "t")
+         .filter(F.col("n1") < F.col("n"))
+         .withColumn("n2", (F.col("n") - F.col("n1")).cast("long"))
+         .withColumn("s2", (F.col("s") - F.col("s1")).cast("long")))
+    s1d, n1d = F.col("s1").cast("double"), F.col("n1").cast("double")
+    s2d, n2d = F.col("s2").cast("double"), F.col("n2").cast("double")
+    score = s1d * s1d / n1d + s2d * s2d / n2d
+    sd, nd = F.col("s").cast("double"), F.col("n").cast("double")
+    rk = W.partitionBy("t").orderBy(F.desc("score"), "day")
+    return (j.withColumn("score", score)
+            .withColumn("rn", F.row_number().over(rk))
+            .filter(F.col("rn") == 1)
+            .select(F.col("t").alias("event_type"),
+                    F.col("day").cast("string").alias("split_day"),
+                    "n1", "n2", "s1", "s2",
+                    F.floor(F.lit(1_000_000.0)
+                            * (F.col("score") - sd * sd / nd)
+                            + F.lit(0.5)).cast("long")
+                    .alias("gain_micro"))
+            .orderBy("event_type"))

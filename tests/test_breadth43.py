@@ -122,3 +122,49 @@ def test_wordpiece_tokenize_gate_green(spark, sf_dir, con):
     n = _gate_compare(wordpiece_tokenize(spark, sf_dir), con,
                       WORDPIECE_TOKENIZE_ORACLE)
     assert n > 0
+
+
+def test_changepoint_binary_seg_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth42 import (
+        CHANGEPOINT_ORACLE,
+        changepoint_binary_seg,
+    )
+
+    sdf = changepoint_binary_seg(spark, sf_dir)
+    rows = sdf.collect()
+    # structural invariants: both segments non-empty, sums partition
+    for r in rows:
+        assert r.n1 >= 1 and r.n2 >= 1
+        assert r.gain_micro >= 0  # a split can never fit worse
+    n = _gate_compare(sdf, con, CHANGEPOINT_ORACLE)
+    assert n > 0
+
+
+def test_changepoint_finds_a_planted_level_shift(spark):
+    """A synthetic series with an obvious level shift must split at the
+    shift boundary."""
+    import datetime as dt
+
+    from light_etl_windows_container_poc_spark.queries.breadth42 import (
+        changepoint_binary_seg,
+    )
+
+    rows = []
+    for i in range(20):
+        day = dt.datetime(2024, 1, 1 + i)
+        n = 2 if i < 10 else 40  # shift after day 10
+        for k in range(n):
+            rows.append(("shifty", day))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    import light_etl_windows_container_poc_spark.queries.breadth42 as b42
+    real = b42.load_tables
+    b42.load_tables = lambda s, d, names: {"events": df}
+    try:
+        got = changepoint_binary_seg(spark, "ignored").collect()
+    finally:
+        b42.load_tables = real
+    assert len(got) == 1
+    assert got[0].split_day == "2024-01-10"  # last day of the low level
+    assert (got[0].n1, got[0].n2) == (10, 10)
+    assert (got[0].s1, got[0].s2) == (20, 400)
