@@ -574,3 +574,117 @@ def changepoint_binary_seg(spark: SparkSession,
                             + F.lit(0.5)).cast("long")
                     .alias("gain_micro"))
             .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# Warehouse + versioned takedown certificates — the last two governance
+# surfaces without a driver-hashable statement (BM25 / ANN / dedup-index
+# takedown certs live in breadth41). Both replay the delete in DuckDB
+# as a plain anti-filter over the base table: the certified statement is
+# "the surviving table equals the table that never contained the keys".
+# --------------------------------------------------------------------------
+DELETE_WHERE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_custkey % 9 = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matching_left,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 20 = 1 AND o_custkey % 9 = 2) AS n_deleted
+FROM orders
+WHERE o_orderkey % 20 = 1 AND o_custkey % 9 <> 2
+"""
+
+
+def delete_where_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route a deterministic orders slice (o_orderkey % 20 == 1) into a
+    parquet warehouse table, delete_where the customer-key set
+    o_custkey % 9 == 2 through the REAL staged-rewrite path, then hash
+    the survivors: row count, zero remaining matches, exact cents sum,
+    and the operator's reported delete count — all replayed by DuckDB
+    as an anti-filter over orders."""
+    from ..sinks import delete_where
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    sl = orders.filter(F.col("o_orderkey") % 20 == 1)
+    work = cert_work_dir("dwc", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    try:
+        path = os.path.join(work, "fact_orders")
+        sl.write.parquet(path)
+        keys = (sl.filter(F.col("o_custkey") % 9 == 2)
+                .select("o_custkey"))
+        n_deleted = delete_where(spark, path, keys, ["o_custkey"])
+        surv = spark.read.parquet(path)
+        out = surv.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum((F.col("o_custkey") % 9 == 2).cast("int")).cast("long")
+            .alias("n_matching_left"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long").alias("total_cents"),
+            F.lit(n_deleted).cast("long").alias("n_deleted"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DELETE_WHERE_VERSIONED_ORACLE = """
+WITH v0 AS (SELECT * FROM orders
+            WHERE o_orderkey % 20 = 1 AND (o_orderkey // 20) % 2 = 0),
+v1 AS (SELECT * FROM orders WHERE o_orderkey % 20 = 1),
+both_v AS (
+  SELECT 0 AS version, * FROM v0
+  UNION ALL
+  SELECT 1 AS version, * FROM v1)
+SELECT CAST(version AS INT) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_custkey % 11 = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matching_left,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM both_v
+WHERE o_custkey % 11 <> 3
+GROUP BY version ORDER BY version
+"""
+
+
+def delete_where_versioned_cert(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The time-travel purge certified: land two snapshots of an orders
+    slice (v0 = the even-(key div 20) half — the slice's keys are all
+    odd, so plain key parity would select nothing — v1 = all), purge
+    o_custkey % 11 == 3 across
+    the RETAINED HISTORY through delete_where_versioned, then hash BOTH
+    versions' survivors via pinned time-travel reads — DuckDB replays
+    each version as an anti-filtered base-table slice. The row the r10
+    verdict flagged (deleted rows resurrectable via read_version) is
+    exactly what the zero n_matching_left columns certify away."""
+    from ..sinks.versioned import delete_where_versioned, read_version, \
+        write_version
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    sl = orders.filter(F.col("o_orderkey") % 20 == 1)
+    work = cert_work_dir("dwvc", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    try:
+        path = os.path.join(work, "versioned_orders")
+        write_version(
+            sl.filter(F.expr("(o_orderkey div 20) % 2 = 0")), path)
+        write_version(sl, path)
+        keys = (sl.filter(F.col("o_custkey") % 11 == 3)
+                .select("o_custkey"))
+        delete_where_versioned(spark, path, keys, ["o_custkey"])
+        parts = []
+        for v in (0, 1):
+            snap = read_version(spark, path, v)
+            parts.append(snap.agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum((F.col("o_custkey") % 11 == 3).cast("int"))
+                .cast("long").alias("n_matching_left"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long").alias("total_cents")))
+        out = parts[0].unionByName(parts[1]).orderBy("version")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

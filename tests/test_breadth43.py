@@ -168,3 +168,28 @@ def test_changepoint_finds_a_planted_level_shift(spark):
     assert got[0].split_day == "2024-01-10"  # last day of the low level
     assert (got[0].n1, got[0].n2) == (10, 10)
     assert (got[0].s1, got[0].s2) == (20, 400)
+
+
+def test_delete_where_cert_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth42 import (
+        DELETE_WHERE_ORACLE,
+        delete_where_cert,
+    )
+
+    sdf = delete_where_cert(spark, sf_dir)
+    row = sdf.collect()[0]
+    assert row.n_matching_left == 0 and row.n_deleted > 0
+    assert _gate_compare(sdf, con, DELETE_WHERE_ORACLE) == 1
+
+
+def test_delete_where_versioned_cert_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth42 import (
+        DELETE_WHERE_VERSIONED_ORACLE,
+        delete_where_versioned_cert,
+    )
+
+    sdf = delete_where_versioned_cert(spark, sf_dir)
+    rows = sdf.collect()
+    assert [r.version for r in rows] == [0, 1]
+    assert all(r.n_matching_left == 0 for r in rows)
+    assert _gate_compare(sdf, con, DELETE_WHERE_VERSIONED_ORACLE) == 2
