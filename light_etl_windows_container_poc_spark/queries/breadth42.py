@@ -1,10 +1,10 @@
-"""Round-12+ head candidates, pre-certified. Five queries:
+"""Round-12+ head candidates, pre-certified. Eight queries:
 pipeline_e2e_stream_cert (the streaming flagship flow under the driver
 hash), graph_jaccard_similarity, ann_dim_truncation_recall,
-wordpiece_tokenize and changepoint_binary_seg — each with a full
-DuckDB oracle and the exact
-driver-replica gate compare green at all three SFs
-(tests/test_breadth43.py holds the sf0.001 legs).
+wordpiece_tokenize, changepoint_binary_seg, delete_where_cert,
+delete_where_versioned_cert and proximity_search_cert — each with a
+full DuckDB oracle and the exact driver-replica gate compare green at
+all three SFs (tests/test_breadth43.py holds the sf0.001 legs).
 
 `pipeline_e2e_cert` (queries/breadth37.py) certifies the BATCH
 re-expression of the reference's whole watcher flow; this module
@@ -685,6 +685,59 @@ def delete_where_versioned_cert(spark: SparkSession,
                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
                 .cast("long").alias("total_cents")))
         out = parts[0].unionByName(parts[1]).orderBy("version")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+PROXIMITY_SEARCH_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS idx
+      FROM d),
+m AS (
+  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM t a JOIN t b ON a.doc_id = b.doc_id
+                   AND b.idx > a.idx AND b.idx <= a.idx + 3
+  WHERE a.tok = 'window' AND b.tok = 'join'
+  GROUP BY a.doc_id
+)
+SELECT doc_id, n_matches,
+       CAST(row_number() OVER (ORDER BY n_matches DESC, doc_id)
+            AS INT) AS rank
+FROM m
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+
+def proximity_search_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity search (slop=3) from the POSITIONAL maintained
+    index under the driver hash: ingest the corpus through the
+    maintainer, then count ordered ("window" … "join") chains with gap
+    in [1, 3] per doc — hashed against a DuckDB replay that re-derives
+    token offsets and chains them with a bounded-range join. The query
+    class between bag-of-words (bm25_topk) and exact phrase
+    (phrase_topk), served from the SAME state as both."""
+    from ..streaming.bm25 import proximity_topk, start_bm25_stream
+
+    docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
+            .select("doc_id", "text"))
+    work = cert_work_dir("xbm25", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    try:
+        src = os.path.join(work, "src")
+        docs.repartition(3).write.parquet(src)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_bm25_stream(stream, os.path.join(work, "state"),
+                              os.path.join(work, "ckpt"), "doc_id", "text")
+        assert q.awaitTermination(300), "bm25 ingest did not finish"
+        out = proximity_topk(spark, os.path.join(work, "state"),
+                             ("window", "join"), slop=3)
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -20,8 +20,9 @@ batch build over the same corpus would use; the pytest twin certifies
 
 State layout per batch_tag: ONE relation (tok, doc_id, tf, dl, pos) —
 POSITIONAL postings (pos = sorted 0-based token offsets), so the same
-maintained state answers both ranked bag-of-words queries (bm25_topk)
-and exact phrase queries (phrase_topk). Rows with tok IS NULL are the
+maintained state answers ranked bag-of-words queries (bm25_topk),
+exact phrase queries (phrase_topk) and ordered proximity queries
+(proximity_topk — phrase's slop generalization). Rows with tok IS NULL are the
 per-document stat rows (one per ingested doc, tf = 0, pos NULL) — they
 exist so documents with NO tokens still count in N and avgdl, which
 the batch query's statistics include. `words()` never emits an empty
@@ -376,3 +377,45 @@ def phrase_topk(spark: SparkSession, state_dir: str,
     return (top.withColumn("rank",
                            F.row_number().over(w_rank).cast("int"))
             .select("doc_id", "n_occurrences", "rank").orderBy("rank"))
+
+
+def proximity_topk(spark: SparkSession, state_dir: str,
+                   terms: tuple[str, ...], slop: int = 3,
+                   topk: int = 20) -> DataFrame:
+    """Ordered proximity search from the positional postings: a match
+    is an offset chain p_0 < p_1 < … with every gap in [1, slop] —
+    the strict generalization of `phrase_topk` (slop=1 IS exact phrase,
+    pytest-certified equal). Each term's postings prune the scan (isin
+    on tok, the same pushdown as bm25_topk), chains build by per-leg
+    RANGE equi-joins on (doc_id, offset window) — join traffic is
+    proportional to the PHRASE TERMS' postings times slop, never the
+    corpus; tombstoned docs are excluded like every served path.
+
+    Returns (doc_id, n_matches, rank ≤ topk) by (n_matches DESC,
+    doc_id)."""
+    if not terms:
+        raise ValueError("proximity_topk needs at least one term")
+    if slop < 1:
+        raise ValueError("slop must be >= 1")
+    idx = bm25_alive(read_bm25_postings(spark, state_dir))
+    base = idx.filter(F.col("tok").isin(*set(terms)))
+    legs = None
+    for i, t in enumerate(terms):
+        leg = (base.filter(F.col("tok") == t)
+               .select("doc_id", F.explode("pos").alias(f"p{i}")))
+        if legs is None:
+            legs = leg
+        else:
+            prev = F.col(f"p{i - 1}")
+            legs = legs.join(
+                leg, (legs.doc_id == leg.doc_id)
+                & (leg[f"p{i}"] > prev)
+                & (leg[f"p{i}"] <= prev + slop)).drop(leg.doc_id)
+    occ = (legs.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_matches")))
+    top = (occ.orderBy(F.col("n_matches").desc(), F.col("doc_id"))
+           .limit(topk))
+    w_rank = Window.orderBy(F.col("n_matches").desc(), F.col("doc_id"))
+    return (top.withColumn("rank",
+                           F.row_number().over(w_rank).cast("int"))
+            .select("doc_id", "n_matches", "rank").orderBy("rank"))

@@ -595,3 +595,55 @@ def test_salting_advice_is_one_scan(spark):
         if f >= 2:
             truth[row.k] = f
     assert adv == truth
+
+
+def test_proximity_topk_semantics_and_phrase_equivalence(spark, tmp_path):
+    """Ordered chains with gaps in [1, slop]; slop=1 IS exact phrase
+    (the generalization theorem), takedowns exclude docs here too."""
+    import pytest as _pytest
+
+    from light_etl_windows_container_poc_spark.streaming.bm25 import (
+        bm25_delete_handler,
+        phrase_topk,
+        proximity_topk,
+    )
+
+    state = str(tmp_path / "proxstate")
+    docs = spark.createDataFrame(
+        [(1, "window big join"),          # gap 2 -> slop>=2 only
+         (2, "window join"),              # gap 1 -> phrase too
+         (3, "join window"),              # wrong order: never
+         (4, "window a b c join"),        # gap 4 -> slop>=4 only
+         (5, "window join window join")],  # chains: (0,1),(0,3),(2,3)
+        DOC_SCHEMA)
+    bm25_batch_handler(state, "doc_id", "text")(docs, 0)
+
+    got1 = {(r.doc_id, r.n_matches)
+            for r in proximity_topk(spark, state, ("window", "join"),
+                                    slop=1).collect()}
+    assert got1 == {(2, 1), (5, 2)}
+    phr = {(r.doc_id, r.n_occurrences)
+           for r in phrase_topk(spark, state, ("window", "join")).collect()}
+    assert got1 == phr  # slop=1 == exact phrase
+
+    got2 = {(r.doc_id, r.n_matches)
+            for r in proximity_topk(spark, state, ("window", "join"),
+                                    slop=2).collect()}
+    assert got2 == {(1, 1), (2, 1), (5, 2)}
+
+    got4 = {(r.doc_id, r.n_matches)
+            for r in proximity_topk(spark, state, ("window", "join"),
+                                    slop=4).collect()}
+    assert got4 == {(1, 1), (2, 1), (4, 1), (5, 3)}
+
+    with _pytest.raises(ValueError):
+        proximity_topk(spark, state, (), slop=2)
+    with _pytest.raises(ValueError):
+        proximity_topk(spark, state, ("a",), slop=0)
+
+    bm25_delete_handler(state, "doc_id")(
+        spark.createDataFrame([(5,)], "doc_id long"), 0)
+    got2b = {(r.doc_id, r.n_matches)
+             for r in proximity_topk(spark, state, ("window", "join"),
+                                     slop=2).collect()}
+    assert got2b == {(1, 1), (2, 1)}

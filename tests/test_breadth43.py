@@ -193,3 +193,31 @@ def test_delete_where_versioned_cert_gate_green(spark, sf_dir, con):
     assert [r.version for r in rows] == [0, 1]
     assert all(r.n_matching_left == 0 for r in rows)
     assert _gate_compare(sdf, con, DELETE_WHERE_VERSIONED_ORACLE) == 2
+
+
+def test_breadth42_plans_are_cartesian_free(spark, sf_dir):
+    """The r12-queue candidates hold the registered families' plan
+    contract: no CartesianProduct; pair relations are equi-joins on
+    bounded keys (shared part / day spine / qid)."""
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+    from light_etl_windows_container_poc_spark.queries.breadth42 import (
+        changepoint_binary_seg,
+        graph_jaccard_similarity,
+        wordpiece_tokenize,
+    )
+
+    for fn in (graph_jaccard_similarity, changepoint_binary_seg,
+               wordpiece_tokenize):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_proximity_search_cert_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth42 import (
+        PROXIMITY_SEARCH_ORACLE,
+        proximity_search_cert,
+    )
+
+    n = _gate_compare(proximity_search_cert(spark, sf_dir), con,
+                      PROXIMITY_SEARCH_ORACLE)
+    assert n > 0
