@@ -258,12 +258,20 @@ _R10_CERTIFIED = [
 # (the oldest staleness tier; agg_incremental_merge alphabetically
 # first), burning the tier exactly as the r10 verdict's done-criterion
 # requires: after this round no query's latest certification predates
-# r6. 5 + 45 == 50. The r12 queue holds FIVE pre-certified candidates
-# with live 3-SF gate evidence: bm25_takedown_cert, ann_takedown_cert,
-# dedup_takedown_cert, phrase_search_cert (queries/breadth41.py) and
-# pipeline_e2e_stream_cert (queries/breadth42.py) — but the r12
-# recertify floor is the 49 r6-latest rows, so at most ONE promotes in
-# r12 unless the r11 verdict reprioritizes the staleness/head split.
+# r6. 5 + 45 == 50. The r12 queue holds TWELVE pre-certified
+# candidates, every one re-gated at all 3 SFs against the FINAL r11
+# code: bm25_takedown_cert, ann_takedown_cert, dedup_takedown_cert,
+# phrase_search_cert (queries/breadth41.py) and
+# pipeline_e2e_stream_cert, graph_jaccard_similarity,
+# ann_dim_truncation_recall, wordpiece_tokenize,
+# changepoint_binary_seg, delete_where_cert,
+# delete_where_versioned_cert, proximity_search_cert
+# (queries/breadth42.py). The r12 recertify floor is the 49 r6-latest
+# rows, so only ONE promotes at the strict staleness cadence —
+# recommended pick: bm25_takedown_cert (the r10 verdict named the
+# takedown trio first, and it additionally certifies the r11 tombstone-
+# namespace fix under the driver hash). If the r11 verdict relaxes the
+# staleness/head split, promote in the order above.
 _RECERTIFY = [
     "agg_incremental_merge", "ann_ivf", "anti_contamination_split",
     "bm25_search", "budget_sample_apply", "cc_convergence",
