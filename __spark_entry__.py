@@ -248,46 +248,62 @@ _R10_CERTIFIED = [
     "window_running",
 ]
 
-# Round-11 recertification allocation (head + this list == 50, the
-# driver's per-round budget; test-locked) — executing the allocation the
-# r10 verdict locked. Head = the FIVE breadth41 queries promoted this
-# round by adding @query (stream_bm25_cert, bm25_batch_cert,
-# salting_advice_cert, mann_kendall_trend, acf_daily — each carried
-# 3-SF local-gate pre-certification evidence from round 10 in
-# tests/test_breadth42.py). Recertify = ALL forty-five r5-latest rows
-# (the oldest staleness tier; agg_incremental_merge alphabetically
-# first), burning the tier exactly as the r10 verdict's done-criterion
-# requires: after this round no query's latest certification predates
-# r6. 5 + 45 == 50. The r12 queue holds TWELVE pre-certified
-# candidates, every one re-gated at all 3 SFs against the FINAL r11
-# code: bm25_takedown_cert, ann_takedown_cert, dedup_takedown_cert,
-# phrase_search_cert (queries/breadth41.py) and
-# pipeline_e2e_stream_cert, graph_jaccard_similarity,
-# ann_dim_truncation_recall, wordpiece_tokenize,
-# changepoint_binary_seg, delete_where_cert,
-# delete_where_versioned_cert, proximity_search_cert
-# (queries/breadth42.py). The r12 recertify floor is the 49 r6-latest
-# rows, so only ONE promotes at the strict staleness cadence —
-# recommended pick: bm25_takedown_cert (the r10 verdict named the
-# takedown trio first, and it additionally certifies the r11 tombstone-
-# namespace fix under the driver hash). If the r11 verdict relaxes the
-# staleness/head split, promote in the order above.
-_RECERTIFY = [
-    "agg_incremental_merge", "ann_ivf", "anti_contamination_split",
-    "bm25_search", "budget_sample_apply", "cc_convergence",
-    "compaction_roundtrip", "curate_corpus", "daily_anomaly_mad",
-    "degree_distribution", "dq_rules", "dup_source_overlap",
-    "dup_span_census", "embed_outliers", "embed_robust_scale",
-    "event_transitions", "ewma_halflife", "first_touch_attribution",
-    "graph_triangles", "join_null_safe", "journey_trigrams",
-    "kmeans_inertia_monotone", "length_histogram_log2",
-    "lm_perplexity_filter", "mad_outliers", "market_basket_lift",
-    "mm_resize_real", "ngram_novelty", "ohlc_bars", "pagerank_invariants",
-    "pca_invariants", "quality_logistic_score", "quantile_bands_daily",
-    "salted_join_agg", "seasonality_dow", "semdedup_keep",
-    "semdedup_soundness", "shard_assign", "sink_partitioned_roundtrip",
-    "source_gini", "stream_ohlc_final", "text_word_entropy",
+# CORRECTNESS_r11.json keys (round-11 driver run): 48 hash-green + 2
+# clean rows-only records (ann_ivf, semdedup_keep — both SURVEY-declared
+# rows-only with green hash-certified twins ann_ivf_fullprobe_exact /
+# semdedup_soundness in the same run). Zero red rows.
+_R11_CERTIFIED = [
+    "acf_daily", "agg_incremental_merge", "ann_ivf",
+    "anti_contamination_split", "bm25_batch_cert", "bm25_search",
+    "budget_sample_apply", "cc_convergence", "compaction_roundtrip",
+    "curate_corpus", "daily_anomaly_mad", "degree_distribution",
+    "dq_rules", "dup_source_overlap", "dup_span_census", "embed_outliers",
+    "embed_robust_scale", "event_transitions", "ewma_halflife",
+    "first_touch_attribution", "graph_triangles", "join_null_safe",
+    "journey_trigrams", "kmeans_inertia_monotone", "length_histogram_log2",
+    "lm_perplexity_filter", "mad_outliers", "mann_kendall_trend",
+    "market_basket_lift", "mm_resize_real", "ngram_novelty", "ohlc_bars",
+    "pagerank_invariants", "pca_invariants", "quality_logistic_score",
+    "quantile_bands_daily", "salted_join_agg", "salting_advice_cert",
+    "seasonality_dow", "semdedup_keep", "semdedup_soundness",
+    "shard_assign", "sink_partitioned_roundtrip", "source_gini",
+    "stream_bm25_cert", "stream_ohlc_final", "text_word_entropy",
     "token_budget_mix", "vocab_growth", "zonemap_stats",
+]
+
+# Round-12 recertification allocation (head + this list == 50, the
+# driver's per-round budget; test-locked) — executing the allocation the
+# r11 verdict locked ("promote ALL TWELVE pre-certified queue entries —
+# relax the staleness cadence by one notch"). Head = the TWELVE queue
+# queries promoted this round by adding @query, each re-gated at all 3
+# SFs against the final r11 code (tests/test_breadth43.py holds the
+# sf0.001 legs): bm25_takedown_cert, ann_takedown_cert,
+# dedup_takedown_cert, phrase_search_cert (queries/breadth41.py) and
+# pipeline_e2e_stream_cert, graph_jaccard_similarity,
+# ann_dim_truncation_recall, wordpiece_tokenize, changepoint_binary_seg,
+# delete_where_cert, delete_where_versioned_cert, proximity_search_cert
+# (queries/breadth42.py). Recertify = the first THIRTY-EIGHT of the 49
+# r6-latest rows in name order (all 49 share the same staleness round,
+# so alphabetical order is the deterministic tie-break). 12 + 38 == 50.
+# The remaining ELEVEN r6-latest rows head the r13 recertify floor, as
+# the r11 verdict's done-criterion names them: stream_window_agg,
+# string_funcs, subquery_scalar, text_bigram_kn, text_bpe_tokenize,
+# time_functions, time_window_agg, top_movers, user_rfm,
+# window_ntile_firstlast, window_rolling_time.
+_RECERTIFY = [
+    "agg_grouping_sets", "ann_bruteforce", "ann_ivf_fullprobe_exact",
+    "ann_lsh_recall_floor", "ann_pq", "ann_pq_recall_floor",
+    "array_funcs", "asof_join", "benford_digit_profile",
+    "chi2_independence", "dedup_incremental_consistency",
+    "dedup_incremental_exact", "dup_span_strip", "embed_pca",
+    "equidepth_histogram", "fingerprint_winnowing", "fuzzy_join_parts",
+    "hybrid_rrf_search", "join_anti", "map_funcs", "pct_change_wow",
+    "percentiles", "q13_cust_distribution", "q15_top_supplier",
+    "q16_supplier_counts", "q17_small_qty_revenue",
+    "q22_sales_opportunity", "q2_min_cost_supplier", "q9_product_profit",
+    "range_join", "sessionize", "src_excel", "src_excel_xls",
+    "src_excel_xlsb", "stream_dedup", "stream_session_window",
+    "stream_static_join", "stream_stream_join",
 ]
 
 
@@ -819,7 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rounds = [_R01_CERTIFIED, _R02_CERTIFIED, _R03_CERTIFIED,
               _R04_CERTIFIED, _R05_CERTIFIED, _R06_CERTIFIED,
               _R07_CERTIFIED, _R08_CERTIFIED, _R09_CERTIFIED,
-              _R10_CERTIFIED]
+              _R10_CERTIFIED, _R11_CERTIFIED]
     certified = set().union(*map(set, rounds))
     head = [n for n in QUERIES if n not in certified]
     redo = [n for n in _RECERTIFY if n in QUERIES and n in certified]

@@ -527,12 +527,17 @@ def _dedup_tombstones(spark: SparkSession,
 def _staged_state_rewrite(spark: SparkSession, kept: DataFrame, path: str,
                           key: str, ddl_cols: str,
                           num_buckets: int | None) -> None:
-    """Stage the rewritten state NEXT TO the target and atomically swap
-    in (the sinks._staged_rewrite discipline): Spark's overwrite
-    deletes the target before writing, so a crash or executor failure
-    mid-rewrite would destroy the live index. The staged dir carries
-    its own _bucket_spec.json; both catalog entries are dropped before
-    the swap so the next _read_state re-registers against the swapped
+    """Stage the rewritten state NEXT TO the target and swap in via
+    rename-old-aside + rename-staging-in + delete-old (the
+    sinks._staged_rewrite discipline): Spark's overwrite deletes the
+    target before writing, so a crash or executor failure mid-rewrite
+    would destroy the live index. Crash contract: the target can be
+    missing only between the two renames, and at that point BOTH the
+    old state (``<staging>.old``) and the staged state sit complete on
+    disk — recovery is a single manual rename, never a rebuild from a
+    half-written ruin. The staged dir carries its own
+    _bucket_spec.json; both catalog entries are dropped before the
+    swap so the next _read_state re-registers against the swapped
     files."""
     import shutil
     import tempfile
@@ -549,8 +554,12 @@ def _staged_state_rewrite(spark: SparkSession, kept: DataFrame, path: str,
     spark.sql(f"DROP TABLE IF EXISTS {_state_table_name(staging)}")
     spark.sql(f"DROP TABLE IF EXISTS {_state_table_name(path)}")
     if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.replace(staging, path)  # same-filesystem rename — atomic
+        old = staging + ".old"  # unique: staging came from mkdtemp
+        os.replace(path, old)
+        os.replace(staging, path)  # target absent only between renames
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.replace(staging, path)  # same-filesystem rename — atomic
 
 
 def vacuum_dedup_tombstones(spark: SparkSession, index_dir: str) -> None:
@@ -558,10 +567,12 @@ def vacuum_dedup_tombstones(spark: SparkSession, index_dir: str) -> None:
     bands/, preserving each table's layout (plain parquet or the
     bucketed catalog shape, re-read from its _bucket_spec), then clear
     the tombstone set. Each table is rebuilt in a staging dir and
-    swapped in with an atomic rename — a crash mid-vacuum leaves the
-    live index intact (never the half-written ruin an in-place
-    overwrite risks). Probe results are unchanged before/after
-    (pytest): the anti-join already excluded these rows."""
+    swapped in by rename-old-aside + rename-staging-in — a crash
+    mid-vacuum leaves either the old or the staged state complete on
+    disk (at worst one manual rename away, never the half-written ruin
+    an in-place overwrite risks; see _staged_state_rewrite's crash
+    contract). Probe results are unchanged before/after (pytest): the
+    anti-join already excluded these rows."""
     import json
     import shutil
 

@@ -55,3 +55,4 @@ from . import breadth38  # noqa: F401,E402
 from . import breadth39  # noqa: F401,E402
 from . import breadth40  # noqa: F401,E402
 from . import breadth41  # noqa: F401,E402
+from . import breadth42  # noqa: F401,E402

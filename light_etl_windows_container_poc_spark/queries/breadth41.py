@@ -380,6 +380,7 @@ ORDER BY rank
 """
 
 
+@query("bm25_takedown_cert", oracle=BM25_TAKEDOWN_ORACLE)
 def bm25_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Takedown semantics under the driver hash: ingest the WHOLE
     corpus through the maintainer, tombstone doc_id % 17 == 3 through
@@ -425,6 +426,7 @@ FROM embeddings
 """
 
 
+@query("ann_takedown_cert", oracle=ANN_TAKEDOWN_ORACLE)
 def ann_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-index takedown under the driver hash: build IVF-PQ on the
     full embeddings, tombstone vec_id % 10 == 3, then certify (a)
@@ -496,6 +498,7 @@ ORDER BY h.doc_id
 """
 
 
+@query("dedup_takedown_cert", oracle=DEDUP_TAKEDOWN_ORACLE)
 def dedup_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-index takedown under the driver hash: batch 1 ingests the
     whole corpus (keeper = min doc per content hash enters history),
@@ -551,6 +554,7 @@ ORDER BY rank
 """
 
 
+@query("phrase_search_cert", oracle=PHRASE_SEARCH_ORACLE)
 def phrase_search_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search from the POSITIONAL maintained index under
     the driver hash: ingest the corpus through the maintainer, then

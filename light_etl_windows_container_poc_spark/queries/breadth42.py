@@ -18,11 +18,10 @@ machinery: the python-data-source excel reader, the per-micro-batch
 route+clean handler, checkpointed ingest, and the 7-column
 processing-log contract shared with the batch pipeline.
 
-Deliberately NOT decorated with @query: the r11 driver budget is spent
-(5 promoted heads + 45 mandatory recertifications == 50). The gate
-test in tests/test_breadth43.py runs the EXACT driver-replica compare
-(tools/check_oracle pandas fetch + frame_fingerprint) at all three
-SFs, so r12 promotes it by adding the decorator — nothing else.
+Promoted + registered in round 12 (the r11 verdict's locked head
+allocation): all eight carry @query decorators backed by the 3-SF
+gate-compare evidence in tests/test_breadth43.py — the promotion added
+the decorators, nothing else.
 """
 
 from __future__ import annotations
@@ -34,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from .registry import cert_work_dir
+from .registry import cert_work_dir, query
 
 _STREAM_PIPE_BATCH_TS = "2025-01-01 00:00:00"
 
@@ -76,6 +75,7 @@ GROUP BY table_name ORDER BY table_name
 """
 
 
+@query("pipeline_e2e_stream_cert", oracle=PIPELINE_E2E_STREAM_ORACLE)
 def pipeline_e2e_stream_cert(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Seed xlsx workbooks from customer/orders (c/o key % 20 == 1,
@@ -209,6 +209,7 @@ ORDER BY jac_micro DESC, p.c1, p.c2 LIMIT 50
 """
 
 
+@query("graph_jaccard_similarity", oracle=GRAPH_JACCARD_ORACLE)
 def graph_jaccard_similarity(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Top-50 customer pairs by neighbor-Jaccard over shared purchased
@@ -293,6 +294,7 @@ FROM hits ORDER BY dim
 """
 
 
+@query("ann_dim_truncation_recall", oracle=ANN_DIM_TRUNCATION_ORACLE)
 def ann_dim_truncation_recall(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """recall@5 of prefix-truncated cosine search (16/32/64 of 64 dims)
@@ -421,6 +423,7 @@ def wordpiece_greedy_lengths(word: str) -> int:
     return n
 
 
+@query("wordpiece_tokenize", oracle=WORDPIECE_TOKENIZE_ORACLE)
 def wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc WordPiece-style token stats: n_words, n_tokens and the
     milli-fertility, greedy longest-match over the frozen two-table
@@ -535,6 +538,7 @@ FROM best WHERE rn = 1 ORDER BY event_type
 """
 
 
+@query("changepoint_binary_seg", oracle=CHANGEPOINT_ORACLE)
 def changepoint_binary_seg(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """Best two-segment split of each event type's daily count series:
@@ -596,6 +600,7 @@ WHERE o_orderkey % 20 = 1 AND o_custkey % 9 <> 2
 """
 
 
+@query("delete_where_cert", oracle=DELETE_WHERE_ORACLE)
 def delete_where_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Route a deterministic orders slice (o_orderkey % 20 == 1) into a
     parquet warehouse table, delete_where the customer-key set
@@ -648,6 +653,7 @@ GROUP BY version ORDER BY version
 """
 
 
+@query("delete_where_versioned_cert", oracle=DELETE_WHERE_VERSIONED_ORACLE)
 def delete_where_versioned_cert(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """The time-travel purge certified: land two snapshots of an orders
@@ -714,6 +720,7 @@ ORDER BY rank
 """
 
 
+@query("proximity_search_cert", oracle=PROXIMITY_SEARCH_ORACLE)
 def proximity_search_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered proximity search (slop=3) from the POSITIONAL maintained
     index under the driver hash: ingest the corpus through the

@@ -142,7 +142,11 @@ def delete_where_versioned(spark: SparkSession, path: str,
             continue
         kept = snap.join(F.broadcast(dels), cond, "left_anti")
         n_kept = _staged_rewrite(spark, kept, vdir)
-        deleted[e["version"]] = e["rows"] - n_kept
+        # n_hit is the actually-counted match total; the manifest's
+        # `rows` value is only trusted for the refresh, never for the
+        # reported delete count (a drifted manifest would silently skew
+        # `e["rows"] - n_kept`).
+        deleted[e["version"]] = n_hit
         e["rows"] = n_kept
     if deleted:
         _store_manifest(path, entries)

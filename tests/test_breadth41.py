@@ -573,19 +573,45 @@ def test_salted_join_advised_reserved_columns_guarded(spark):
             salted_join_advised(poisoned, small, "k", adv)
 
 
-def test_salting_advice_is_one_scan(spark):
-    """The advisor folds n into the MG pass (r10 verdict #6): the plan
-    that produces the advice must contain exactly ONE scan of the input
-    relation — materialized by the partials' localCheckpoint — and the
-    advised factors must match the two-pass formula exactly."""
+def test_salting_advice_is_one_scan(spark, monkeypatch):
+    """The advisor folds n into the MG pass (r10 verdict #6): the input
+    relation is scanned exactly ONCE — by the single
+    mg_partial_summaries_with_n call whose localCheckpoint materializes
+    the partials — and the advised factors must match the two-pass
+    formula exactly. Locked structurally (r11 ADVICE): the sketch pass
+    is spied to run exactly once, and any reintroduced separate
+    count() job inside salting_advice fails loudly."""
+    from pyspark.sql import DataFrame
+
+    from light_etl_windows_container_poc_spark.operators import sketches
     from light_etl_windows_container_poc_spark.operators.scale import (
         salting_advice,
     )
 
     df = _skewed(spark)
     n = df.count()
-    adv = {r.key: r.factor for r in
-           salting_advice(df, "k", n_partitions=8, k=64).collect()}
+
+    calls = []
+    real_mg = sketches.mg_partial_summaries_with_n
+
+    def spy_mg(*a, **kw):
+        calls.append(a)
+        return real_mg(*a, **kw)
+
+    monkeypatch.setattr(sketches, "mg_partial_summaries_with_n", spy_mg)
+
+    def no_count(self):  # a second pass over the input is the regression
+        raise AssertionError(
+            "salting_advice ran a DataFrame.count() — the advisor must "
+            "derive n from the MG partials' carrier rows (one scan)")
+
+    monkeypatch.setattr(DataFrame, "count", no_count)
+    try:
+        advice_df = salting_advice(df, "k", n_partitions=8, k=64)
+    finally:
+        monkeypatch.undo()
+    assert len(calls) == 1, "expected exactly one MG sketch pass"
+    adv = {r.key: r.factor for r in advice_df.collect()}
     # ≤64 distinct keys -> MG is exact; replay the formula
     fair = -(-n // 8)
     slack = -(-n // 64)

@@ -78,7 +78,8 @@ def test_certification_budget_is_exactly_allocated():
                             ent._R03_CERTIFIED, ent._R04_CERTIFIED,
                             ent._R05_CERTIFIED, ent._R06_CERTIFIED,
                             ent._R07_CERTIFIED, ent._R08_CERTIFIED,
-                            ent._R09_CERTIFIED, ent._R10_CERTIFIED)
+                            ent._R09_CERTIFIED, ent._R10_CERTIFIED,
+                            ent._R11_CERTIFIED)
     head = [n for n in QUERIES if n not in certified]
     assert len(head) + len(ent._RECERTIFY) == 50, (
         f"head={len(head)} + recertify={len(ent._RECERTIFY)} != 50 — "
@@ -119,3 +120,28 @@ def test_q11_nonempty_at_realistic_sf(spark):
     if not os.path.isdir(sf01):
         pytest.skip("sf0.1 warehouse not present")
     assert QUERIES["q11_important_parts"](spark, sf01).limit(1).count() > 0
+
+
+def test_cert_work_dir_reaps_dead_pid_siblings(tmp_path, monkeypatch):
+    """r11 ADVICE: pid-suffixed cert scratch dirs leak if a process
+    dies before its finally-rmtree. cert_work_dir must reap siblings
+    whose pid is dead and track its own handouts for atexit cleanup."""
+    import hashlib
+    import os
+    import tempfile
+
+    from light_etl_windows_container_poc_spark.queries import registry
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    h = hashlib.md5(b"/some/sf").hexdigest()[:8]
+    dead = tmp_path / f"spark_graft_tag_{h}_999999999"  # ESRCH pid
+    dead.mkdir()
+    (dead / "leaked_state.parquet").write_bytes(b"x")
+    other_tag = tmp_path / f"spark_graft_other_{h}_999999999"
+    other_tag.mkdir()  # different tag prefix: left alone
+
+    out = registry.cert_work_dir("tag", "/some/sf")
+    assert not dead.exists(), "dead-pid sibling should be reaped"
+    assert other_tag.exists(), "other tags' dirs are not this call's"
+    assert out.endswith(f"_{os.getpid()}")
+    assert out in registry._HANDED_OUT  # atexit rmtree backstop
