@@ -1,0 +1,159 @@
+"""Round-13 head candidates: exact variable-length substring dedup
+(the Lee et al. 2022 tier — operators/substring_dedup.py) under the
+driver hash.
+
+Two queries, both over the documents table at N=20 tokens:
+
+- ``dedup_substring_exact``: per-doc duplication census — for every
+  document containing at least one corpus-duplicated >= 20-token span:
+  token count, duplicated window starts, merged maximal spans, covered
+  tokens.
+- ``dedup_substring_strip``: the strip itself — every document's
+  surviving text after removing all duplicated >= 20-token spans
+  (whitespace-normalized on both engines), with token counts.
+
+The DuckDB oracles are an INDEPENDENT algorithm: they group
+materialized 20-gram strings directly (fine at oracle SF), while the
+Spark side runs prefix-doubling equality classes (no materialized
+n-grams, log2 N rounds — the 100 TB path). Agreement certifies the
+equality-class construction end to end.
+
+Deliberately NOT decorated with @query: the r12 driver budget is spent
+(12 promoted heads + 38 mandatory recertifications == 50). The gate
+tests in tests/test_breadth44.py run the EXACT driver-replica compare
+(tools/check_oracle pandas fetch + frame_fingerprint) at all three SFs,
+so r13 promotes them by adding the decorator — nothing else.
+
+Reference scope: the reference's dedup is row-exact
+(dataframe_tasks.py drop_duplicates); substring dedup is new
+100 TB-training-pipeline surface (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.texts import words
+from ..operators.substring_dedup import (
+    _merge_islands,
+    duplicated_window_starts,
+    strip_duplicated_substrings,
+)
+
+_N = 20
+
+# Shared oracle scaffolding: tokens, exact-20-token windows, duplicated
+# window starts (count >= 2 corpus-wide, same-doc repeats count), and
+# merged islands — positions 1-based (DuckDB lists), only doc-level
+# aggregates are compared so the base never leaks into the hash.
+_SPANS_CTE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, pos, array_to_string(w[pos:pos+19], ' ') AS win
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS pos FROM t)
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS c FROM wins)
+  WHERE c >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 20) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+  FROM grp GROUP BY doc_id, g
+)
+"""
+
+DEDUP_SUBSTRING_EXACT_ORACLE = _SPANS_CTE + """
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(d.dup_starts AS BIGINT) AS dup_starts,
+       CAST(sp.n_spans AS BIGINT) AS n_spans,
+       CAST(sp.covered AS BIGINT) AS covered_tokens
+FROM t
+JOIN (SELECT doc_id, count(*) AS dup_starts FROM dup GROUP BY doc_id) d
+  ON t.doc_id = d.doc_id
+JOIN (SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(e - s) AS BIGINT) AS covered
+      FROM spans GROUP BY doc_id) sp
+  ON t.doc_id = sp.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc census of corpus-duplicated >= 20-token spans: prefix-
+    doubling window classes -> duplicated starts -> merged islands; one
+    starts relation feeds both aggregates (localCheckpoint'ed, not
+    recomputed)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    starts = (duplicated_window_starts(docs, _N)
+              .localCheckpoint(eager=True))
+    spans = _merge_islands(starts, _N)
+    per_start = (starts.groupBy("id")
+                 .agg(F.count(F.lit(1)).cast("long").alias("dup_starts")))
+    per_span = (spans.groupBy("id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
+                     F.sum(F.col("span_end") - F.col("span_start"))
+                     .cast("long").alias("covered_tokens")))
+    n_tok = docs.select(F.col("doc_id").alias("id"),
+                        F.size(words(F.col("text"))).cast("long")
+                        .alias("n_tokens"))
+    return (n_tok.join(per_start, "id").join(per_span, "id")
+            .select(F.col("id").alias("doc_id"), "n_tokens",
+                    "dup_starts", "n_spans", "covered_tokens")
+            .orderBy("doc_id"))
+
+
+DEDUP_SUBSTRING_STRIP_ORACLE = _SPANS_CTE + """,
+tokpos AS (
+  SELECT doc_id, pos, w[pos] AS tok
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM t)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp LEFT JOIN spans s
+    ON tp.doc_id = s.doc_id AND tp.pos >= s.s AND tp.pos < s.e
+  WHERE s.doc_id IS NULL
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(k.txt, '') AS kept_text
+FROM t
+LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+                  string_agg(tok, ' ' ORDER BY pos) AS txt
+           FROM kept GROUP BY doc_id) k
+  ON t.doc_id = k.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee et al. strip over documents at N=20: every doc's
+    surviving tokens (single-space-rejoined), all docs returned —
+    untouched docs certify as whitespace-normalized identity rows."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (strip_duplicated_substrings(docs, _N)
+            .select(F.col("id").alias("doc_id"), "n_tokens", "n_kept",
+                    "kept_text")
+            .orderBy("doc_id"))

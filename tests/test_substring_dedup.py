@@ -1,0 +1,117 @@
+"""Exact variable-length substring dedup (operators/substring_dedup.py):
+planted duplicates with known span boundaries, same-doc repetition,
+power-of-two window lengths, strip semantics, and a brute-force
+cross-check on a small high-collision corpus."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from light_etl_windows_container_poc_spark.operators.substring_dedup import (
+    duplicated_spans,
+    duplicated_window_starts,
+    strip_duplicated_substrings,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _toks(prefix, n):
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+def test_planted_shared_run_yields_exact_spans(spark):
+    shared = _toks("s", 25)
+    pad_a, pad_b = _toks("a", 7), _toks("b", 11)
+    tail_a, tail_b = _toks("x", 4), _toks("y", 9)
+    docs = _mk(spark, [
+        (1, " ".join(pad_a + shared + tail_a)),
+        (2, " ".join(pad_b + shared + tail_b)),
+    ])
+    got = {(r.id, r.span_start, r.span_end)
+           for r in duplicated_spans(docs, 20).collect()}
+    assert got == {(1, 7, 7 + 25), (2, 11, 11 + 25)}
+
+
+def test_run_shorter_than_n_is_ignored(spark):
+    shared = _toks("s", 19)
+    docs = _mk(spark, [
+        (1, " ".join(_toks("a", 5) + shared + _toks("x", 5))),
+        (2, " ".join(_toks("b", 5) + shared + _toks("y", 5))),
+    ])
+    assert duplicated_spans(docs, 20).count() == 0
+
+
+def test_same_document_repetition_counts(spark):
+    """Lee et al. semantics: a span duplicated WITHIN one document is
+    duplicated — both copies are covered."""
+    rep = _toks("r", 22)
+    docs = _mk(spark, [
+        (1, " ".join(rep + _toks("m", 6) + rep)),
+    ])
+    got = {(r.id, r.span_start, r.span_end)
+           for r in duplicated_spans(docs, 20).collect()}
+    assert got == {(1, 0, 22), (1, 28, 50)}
+
+
+def test_overlapping_windows_merge_to_one_island(spark):
+    shared = _toks("s", 40)
+    docs = _mk(spark, [
+        (1, " ".join(_toks("a", 3) + shared)),
+        (2, " ".join(shared + _toks("y", 2))),
+    ])
+    got = {(r.id, r.span_start, r.span_end)
+           for r in duplicated_spans(docs, 20).collect()}
+    # spans sit at doc end (doc 1) and doc start (doc 2): boundary legs
+    assert got == {(1, 3, 43), (2, 0, 40)}
+
+
+@pytest.mark.parametrize("n", [16, 20])
+def test_power_of_two_and_general_n_agree_with_bruteforce(spark, n):
+    """d == 0 (n = 2^k, single-class key) and d > 0 (overlapped pair
+    key) both match a per-window brute force."""
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab -> real collisions
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(60)))
+            for i in range(10)]
+    docs = _mk(spark, rows)
+
+    from collections import Counter
+    occ = Counter()
+    for _, text in rows:
+        t = text.split()
+        for p in range(len(t) - n + 1):
+            occ[tuple(t[p:p + n])] += 1
+    want = set()
+    for doc_id, text in rows:
+        t = text.split()
+        for p in range(len(t) - n + 1):
+            if occ[tuple(t[p:p + n])] >= 2:
+                want.add((doc_id, p))
+    got = {(r.id, r.pos)
+           for r in duplicated_window_starts(docs, n).collect()}
+    assert got == want
+
+
+def test_strip_removes_exactly_the_spans(spark):
+    shared = _toks("s", 25)
+    pad = _toks("a", 7)
+    tail = _toks("x", 4)
+    docs = _mk(spark, [
+        (1, " ".join(pad + shared + tail)),
+        (2, " ".join(shared)),              # fully covered -> ''
+        (3, " ".join(_toks("z", 30))),       # untouched
+        (4, "  " + "   ".join(shared) + " "),  # odd whitespace, covered
+    ])
+    got = {r.id: (r.n_tokens, r.n_kept, r.kept_text)
+           for r in strip_duplicated_substrings(docs, 20).collect()}
+    assert got[1] == (36, 11, " ".join(pad + tail))
+    assert got[2] == (25, 0, "")
+    assert got[3] == (30, 30, " ".join(_toks("z", 30)))
+    assert got[4] == (25, 0, "")
