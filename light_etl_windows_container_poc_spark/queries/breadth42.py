@@ -127,11 +127,17 @@ def pipeline_e2e_stream_cert(spark: SparkSession,
              F.col("o_orderdate"), "sales_data_drop")
 
         ddl = "`Raw Key` string, `Amount Due` string, `Event Date` string"
-        for sub in ("customer_data_drop", "sales_data_drop"):
-            q = start_excel_etl_stream(
-                spark, os.path.join(drive, sub), ddl, wh,
-                os.path.join(work, f"ckpt_{sub}"),
-                batch_ts=_STREAM_PIPE_BATCH_TS)
+        # the two per-pattern streams are disjoint (own source dir, own
+        # checkpoint, own warehouse table; the shared processing log
+        # appends unique part files) — start both, then await both:
+        # the ~13s one-time streaming machinery cost is paid once,
+        # concurrently, instead of serially per stream
+        streams = [(sub, start_excel_etl_stream(
+            spark, os.path.join(drive, sub), ddl, wh,
+            os.path.join(work, f"ckpt_{sub}"),
+            batch_ts=_STREAM_PIPE_BATCH_TS))
+            for sub in ("customer_data_drop", "sales_data_drop")]
+        for sub, q in streams:
             assert q.awaitTermination(300), f"{sub} ingest did not finish"
 
         log = (spark.read.parquet(os.path.join(wh, "etl_processing_log"))
