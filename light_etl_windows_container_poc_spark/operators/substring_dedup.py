@@ -147,17 +147,14 @@ def duplicated_spans(docs: DataFrame, n: int, id_col: str = "doc_id",
         duplicated_window_starts(docs, n, id_col, text_col), n)
 
 
-def strip_duplicated_substrings(docs: DataFrame, n: int,
-                                id_col: str = "doc_id",
-                                text_col: str = "text") -> DataFrame:
-    """Every doc minus its duplicated >= n-token spans:
-    (id, n_tokens, n_kept, kept_text). kept_text is rebuilt from
-    surviving tokens single-space-joined (whitespace-normalized on
-    both engines); a fully-covered doc keeps ''. Spans are takedown-
-    sized relative to the corpus; the anti-join is doc-local (equi on
-    id + pos range)."""
+def _strip_spans(docs: DataFrame, spans: DataFrame, id_col: str,
+                 text_col: str) -> DataFrame:
+    """(id, n_tokens, n_kept, kept_text): every doc minus the tokens
+    covered by its spans — kept_text rebuilt from surviving tokens
+    single-space-joined (whitespace-normalized on both engines), a
+    fully-covered doc keeps ''. Spans are takedown-sized relative to
+    the corpus; the anti-join is doc-local (equi on id + pos range)."""
     toks = token_positions(docs, id_col, text_col)
-    spans = duplicated_spans(docs, n, id_col, text_col)
     kept = toks.alias("t").join(
         spans.alias("s"),
         (F.col("t.id") == F.col("s.id"))
@@ -181,3 +178,54 @@ def strip_duplicated_substrings(docs: DataFrame, n: int,
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                     .alias("n_kept"),
                     F.coalesce("kept_text", F.lit("")).alias("kept_text")))
+
+
+def strip_duplicated_substrings(docs: DataFrame, n: int,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Every doc minus its duplicated >= n-token spans:
+    (id, n_tokens, n_kept, kept_text)."""
+    return _strip_spans(docs, duplicated_spans(docs, n, id_col, text_col),
+                        id_col, text_col)
+
+
+def contaminated_window_starts(corpus: DataFrame, ref: DataFrame, n: int,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """(id, pos) of every corpus window whose exact n-token content
+    appears ANYWHERE in the reference corpus — the substring tier of
+    benchmark decontamination (strip eval data from training data, the
+    cross-corpus companion of duplicated_window_starts: corpus-corpus
+    duplication does NOT mark a window here, only corpus∩ref). The
+    prefix-doubling classes are built ONCE over the tagged union, so
+    cross-corpus equality is exact; ids are internally remapped to
+    2*id / 2*id+1 (corpus/ref) and unmapped on output."""
+    c = corpus.select((F.col(id_col) * 2).alias("_sd_id"),
+                      F.col(text_col).alias("_sd_text"))
+    r = ref.select((F.col(id_col) * 2 + 1).alias("_sd_id"),
+                   F.col(text_col).alias("_sd_text"))
+    wins = window_classes(c.unionByName(r), n, "_sd_id", "_sd_text")
+    ref_classes = (wins.filter(F.col("id") % 2 == 1)
+                   .select("cls", "cls2").distinct())
+    return (wins.filter(F.col("id") % 2 == 0)
+            .join(ref_classes, ["cls", "cls2"], "left_semi")
+            .select(F.expr("id div 2").cast("long").alias("id"), "pos"))
+
+
+def contaminated_spans(corpus: DataFrame, ref: DataFrame, n: int,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, span_start, span_end): maximal corpus spans of length >= n
+    appearing verbatim in the reference corpus."""
+    return _merge_islands(
+        contaminated_window_starts(corpus, ref, n, id_col, text_col), n)
+
+
+def strip_contaminated_substrings(corpus: DataFrame, ref: DataFrame,
+                                  n: int, id_col: str = "doc_id",
+                                  text_col: str = "text") -> DataFrame:
+    """Every corpus doc minus its spans that appear in the reference:
+    (id, n_tokens, n_kept, kept_text) — the decontamination strip."""
+    return _strip_spans(
+        corpus, contaminated_spans(corpus, ref, n, id_col, text_col),
+        id_col, text_col)

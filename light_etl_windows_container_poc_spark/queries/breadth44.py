@@ -2,7 +2,7 @@
 (the Lee et al. 2022 tier — operators/substring_dedup.py) under the
 driver hash.
 
-Two queries, both over the documents table at N=20 tokens:
+Three queries, all over the documents table at N=20 tokens:
 
 - ``dedup_substring_exact``: per-doc duplication census — for every
   document containing at least one corpus-duplicated >= 20-token span:
@@ -11,6 +11,10 @@ Two queries, both over the documents table at N=20 tokens:
 - ``dedup_substring_strip``: the strip itself — every document's
   surviving text after removing all duplicated >= 20-token spans
   (whitespace-normalized on both engines), with token counts.
+- ``decontaminate_substring``: the cross-corpus tier — census + strip
+  of corpus spans appearing verbatim in the doc_id % 29 == 0 eval
+  slice (benchmark decontamination; corpus-corpus duplication does
+  NOT mark a window here).
 
 The DuckDB oracles are an INDEPENDENT algorithm: they group
 materialized 20-gram strings directly (fine at oracle SF), while the
@@ -155,5 +159,116 @@ def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return (strip_duplicated_substrings(docs, _N)
             .select(F.col("id").alias("doc_id"), "n_tokens", "n_kept",
+                    "kept_text")
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# Substring-level benchmark decontamination: doc_id % 29 == 0 plays the
+# held-out eval set; every other document is training corpus. Any
+# corpus span of >= 20 tokens appearing VERBATIM anywhere in the eval
+# slice is census'd and stripped — the exact-substring tier of the
+# decontamination family (`contamination` = fixed 8-gram containment
+# counts, `anti_contamination_split` = doc-level routing; this is the
+# Lee-et-al-grade span surgery). Corpus-corpus duplication deliberately
+# does NOT mark a window (that's dedup_substring_*'s job) — the pytest
+# locks the difference. One relation carries census AND strip so the
+# tier costs one driver slot.
+# --------------------------------------------------------------------------
+DECONTAMINATE_SUBSTRING_ORACLE = """
+WITH t0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+t AS (SELECT doc_id, w FROM t0 WHERE doc_id % 29 <> 0),
+wins AS (
+  SELECT doc_id, pos, array_to_string(w[pos:pos+19], ' ') AS win
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS pos FROM t0)
+),
+refw AS (SELECT DISTINCT win FROM wins WHERE doc_id % 29 = 0),
+hit AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN refw r USING (win)
+  WHERE w.doc_id % 29 <> 0
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 20) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM hit
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+  FROM grp GROUP BY doc_id, g
+),
+tokpos AS (
+  SELECT doc_id, pos, w[pos] AS tok
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM t)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp LEFT JOIN spans s
+    ON tp.doc_id = s.doc_id AND tp.pos >= s.s AND tp.pos < s.e
+  WHERE s.doc_id IS NULL
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(h.hit_starts, 0) AS BIGINT) AS hit_starts,
+       CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(sp.covered, 0) AS BIGINT) AS covered_tokens,
+       coalesce(k.txt, '') AS kept_text
+FROM t
+LEFT JOIN (SELECT doc_id, count(*) AS hit_starts FROM hit
+           GROUP BY doc_id) h ON t.doc_id = h.doc_id
+LEFT JOIN (SELECT doc_id, count(*) AS n_spans,
+                  CAST(sum(e - s) AS BIGINT) AS covered
+           FROM spans GROUP BY doc_id) sp ON t.doc_id = sp.doc_id
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+           FROM kept GROUP BY doc_id) k ON t.doc_id = k.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census + strip of corpus spans (>= 20 tokens) appearing verbatim
+    in the doc_id % 29 == 0 eval slice; every corpus doc returned
+    (clean docs as whitespace-normalized identity rows)."""
+    from ..operators.substring_dedup import (
+        _merge_islands,
+        _strip_spans,
+        contaminated_window_starts,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    ref = docs.filter(F.col("doc_id") % 29 == 0)
+    starts = (contaminated_window_starts(corpus, ref, _N)
+              .localCheckpoint(eager=True))
+    spans = _merge_islands(starts, _N)
+    per_start = (starts.groupBy("id")
+                 .agg(F.count(F.lit(1)).cast("long").alias("hit_starts")))
+    per_span = (spans.groupBy("id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
+                     F.sum(F.col("span_end") - F.col("span_start"))
+                     .cast("long").alias("covered_tokens")))
+    stripped = _strip_spans(corpus, spans, "doc_id", "text")
+    return (stripped.join(per_start, "id", "left")
+            .join(per_span, "id", "left")
+            .select(F.col("id").alias("doc_id"),
+                    "n_tokens",
+                    F.coalesce("hit_starts", F.lit(0)).cast("long")
+                    .alias("hit_starts"),
+                    F.coalesce("n_spans", F.lit(0)).cast("long")
+                    .alias("n_spans"),
+                    F.coalesce("covered_tokens", F.lit(0)).cast("long")
+                    .alias("covered_tokens"),
                     "kept_text")
             .orderBy("doc_id"))

@@ -64,3 +64,14 @@ def test_dedup_substring_strip_gate_green(spark, sf_dir, con):
     n = _gate_compare(dedup_substring_strip(spark, sf_dir), con,
                       DEDUP_SUBSTRING_STRIP_ORACLE)
     assert n == 500  # every doc returned, stripped or identity
+
+
+def test_decontaminate_substring_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth44 import (
+        DECONTAMINATE_SUBSTRING_ORACLE,
+        decontaminate_substring,
+    )
+
+    sdf = decontaminate_substring(spark, sf_dir)
+    n = _gate_compare(sdf, con, DECONTAMINATE_SUBSTRING_ORACLE)
+    assert n > 400  # every corpus doc (500 minus the eval slice)

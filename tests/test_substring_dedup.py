@@ -115,3 +115,48 @@ def test_strip_removes_exactly_the_spans(spark):
     assert got[2] == (25, 0, "")
     assert got[3] == (30, 30, " ".join(_toks("z", 30)))
     assert got[4] == (25, 0, "")
+
+
+def test_contamination_marks_only_corpus_ref_overlap(spark):
+    """Cross-corpus semantics: a corpus span appearing in ref is
+    stripped; a span duplicated ONLY corpus-corpus is kept (that's
+    dedup's job, not decontamination's); ref-internal duplication is
+    irrelevant."""
+    from light_etl_windows_container_poc_spark.operators.substring_dedup import (
+        contaminated_spans,
+        strip_contaminated_substrings,
+    )
+
+    bench = _toks("q", 25)        # the "eval set" span
+    cc = _toks("c", 25)           # corpus-corpus duplicate, not in ref
+    corpus = _mk(spark, [
+        (1, " ".join(_toks("a", 5) + bench + _toks("x", 3))),
+        (2, " ".join(cc + _toks("y", 4))),
+        (3, " ".join(_toks("b", 6) + cc)),
+        (4, " ".join(_toks("z", 30))),
+    ])
+    ref = _mk(spark, [
+        (7, " ".join(_toks("r", 4) + bench + bench)),  # ref-internal dup
+    ])
+    got = {(r.id, r.span_start, r.span_end)
+           for r in contaminated_spans(corpus, ref, 20).collect()}
+    assert got == {(1, 5, 30)}
+
+    stripped = {r.id: (r.n_tokens, r.n_kept, r.kept_text)
+                for r in strip_contaminated_substrings(
+                    corpus, ref, 20).collect()}
+    assert stripped[1] == (33, 8, " ".join(_toks("a", 5) + _toks("x", 3)))
+    assert stripped[2] == (29, 29, " ".join(cc + _toks("y", 4)))
+    assert stripped[3] == (31, 31, " ".join(_toks("b", 6) + cc))
+    assert stripped[4] == (30, 30, " ".join(_toks("z", 30)))
+
+
+def test_contamination_sub_threshold_ignored(spark):
+    from light_etl_windows_container_poc_spark.operators.substring_dedup import (
+        contaminated_window_starts,
+    )
+
+    shared = _toks("s", 19)
+    corpus = _mk(spark, [(1, " ".join(_toks("a", 3) + shared))])
+    ref = _mk(spark, [(9, " ".join(shared + _toks("r", 3)))])
+    assert contaminated_window_starts(corpus, ref, 20).count() == 0
