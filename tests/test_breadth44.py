@@ -75,3 +75,23 @@ def test_decontaminate_substring_gate_green(spark, sf_dir, con):
     sdf = decontaminate_substring(spark, sf_dir)
     n = _gate_compare(sdf, con, DECONTAMINATE_SUBSTRING_ORACLE)
     assert n > 400  # every corpus doc (500 minus the eval slice)
+
+
+def test_breadth44_plans_are_cartesian_free(spark, sf_dir):
+    """The r13-queue candidates hold the registered families' plan
+    hygiene: no CartesianProduct / BroadcastNestedLoop anywhere (the
+    strip's doc-local range anti-join must plan as an equi-join on id
+    with the range as residual condition), and every window is
+    per-doc-partitioned (no global Window)."""
+    from light_etl_windows_container_poc_spark.queries.breadth44 import (
+        decontaminate_substring,
+        dedup_substring_exact,
+        dedup_substring_strip,
+    )
+
+    for fn in (dedup_substring_exact, dedup_substring_strip,
+               decontaminate_substring):
+        plan = fn(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoop" not in plan, fn.__name__
