@@ -128,6 +128,10 @@ def main() -> None:
     r10_names = set(_ent._R10_POPULATION)
     suite_r10_subset = round(sum(t for n, t in suite_times.items()
                                  if n in r10_names), 3)
+    # ...and the frozen round-11 population for round 12+
+    r11_names = set(_ent._R11_POPULATION)
+    suite_r11_subset = round(sum(t for n, t in suite_times.items()
+                                 if n in r11_names), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -149,6 +153,7 @@ def main() -> None:
         "suite_r8_subset_sec": suite_r8_subset,
         "suite_r9_subset_sec": suite_r9_subset,
         "suite_r10_subset_sec": suite_r10_subset,
+        "suite_r11_subset_sec": suite_r11_subset,
         "sf": sf_val,
     }))
 
