@@ -88,7 +88,12 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
                                  # DP Catalyst cannot express; Arrow-
                                  # batched kernel, cost ∝ vocabulary
                                  "unigram_lm_learn",
-                                 "unigram_invariants")]
+                                 "unigram_invariants",
+                                 # WordPiece: greedy longest-match DP per
+                                 # DISTINCT word — Arrow-batched
+                                 # mapInPandas memo, cost follows
+                                 # vocabulary, never corpus tokens
+                                 "wordpiece_tokenize")]
     for name in jvm_queries:
         assert_no_python_udf(QUERIES[name](spark, sf_dir))
 
