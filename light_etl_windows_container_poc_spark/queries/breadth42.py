@@ -128,10 +128,12 @@ def pipeline_e2e_stream_cert(spark: SparkSession,
 
         ddl = "`Raw Key` string, `Amount Due` string, `Event Date` string"
         # the two per-pattern streams are disjoint (own source dir, own
-        # checkpoint, own warehouse table; the shared processing log
-        # appends unique part files) — start both, then await both:
-        # the ~13s one-time streaming machinery cost is paid once,
-        # concurrently, instead of serially per stream
+        # checkpoint, own warehouse table), so they run concurrently:
+        # the ~13s one-time streaming machinery cost is paid once, not
+        # serially per stream. The SHARED processing-log table is the
+        # one overlap — append_table serializes same-path appends on a
+        # driver lock (concurrent appends to one parquet dir are unsafe
+        # under FileOutputCommitter; see sinks/__init__.py)
         streams = [(sub, start_excel_etl_stream(
             spark, os.path.join(drive, sub), ddl, wh,
             os.path.join(work, f"ckpt_{sub}"),

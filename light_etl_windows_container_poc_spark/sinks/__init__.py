@@ -10,20 +10,42 @@ for literal Postgres parity but gated on a driver jar.
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, Row, SparkSession
+
+# Concurrent appends to ONE parquet directory are unsafe under Hadoop's
+# FileOutputCommitter: every job stages under `<dir>/_temporary/0/`, and
+# whichever job commits first recursively deletes `_temporary` — wiping
+# the other job's in-flight task files (observed as both a chmod
+# ExitCodeException AND silent row loss when two streaming foreachBatch
+# handlers appended to the shared `etl_processing_log` concurrently).
+# Appends to the SAME resolved path therefore serialize on a per-path
+# driver lock; distinct tables keep distinct locks, so cross-table
+# concurrency (the common case) is untouched. Cross-PROCESS appends are
+# out of scope — certs isolate per-process via cert_work_dir.
+_APPEND_LOCKS: dict[str, threading.Lock] = {}
+_APPEND_LOCKS_GUARD = threading.Lock()
+
+
+def _path_lock(path: str) -> threading.Lock:
+    with _APPEND_LOCKS_GUARD:
+        return _APPEND_LOCKS.setdefault(path, threading.Lock())
 
 
 def append_table(df: DataFrame, warehouse_dir: str, table: str,
                  partition_by: list[str] | None = None) -> str:
     """Append to a warehouse table as parquet. ``partition_by`` (e.g. an
-    ingest-date column) gives downstream queries partition pruning."""
+    ingest-date column) gives downstream queries partition pruning.
+    Same-path appends from concurrent driver threads serialize (see the
+    committer note above); distinct tables append concurrently."""
     path = os.path.join(warehouse_dir, table)
     writer = df.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    with _path_lock(os.path.abspath(path)):
+        writer.parquet(path)
     return path
 
 

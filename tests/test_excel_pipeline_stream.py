@@ -82,3 +82,65 @@ def test_streaming_excel_etl_incremental_second_run(spark, tmp_path):
     vals = sorted(r["v"] for r in
                   spark.read.parquet(f"{wh}/fact_sales").collect())
     assert vals == ["one", "two"]  # a.xlsx was NOT re-ingested
+
+
+def test_concurrent_appends_to_shared_table_lose_nothing(spark, tmp_path):
+    """Regression: concurrent appends to ONE parquet dir are unsafe under
+    FileOutputCommitter (both jobs stage under `_temporary/0/`; the first
+    commit deletes the other's staging — observed as a chmod
+    ExitCodeException AND silent row loss when two streaming handlers
+    appended the shared `etl_processing_log` concurrently). append_table
+    now serializes same-path appends on a per-path driver lock; this is
+    the standalone repro shape that lost half its rows before the fix:
+    two threads, 6 appends each, one shared table directory."""
+    import threading
+
+    from light_etl_windows_container_poc_spark.sinks import append_table
+
+    wh = str(tmp_path / "warehouse")
+    rows_per_batch, batches = 200, 6
+    errors: list[BaseException] = []
+
+    def writer(tag: int) -> None:
+        try:
+            for b in range(batches):
+                df = spark.range(rows_per_batch).selectExpr(
+                    f"id + {tag * 1_000_000 + b * 1_000} as id")
+                append_table(df, wh, "shared_log")
+        except BaseException as e:  # noqa: BLE001 — surface thread failures
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, f"concurrent append raised: {errors[0]!r}"
+    got = spark.read.parquet(f"{wh}/shared_log")
+    assert got.count() == 2 * batches * rows_per_batch  # zero silent loss
+    # every id unique — no batch double-committed either
+    assert got.distinct().count() == 2 * batches * rows_per_batch
+
+
+def test_two_streams_shared_log_concurrent(spark, tmp_path):
+    """The cert's exact overlap, at test scale: two per-pattern streams
+    run CONCURRENTLY against one warehouse; the shared processing log
+    must carry every file's row (the pre-fix race silently dropped
+    whole committed appends)."""
+    drive = str(tmp_path / "drive")
+    wh = str(tmp_path / "warehouse")
+    for part in range(4):
+        _write_book(f"{drive}/customer_data/c{part}.xlsx",
+                    {"S": [["Name"], [f"cust{part}"]]})
+        _write_book(f"{drive}/sales_data/s{part}.xlsx",
+                    {"S": [["Item"], [f"item{part}"]]})
+    qs = [start_excel_etl_stream(
+        spark, f"{drive}/{sub}", ddl, wh, str(tmp_path / f"ck_{sub}"),
+        batch_ts="2024-06-01 00:00:00")
+        for sub, ddl in (("customer_data", "Name string"),
+                         ("sales_data", "Item string"))]
+    for q in qs:
+        assert q.awaitTermination(300)
+    log = spark.read.parquet(f"{wh}/etl_processing_log")
+    assert log.count() == 8  # one row per ingested workbook, none lost
+    assert {r["rows_processed"] for r in log.collect()} == {1}
