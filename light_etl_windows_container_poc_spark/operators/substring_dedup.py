@@ -169,8 +169,12 @@ def _strip_spans(docs: DataFrame, spans: DataFrame, id_col: str,
                         F.array_sort(F.collect_list(
                             F.struct("pos", "tok"))),
                         lambda s: s["tok"])).alias("kept_text")))
+    # null text coalesces to '' so n_tokens is 0 on BOTH engines
+    # (size(null) is engine-config-dependent; token_positions already
+    # yields no rows for null docs, so 0 is the consistent answer)
     return (docs.select(F.col(id_col).alias("id"),
-                        F.size(words(F.col(text_col))).cast("long")
+                        F.size(words(F.coalesce(F.col(text_col),
+                                                F.lit("")))).cast("long")
                         .alias("n_tokens"))
             .join(per, "id", "left")
             .select("id",
@@ -198,18 +202,23 @@ def contaminated_window_starts(corpus: DataFrame, ref: DataFrame, n: int,
     cross-corpus companion of duplicated_window_starts: corpus-corpus
     duplication does NOT mark a window here, only corpus∩ref). The
     prefix-doubling classes are built ONCE over the tagged union, so
-    cross-corpus equality is exact; ids are internally remapped to
-    2*id / 2*id+1 (corpus/ref) and unmapped on output."""
-    c = corpus.select((F.col(id_col) * 2).alias("_sd_id"),
+    cross-corpus equality is exact; the internal union id is a
+    (src, orig) struct — type-agnostic (string/negative ids work; an
+    id*2/id*2+1 arithmetic encoding would silently null-cast string
+    ids and mis-filter negatives under Spark's % semantics) — unmapped
+    on output."""
+    c = corpus.select(F.struct(F.lit(0).alias("src"),
+                               F.col(id_col).alias("orig")).alias("_sd_id"),
                       F.col(text_col).alias("_sd_text"))
-    r = ref.select((F.col(id_col) * 2 + 1).alias("_sd_id"),
+    r = ref.select(F.struct(F.lit(1).alias("src"),
+                            F.col(id_col).alias("orig")).alias("_sd_id"),
                    F.col(text_col).alias("_sd_text"))
     wins = window_classes(c.unionByName(r), n, "_sd_id", "_sd_text")
-    ref_classes = (wins.filter(F.col("id") % 2 == 1)
+    ref_classes = (wins.filter(F.col("id.src") == 1)
                    .select("cls", "cls2").distinct())
-    return (wins.filter(F.col("id") % 2 == 0)
+    return (wins.filter(F.col("id.src") == 0)
             .join(ref_classes, ["cls", "cls2"], "left_semi")
-            .select(F.expr("id div 2").cast("long").alias("id"), "pos"))
+            .select(F.col("id.orig").alias("id"), "pos"))
 
 
 def contaminated_spans(corpus: DataFrame, ref: DataFrame, n: int,

@@ -25,9 +25,17 @@ ORACLES: dict[str, str] = {}
 
 
 _HANDED_OUT: set[str] = set()
+_REGISTERING_PID = os.getpid()
 
 
 def _reap_at_exit() -> None:
+    # A forked child exits through the parent's registered atexit
+    # handlers (plain os.fork paths); without the pid guard it would
+    # rmtree the PARENT's live cert state mid-run. (Sibling reaping in
+    # cert_work_dir is likewise best-effort — pid reuse can keep a dead
+    # run's dir alive until the pid frees.)
+    if os.getpid() != _REGISTERING_PID:
+        return
     for d in _HANDED_OUT:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -89,9 +89,21 @@ def test_breadth44_plans_are_cartesian_free(spark, sf_dir):
         dedup_substring_strip,
     )
 
+    import re
+
     for fn in (dedup_substring_exact, dedup_substring_strip,
                decontaminate_substring):
         plan = fn(spark, sf_dir)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoop" not in plan, fn.__name__
+        # every windowspecdefinition must carry partition columns: a
+        # spec whose FIRST element is already an ordering clause is a
+        # global window (the duplicate-count window partitions by class
+        # key, island merging by doc id — nothing legitimately global)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        global_specs = [
+            s for s in specs
+            if s.split(",")[0].strip().endswith(("ASC NULLS FIRST",
+                                                 "DESC NULLS LAST"))]
+        assert not global_specs, (fn.__name__, global_specs)

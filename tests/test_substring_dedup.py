@@ -160,3 +160,44 @@ def test_contamination_sub_threshold_ignored(spark):
     corpus = _mk(spark, [(1, " ".join(_toks("a", 3) + shared))])
     ref = _mk(spark, [(9, " ".join(shared + _toks("r", 3)))])
     assert contaminated_window_starts(corpus, ref, 20).count() == 0
+
+
+def test_contamination_string_and_negative_ids(spark):
+    """The internal union id is a (src, orig) tag struct, so any id
+    type works — an arithmetic id*2/id*2+1 encoding silently null-cast
+    string ids (empty result, no error) and mis-filtered negative ids
+    (-1 % 2 == -1 in Spark, so ref windows vanished instead of
+    matching)."""
+    from light_etl_windows_container_poc_spark.operators.substring_dedup import (
+        contaminated_window_starts,
+        strip_contaminated_substrings,
+    )
+
+    bench = _toks("q", 20)
+    corpus_s = spark.createDataFrame(
+        [("doc-A", " ".join(_toks("a", 4) + bench))],
+        "doc_id string, text string")
+    ref_s = spark.createDataFrame(
+        [("eval-1", " ".join(bench))], "doc_id string, text string")
+    hits = contaminated_window_starts(corpus_s, ref_s, 20).collect()
+    assert {(r.id, r.pos) for r in hits} == {("doc-A", 4)}
+    stripped = strip_contaminated_substrings(corpus_s, ref_s, 20).collect()
+    assert {(r.id, r.n_tokens, r.n_kept) for r in stripped} == \
+        {("doc-A", 24, 4)}
+
+    corpus_n = _mk(spark, [(-5, " ".join(_toks("c", 2) + bench))])
+    ref_n = _mk(spark, [(-9, " ".join(bench))])
+    hits_n = contaminated_window_starts(corpus_n, ref_n, 20).collect()
+    assert {(r.id, r.pos) for r in hits_n} == {(-5, 2)}
+
+
+def test_strip_null_text_doc_is_zero_token_identity(spark):
+    """A NULL-text doc behaves exactly like an empty doc: n_tokens 0,
+    n_kept 0, kept_text '' (size(words(null)) is engine-dependent, so
+    the strip coalesces to '' first — matching the DuckDB oracles)."""
+    docs = _mk(spark, [(1, None), (2, ""), (3, "one two three")])
+    got = {r.id: (r.n_tokens, r.n_kept, r.kept_text)
+           for r in strip_duplicated_substrings(docs, 20).collect()}
+    assert got[1] == (0, 0, "")
+    assert got[2] == (0, 0, "")
+    assert got[3] == (3, 3, "one two three")
