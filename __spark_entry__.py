@@ -271,39 +271,66 @@ _R11_CERTIFIED = [
     "token_budget_mix", "vocab_growth", "zonemap_stats",
 ]
 
-# Round-12 recertification allocation (head + this list == 50, the
-# driver's per-round budget; test-locked) — executing the allocation the
-# r11 verdict locked ("promote ALL TWELVE pre-certified queue entries —
-# relax the staleness cadence by one notch"). Head = the TWELVE queue
-# queries promoted this round by adding @query, each re-gated at all 3
-# SFs against the final r11 code (tests/test_breadth43.py holds the
-# sf0.001 legs): bm25_takedown_cert, ann_takedown_cert,
-# dedup_takedown_cert, phrase_search_cert (queries/breadth41.py) and
-# pipeline_e2e_stream_cert, graph_jaccard_similarity,
-# ann_dim_truncation_recall, wordpiece_tokenize, changepoint_binary_seg,
-# delete_where_cert, delete_where_versioned_cert, proximity_search_cert
-# (queries/breadth42.py). Recertify = the first THIRTY-EIGHT of the 49
-# r6-latest rows in name order (all 49 share the same staleness round,
-# so alphabetical order is the deterministic tie-break). 12 + 38 == 50.
-# The remaining ELEVEN r6-latest rows head the r13 recertify floor, as
-# the r11 verdict's done-criterion names them: stream_window_agg,
-# string_funcs, subquery_scalar, text_bigram_kn, text_bpe_tokenize,
-# time_functions, time_window_agg, top_movers, user_rfm,
-# window_ntile_firstlast, window_rolling_time.
-_RECERTIFY = [
-    "agg_grouping_sets", "ann_bruteforce", "ann_ivf_fullprobe_exact",
-    "ann_lsh_recall_floor", "ann_pq", "ann_pq_recall_floor",
-    "array_funcs", "asof_join", "benford_digit_profile",
-    "chi2_independence", "dedup_incremental_consistency",
-    "dedup_incremental_exact", "dup_span_strip", "embed_pca",
+# CORRECTNESS_r12.json keys (round-12 driver run): 48 hash-green + 2
+# clean rows-only records (ann_pq, embed_pca — both SURVEY-declared
+# rows-only with green hash-certified twins ann_pq_recall_floor /
+# pca_invariants in the same run). Zero red rows.
+_R12_CERTIFIED = [
+    "agg_grouping_sets", "ann_bruteforce", "ann_dim_truncation_recall",
+    "ann_ivf_fullprobe_exact", "ann_lsh_recall_floor", "ann_pq",
+    "ann_pq_recall_floor", "ann_takedown_cert", "array_funcs",
+    "asof_join", "benford_digit_profile", "bm25_takedown_cert",
+    "changepoint_binary_seg", "chi2_independence",
+    "dedup_incremental_consistency", "dedup_incremental_exact",
+    "dedup_takedown_cert", "delete_where_cert",
+    "delete_where_versioned_cert", "dup_span_strip", "embed_pca",
     "equidepth_histogram", "fingerprint_winnowing", "fuzzy_join_parts",
-    "hybrid_rrf_search", "join_anti", "map_funcs", "pct_change_wow",
-    "percentiles", "q13_cust_distribution", "q15_top_supplier",
-    "q16_supplier_counts", "q17_small_qty_revenue",
-    "q22_sales_opportunity", "q2_min_cost_supplier", "q9_product_profit",
-    "range_join", "sessionize", "src_excel", "src_excel_xls",
-    "src_excel_xlsb", "stream_dedup", "stream_session_window",
-    "stream_static_join", "stream_stream_join",
+    "graph_jaccard_similarity", "hybrid_rrf_search", "join_anti",
+    "map_funcs", "pct_change_wow", "percentiles",
+    "phrase_search_cert", "pipeline_e2e_stream_cert", "proximity_search_cert",
+    "q13_cust_distribution", "q15_top_supplier", "q16_supplier_counts",
+    "q17_small_qty_revenue", "q22_sales_opportunity", "q2_min_cost_supplier",
+    "q9_product_profit", "range_join", "sessionize",
+    "src_excel", "src_excel_xls", "src_excel_xlsb",
+    "stream_dedup", "stream_session_window", "stream_static_join",
+    "stream_stream_join", "wordpiece_tokenize",
+]
+
+# Round-13 recertification allocation (head + this list == 50, the
+# driver's per-round budget; test-locked) — executing the allocation the
+# r12 verdict locked: head = the THREE pre-certified substring-dedup
+# queries promoted this round by adding @query in queries/breadth44.py
+# (dedup_substring_exact, dedup_substring_strip,
+# decontaminate_substring — each gate-compared at all 3 SFs in r12,
+# tests/test_breadth44.py holds the evidence). Recertify = the ELEVEN
+# named r6 carryovers the r11/r12 verdicts reserved for this round
+# (stream_window_agg, string_funcs, subquery_scalar, text_bigram_kn,
+# text_bpe_tokenize, time_functions, time_window_agg, top_movers,
+# user_rfm, window_ntile_firstlast, window_rolling_time) plus the
+# THIRTY-SIX oldest r7-latest rows in name order (alphabetical is the
+# deterministic tie-break within a staleness round). 3 + 11 + 36 == 50.
+# The remaining FOURTEEN r7-latest rows head the r14 recertify floor:
+# q21_waiting_supplier, q8_market_share, skyline_parts,
+# split_train_test, stream_stateful, text_clean_pii, text_fingerprint,
+# text_langid, text_quality, text_token_count, text_trigram_kn,
+# weighted_sample, window_percent_rank, zorder_zone_prune.
+_RECERTIFY = [
+    "agg_approx_distinct", "agg_filter", "agg_histogram",
+    "agg_incremental_retract", "agg_median", "agg_misc",
+    "agg_stats_moments", "ann_ivfpq", "ann_ivfpq_fullprobe_exact",
+    "bloom_zone_prune", "boilerplate_shingles", "bpe_learn",
+    "corpus_report", "dedup_jaccard_prefix", "dedup_ngram_jaccard",
+    "dedup_paragraph", "dedup_simhash", "embed_centroid",
+    "etl_clean_columns", "etl_dedup_rows", "etl_drop_empty_rows",
+    "etl_enrich_metadata", "etl_file_stats", "etl_json_extract",
+    "etl_pattern_route", "etl_processing_stats", "etl_scd2_merge",
+    "etl_snapshot_diff", "etl_type_coercion", "etl_validate_rows",
+    "explode_wordcount", "heavy_hitters", "interval_join",
+    "q11_important_parts", "q12_late_priority", "q20_promo_suppliers",
+    "stream_window_agg", "string_funcs", "subquery_scalar",
+    "text_bigram_kn", "text_bpe_tokenize", "time_functions",
+    "time_window_agg", "top_movers", "user_rfm",
+    "window_ntile_firstlast", "window_rolling_time",
 ]
 
 
@@ -943,7 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rounds = [_R01_CERTIFIED, _R02_CERTIFIED, _R03_CERTIFIED,
               _R04_CERTIFIED, _R05_CERTIFIED, _R06_CERTIFIED,
               _R07_CERTIFIED, _R08_CERTIFIED, _R09_CERTIFIED,
-              _R10_CERTIFIED, _R11_CERTIFIED]
+              _R10_CERTIFIED, _R11_CERTIFIED, _R12_CERTIFIED]
     certified = set().union(*map(set, rounds))
     head = [n for n in QUERIES if n not in certified]
     redo = [n for n in _RECERTIFY if n in QUERIES and n in certified]

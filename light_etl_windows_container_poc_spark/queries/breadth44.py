@@ -1,6 +1,5 @@
-"""Round-13 head candidates: exact variable-length substring dedup
-(the Lee et al. 2022 tier — operators/substring_dedup.py) under the
-driver hash.
+"""Exact variable-length substring dedup (the Lee et al. 2022 tier —
+operators/substring_dedup.py) under the driver hash.
 
 Three queries, all over the documents table at N=20 tokens:
 
@@ -22,11 +21,11 @@ Spark side runs prefix-doubling equality classes (no materialized
 n-grams, log2 N rounds — the 100 TB path). Agreement certifies the
 equality-class construction end to end.
 
-Deliberately NOT decorated with @query: the r12 driver budget is spent
-(12 promoted heads + 38 mandatory recertifications == 50). The gate
-tests in tests/test_breadth44.py run the EXACT driver-replica compare
-(tools/check_oracle pandas fetch + frame_fingerprint) at all three SFs,
-so r13 promotes them by adding the decorator — nothing else.
+Registered (r13 head, per the r12 verdict's locked allocation) after a
+round as pre-certified queue entries: the gate tests in
+tests/test_breadth44.py ran the EXACT driver-replica compare
+(tools/check_oracle pandas fetch + frame_fingerprint) at all three SFs
+before the decorators landed.
 
 Reference scope: the reference's dedup is row-exact
 (dataframe_tasks.py drop_duplicates); substring dedup is new
@@ -45,6 +44,7 @@ from ..operators.substring_dedup import (
     duplicated_window_starts,
     strip_duplicated_substrings,
 )
+from .registry import query
 
 _N = 20
 
@@ -104,6 +104,7 @@ ORDER BY t.doc_id
 """
 
 
+@query("dedup_substring_exact", oracle=DEDUP_SUBSTRING_EXACT_ORACLE)
 def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc census of corpus-duplicated >= 20-token spans: prefix-
     doubling window classes -> duplicated starts -> merged islands; one
@@ -152,6 +153,7 @@ ORDER BY t.doc_id
 """
 
 
+@query("dedup_substring_strip", oracle=DEDUP_SUBSTRING_STRIP_ORACLE)
 def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Lee et al. strip over documents at N=20: every doc's
     surviving tokens (single-space-rejoined), all docs returned —
@@ -237,6 +239,7 @@ ORDER BY t.doc_id
 """
 
 
+@query("decontaminate_substring", oracle=DECONTAMINATE_SUBSTRING_ORACLE)
 def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Census + strip of corpus spans (>= 20 tokens) appearing verbatim
     in the doc_id % 29 == 0 eval slice; every corpus doc returned
