@@ -1,0 +1,193 @@
+"""Cross-run (incremental) exact-substring dedup — the Lee et al. tier
+against a PERSISTED window index.
+
+`operators/substring_dedup.py` is corpus-in/corpus-out: its prefix-
+doubling equality classes are CORPUS-RELATIVE (a class id is the min
+(id, pos) struct of the class), so they cannot be persisted and probed
+by a later run — the same window content gets a different class id in a
+different corpus. A 100 TB ingestion pipeline instead sees
+new-batch-vs-history: yesterday's corpus is already ingested and only
+today's arrivals must be checked for spans duplicating ANY previously
+ingested text, without re-scanning history (the
+`operators/incremental.py` exact/minhash discipline, applied to the
+substring tier).
+
+The persisted key is therefore a CONTENT-DETERMINED fingerprint, built
+with the same doubling recursion as the batch tier but hash-valued —
+a Merkle chain over the token stream:
+
+    h_0(p)   = xxhash64(salt, tok(p))
+    h_k(p)   = xxhash64(salt, h_{k-1}(p), h_{k-1}(p + 2^{k-1}))
+    key(p)   = xxhash64(salt, h_k(p), h_k(p + N - 2^k))   (2^k <= N)
+
+computed with per-doc ``lead`` windows — log2(N) Window passes over ONE
+per-doc sort, zero joins, zero extra shuffles (every level shares the
+same (id, pos) partitioning+ordering, so Spark plans one Exchange+Sort
+feeding a chain of WindowExecs). Two independent salt chains give a
+128-bit key: unlike the batch tier this op is fingerprint-based — a
+collision can only over-strip, with ~2^-128 per-pair probability (the
+exactness-critical batch census stays on the hash-free class path).
+
+Semantics — FORWARD-ONLY, the property that matches the module's
+exact/minhash siblings: a batch window is duplicated iff its content
+appears in the already-ingested history OR >= 2 times within the batch
+itself. History text is never re-stripped (ingested state is
+immutable), and the index append records the batch AS INGESTED, so any
+span the pipeline has ever seen marks future repeats. ``batch_tag``
+makes the call replay-idempotent exactly as in
+`incremental_exact_dedup`: appends carry the tag and the probe excludes
+the current tag, so a crashed micro-batch's retry reproduces identical
+decisions.
+
+State: ``windows/`` under the index dir — (fp_a, fp_b, batch_tag), one
+row per token position of ingested text (the suffix-array-scale state;
+append-only, optionally HASH-BUCKETED by fp_a so the history side of
+the probe join never shuffles — `bucket_fps`, same measured constraint
+as bands/: the bucketed scan needs join key == bucket key, so the probe
+joins on fp_a alone and verifies fp_b as a residual filter).
+
+Reference scope: the reference has no substring dedup (its dedup is
+row-exact, dataframe_tasks.py drop_duplicates); this is the incremental
+form of the SURVEY §2.3 Lee-et-al tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .incremental import _read_state, _write_state
+from .substring_dedup import _merge_islands, _strip_spans, token_positions
+
+WINDOWS_SUBDIR = "windows"
+_WINDOWS_DDL_COLS = "fp_a BIGINT, fp_b BIGINT, batch_tag BIGINT"
+
+
+def window_fingerprints(docs: DataFrame, n: int, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(id, pos, fp_a, fp_b): a 128-bit content fingerprint of the
+    exact-N-token window starting at pos — equal window text yields
+    equal fingerprints ACROSS runs and corpora (unlike the batch tier's
+    corpus-relative class ids). Only positions whose window fits the
+    document appear.
+
+    Row-offset ``lead`` is position-offset here by construction: the
+    positions surviving level k form the contiguous range
+    [0, len - 2^k] (every level drops exactly the tail whose doubled
+    window would cross the document end), so the k-th lead's row
+    distance equals its token distance.
+    """
+    if n < 1:
+        raise ValueError(f"window length must be >= 1, got {n}")
+    w = Window.partitionBy("id").orderBy("pos")
+
+    def h(salt: str, *cols):
+        return F.xxhash64(F.lit(salt), *cols)
+
+    cur = (token_positions(docs, id_col, text_col)
+           .select("id", "pos",
+                   h("sda", F.col("tok")).alias("ha"),
+                   h("sdb", F.col("tok")).alias("hb")))
+    span = 1
+    while span * 2 <= n:
+        nxt_a = F.lead("ha", span).over(w)
+        nxt_b = F.lead("hb", span).over(w)
+        cur = (cur.select("id", "pos",
+                          h("sda", F.col("ha"), nxt_a).alias("ha"),
+                          h("sdb", F.col("hb"), nxt_b).alias("hb"),
+                          nxt_a.isNull().alias("_trunc"))
+               .filter(~F.col("_trunc")).drop("_trunc"))
+        span *= 2
+    d = n - span  # 0 <= d < span: the overlapping second leg
+    if d == 0:
+        return cur.select("id", "pos", F.col("ha").alias("fp_a"),
+                          F.col("hb").alias("fp_b"))
+    sh_a = F.lead("ha", d).over(w)
+    sh_b = F.lead("hb", d).over(w)
+    return (cur.select("id", "pos",
+                       h("sda", F.col("ha"), sh_a).alias("fp_a"),
+                       h("sdb", F.col("hb"), sh_b).alias("fp_b"),
+                       sh_a.isNull().alias("_trunc"))
+            .filter(~F.col("_trunc")).drop("_trunc"))
+
+
+def build_substring_index(docs: DataFrame, n: int, index_dir: str,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          bucket_fps: int | None = None) -> None:
+    """Initialize ``index_dir``/windows from an already-ingested corpus:
+    every window fingerprint, tagged -1 (pre-history). ``bucket_fps``
+    persists the table HASH-BUCKETED by fp_a so later probes read the
+    history side with no Exchange (the history side is the one that
+    grows with the corpus; the batch side stays batch-sized)."""
+    fps = (window_fingerprints(docs, n, id_col, text_col)
+           .select("fp_a", "fp_b",
+                   F.lit(-1).cast("long").alias("batch_tag")))
+    _write_state(fps, os.path.join(index_dir, WINDOWS_SUBDIR),
+                 "overwrite", "fp_a", _WINDOWS_DDL_COLS, bucket_fps)
+
+
+def incremental_substring_dedup(batch: DataFrame, n: int, index_dir: str,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                update_index: bool = True,
+                                batch_tag: int | None = None
+                                ) -> DataFrame:
+    """Strip every batch span of >= n tokens that appears verbatim in
+    the ingested history OR >= 2 times within the batch. Returns one row
+    per batch doc: (id, n_tokens, n_kept, kept_text, hist_starts,
+    batch_starts) — the two start counts split the evidence (history hit
+    vs within-batch duplication; a window can be both). A missing index
+    bootstraps as empty history; with ``update_index`` the batch's
+    windows (as ingested, pre-strip) append so the next batch sees them.
+
+    Probe shape: ONE equi-join of the batch's fingerprints against
+    windows/ on fp_a (the bucket key when bucketed — no history-side
+    shuffle), fp_b verified as a residual; within-batch duplication is
+    one count over the near-unique fingerprint key. Per-batch cost
+    follows batch size + collision volume, never history size."""
+    spark = batch.sparkSession
+    path = os.path.join(index_dir, WINDOWS_SUBDIR)
+    fps = (window_fingerprints(batch, n, id_col, text_col)
+           .localCheckpoint(eager=True))
+
+    if os.path.exists(path):
+        hist = _read_state(spark, path, _WINDOWS_DDL_COLS)
+        if batch_tag is not None and "batch_tag" in hist.columns:
+            hist = hist.filter(F.col("batch_tag") != batch_tag)
+        hist_hits = (fps.join(hist.select("fp_a",
+                                          F.col("fp_b").alias("_h_fp_b")),
+                              "fp_a")
+                     .filter(F.col("fp_b") == F.col("_h_fp_b"))
+                     .select("id", "pos").dropDuplicates(["id", "pos"]))
+    else:
+        hist_hits = spark.createDataFrame([], fps.select("id", "pos").schema)
+    c = F.count(F.lit(1)).over(Window.partitionBy("fp_a", "fp_b"))
+    batch_hits = (fps.withColumn("_c", c).filter(F.col("_c") >= 2)
+                  .select("id", "pos"))
+    starts = (hist_hits.unionByName(batch_hits)
+              .dropDuplicates(["id", "pos"])
+              .localCheckpoint(eager=True))
+    spans = _merge_islands(starts, n)
+    per_hist = (hist_hits.groupBy("id")
+                .agg(F.count(F.lit(1)).cast("long").alias("hist_starts")))
+    per_batch = (batch_hits.groupBy("id")
+                 .agg(F.count(F.lit(1)).cast("long").alias("batch_starts")))
+    out = (_strip_spans(batch, spans, id_col, text_col)
+           .join(per_hist, "id", "left").join(per_batch, "id", "left")
+           .select("id", "n_tokens", "n_kept", "kept_text",
+                   F.coalesce("hist_starts", F.lit(0)).cast("long")
+                   .alias("hist_starts"),
+                   F.coalesce("batch_starts", F.lit(0)).cast("long")
+                   .alias("batch_starts")))
+    if update_index:
+        # materialize decisions BEFORE the append extends the path the
+        # probe plan reads (the incremental_exact_dedup discipline)
+        out = out.localCheckpoint(eager=True)
+        _write_state(
+            fps.select("fp_a", "fp_b",
+                       F.lit(batch_tag if batch_tag is not None else -1)
+                       .cast("long").alias("batch_tag")),
+            path, "append", "fp_a", _WINDOWS_DDL_COLS, None)
+    return out
