@@ -958,6 +958,117 @@ _R11_POPULATION = [
 ]
 
 
+# The frozen round-12 population (308 names — the full registry at the
+# close of round 12, before round 13's trio promotion): bench.py's
+# suite_r12_subset tripwire for round 13+ (same rationale as every
+# earlier freeze — only a frozen whitelist keeps totals comparable as
+# rounds add queries).
+_R12_POPULATION = [
+    "acf_daily", "agg_approx_distinct", "agg_cube",
+    "agg_filter", "agg_grouping_sets", "agg_histogram",
+    "agg_incremental_merge", "agg_incremental_retract", "agg_median",
+    "agg_misc", "agg_rollup", "agg_stats_moments",
+    "ams_f2_bounds", "ams_f2_sketch", "ams_skew_by_type",
+    "ann_append_cert", "ann_bruteforce", "ann_dim_truncation_recall",
+    "ann_ivf", "ann_ivf_fullprobe_exact", "ann_ivfpq",
+    "ann_ivfpq_fullprobe_exact", "ann_ivfpq_recall_floor", "ann_lifecycle_refresh",
+    "ann_lsh", "ann_lsh_recall_floor", "ann_pq",
+    "ann_pq_recall_floor", "ann_takedown_cert", "anti_contamination_split",
+    "approx_distinct_bounds", "array_funcs", "array_set_ops",
+    "asof_join", "benford_digit_profile", "bloom_zone_prune",
+    "bm25_batch_cert", "bm25_search", "bm25_takedown_cert",
+    "boilerplate_shingles", "boilerplate_strip", "bpe_apply_large",
+    "bpe_fertility_by_lang", "bpe_learn", "bpe_symbol_census",
+    "budget_sample_apply", "cc_convergence", "cc_star_components",
+    "cdc_apply", "changepoint_binary_seg", "chi2_independence",
+    "cm_join_size", "cohort_retention", "compaction_roundtrip",
+    "contamination", "corpus_report", "countmin_sketch",
+    "curate_corpus", "curate_corpus_v2", "cusum_drift",
+    "daily_anomaly_mad", "dedup_blocked_invariance", "dedup_clusters",
+    "dedup_containment_keep", "dedup_containment_prefix", "dedup_embedding",
+    "dedup_embedding_blocked", "dedup_exact", "dedup_incremental_consistency",
+    "dedup_incremental_exact", "dedup_jaccard_prefix", "dedup_keep_one",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_paragraph",
+    "dedup_simhash", "dedup_takedown_cert", "degree_distribution",
+    "delete_where_cert", "delete_where_versioned_cert", "doc_cooccur",
+    "domain_cap", "domain_temperature_sample", "dq_rules",
+    "dsir_weights", "dup_source_overlap", "dup_span_census",
+    "dup_span_strip", "embed_centroid", "embed_outliers",
+    "embed_pca", "embed_quantize", "embed_robust_scale",
+    "embed_standardize", "entity_resolution", "equidepth_histogram",
+    "etl_clean_columns", "etl_dedup_rows", "etl_drop_empty_rows",
+    "etl_enrich_metadata", "etl_file_stats", "etl_json_extract",
+    "etl_pattern_route", "etl_processing_stats", "etl_quality_profile",
+    "etl_scd2_merge", "etl_snapshot_diff", "etl_type_coercion",
+    "etl_validate_rows", "event_streaks", "event_transitions",
+    "ewma_halflife", "explode_wordcount", "fd_profile",
+    "fingerprint_winnowing", "first_touch_attribution", "funnel",
+    "fuzzy_join_parts", "gap_fill_daily", "graph_adamic_adar",
+    "graph_clustering_coeff", "graph_jaccard_similarity", "graph_kcore",
+    "graph_label_propagation", "graph_triangles", "grouped_ols",
+    "grouped_theil_sen", "hash_funcs", "heavy_hitters",
+    "hilbert_zone_prune", "hll_grid_estimate", "hll_grid_sketch",
+    "hll_rolling_uniques", "hybrid_rrf_search", "impute_forward_fill",
+    "impute_group_mean", "impute_linear_interp", "interval_concurrency",
+    "interval_join", "inverted_index", "join_anti",
+    "join_incremental_delta", "join_null_safe", "join_semi",
+    "journey_trigrams", "js_divergence_types", "kendall_tau_daily",
+    "kmeans_inertia_monotone", "kmv_set_cardinality", "kmv_source_overlap",
+    "knn_graph", "ks_two_sample", "langid_confusion",
+    "length_histogram_log2", "lm_perplexity_filter", "mad_outliers",
+    "mann_kendall_trend", "mann_whitney_u", "map_funcs",
+    "market_basket_lift", "median_polish_anomaly", "minhash_band_containment",
+    "mm_audiofp_dedup", "mm_decode_real", "mm_features",
+    "mm_frame_sample", "mm_media_meta", "mm_phash_dedup",
+    "mm_resize_real", "ngram_novelty", "null_funcs",
+    "ohlc_bars", "pack_sequences", "pagerank_invariants",
+    "pagerank_words", "pca_invariants", "pct_change_wow",
+    "percentiles", "phrase_search_cert", "pipeline_e2e_cert",
+    "pipeline_e2e_stream_cert", "pivot_wide", "proximity_search_cert",
+    "psi_drift", "q10_returned_items", "q11_important_parts",
+    "q12_late_priority", "q13_cust_distribution", "q14_promo_effect",
+    "q15_top_supplier", "q16_supplier_counts", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_discount_revenue", "q1_pricing_summary",
+    "q20_promo_suppliers", "q21_waiting_supplier", "q22_sales_opportunity",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "qsketch_build",
+    "qsketch_by_source", "qsketch_merge_consistent", "qsketch_rank_bounds",
+    "quality_curriculum_tiers", "quality_gopher_rules", "quality_logistic_score",
+    "quantile_bands_daily", "range_join", "regex_funcs",
+    "reservoir_by_source", "rolling_uniques", "safe_casts",
+    "salted_join_agg", "salting_advice_cert", "sample_stratified",
+    "seasonality_dft", "seasonality_dow", "semdedup_keep",
+    "semdedup_soundness", "session_window_agg", "sessionize",
+    "set_ops", "shard_assign", "simhash_pigeonhole",
+    "sink_partitioned_roundtrip", "sketch_approx_percentile", "sketch_hll_bounds",
+    "sketch_hll_merge_consistent", "sketch_hll_mergeable", "sketch_pct_bounds",
+    "skew_profile", "skyline_parts", "source_gini",
+    "split_leakage_safe", "split_train_test", "src_excel",
+    "src_excel_xls", "src_excel_xlsb", "stream_ams_cert",
+    "stream_bm25_cert", "stream_countmin_cert", "stream_dedup",
+    "stream_dq_gate_cert", "stream_heavy_hitters_cert", "stream_histogram_quantiles",
+    "stream_hll_cert", "stream_kmv_cert", "stream_ohlc_final",
+    "stream_qsketch_cert", "stream_reservoir_cert", "stream_session_window",
+    "stream_stateful", "stream_stateful_final", "stream_static_join",
+    "stream_stream_join", "stream_window_agg", "string_funcs",
+    "subquery_scalar", "text_bigram_kn", "text_bigram_lm",
+    "text_bpe_tokenize", "text_chunk", "text_clean_pii",
+    "text_fingerprint", "text_langid", "text_quality",
+    "text_rarity", "text_repetition", "text_tfidf",
+    "text_token_count", "text_trigram_kn", "text_word_entropy",
+    "theil_u_dow_type", "time_functions", "time_rollup",
+    "time_window_agg", "token_budget_mix", "top_movers",
+    "topk_per_group", "unigram_invariants", "unigram_lm_learn",
+    "unpivot_long", "user_rfm", "vocab_growth",
+    "weighted_sample", "weighted_sample_merge", "window_lag_delta",
+    "window_moving_avg", "window_ntile_firstlast", "window_percent_rank",
+    "window_range_value", "window_rolling_time", "window_running",
+    "window_share", "wordpiece_tokenize", "zipf_slope",
+    "zonemap_stats", "zorder_optimize_roundtrip", "zorder_write_roundtrip",
+    "zorder_zone_prune", "zscore_outliers",
+]
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 

@@ -132,6 +132,10 @@ def main() -> None:
     r11_names = set(_ent._R11_POPULATION)
     suite_r11_subset = round(sum(t for n, t in suite_times.items()
                                  if n in r11_names), 3)
+    # ...and the frozen round-12 population for round 13+
+    r12_names = set(_ent._R12_POPULATION)
+    suite_r12_subset = round(sum(t for n, t in suite_times.items()
+                                 if n in r12_names), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -154,6 +158,7 @@ def main() -> None:
         "suite_r9_subset_sec": suite_r9_subset,
         "suite_r10_subset_sec": suite_r10_subset,
         "suite_r11_subset_sec": suite_r11_subset,
+        "suite_r12_subset_sec": suite_r12_subset,
         "sf": sf_val,
     }))
 

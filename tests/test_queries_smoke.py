@@ -109,6 +109,8 @@ def test_frozen_r5_population_is_subset_of_registry():
     assert len(ent._R10_POPULATION) == 273
     assert set(ent._R11_POPULATION) <= set(QUERIES)
     assert len(ent._R11_POPULATION) == 296
+    assert set(ent._R12_POPULATION) <= set(QUERIES)
+    assert len(ent._R12_POPULATION) == 308
 
 
 def test_q11_nonempty_at_realistic_sf(spark):
