@@ -39,12 +39,17 @@ makes the call replay-idempotent exactly as in
 the current tag, so a crashed micro-batch's retry reproduces identical
 decisions.
 
-State: ``windows/`` under the index dir — (fp_a, fp_b, batch_tag), one
-row per token position of ingested text (the suffix-array-scale state;
-append-only, optionally HASH-BUCKETED by fp_a so the history side of
-the probe join never shuffles — `bucket_fps`, same measured constraint
-as bands/: the bucketed scan needs join key == bucket key, so the probe
-joins on fp_a alone and verifies fp_b as a residual filter).
+State: ``windows/`` under the index dir — (doc, fp_a, fp_b, batch_tag),
+one row per token position of ingested text (the suffix-array-scale
+state; append-only, optionally HASH-BUCKETED by fp_a so the history
+side of the probe join never shuffles — `bucket_fps`, same measured
+constraint as bands/: the bucketed scan needs join key == bucket key,
+so the probe joins on fp_a alone and verifies fp_b as a residual
+filter). The doc column exists for TAKEDOWNS
+(`tombstone_substring_docs` / `vacuum_substring_tombstones` — the
+substring sibling of `dedup_takedown`): a taken-down doc's spans stop
+marking future batches, while windows shared with live docs keep
+marking through the live rows.
 
 Reference scope: the reference has no substring dedup (its dedup is
 row-exact, dataframe_tasks.py drop_duplicates); this is the incremental
@@ -55,14 +60,25 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .incremental import _read_state, _write_state
+from .incremental import (
+    _dedup_tombstones,
+    _read_state,
+    _staged_state_rewrite,
+    _write_state,
+    tombstone_dedup_ids,
+)
 from .substring_dedup import _merge_islands, _strip_spans, token_positions
 
 WINDOWS_SUBDIR = "windows"
-_WINDOWS_DDL_COLS = "fp_a BIGINT, fp_b BIGINT, batch_tag BIGINT"
+# doc attribution makes takedowns possible: tombstoning a doc removes
+# ONLY its rows from the probe's history, so a window shared with a
+# live doc keeps marking (the correct takedown semantics for free).
+# BIGINT doc in the DDL = the bucketed catalog layout assumes long ids,
+# exactly like bands/; plain-parquet indexes take any id type.
+_WINDOWS_DDL_COLS = "doc BIGINT, fp_a BIGINT, fp_b BIGINT, batch_tag BIGINT"
 
 
 def window_fingerprints(docs: DataFrame, n: int, id_col: str = "doc_id",
@@ -122,7 +138,7 @@ def build_substring_index(docs: DataFrame, n: int, index_dir: str,
     history side with no Exchange (the history side is the one that
     grows with the corpus; the batch side stays batch-sized)."""
     fps = (window_fingerprints(docs, n, id_col, text_col)
-           .select("fp_a", "fp_b",
+           .select(F.col("id").alias("doc"), "fp_a", "fp_b",
                    F.lit(-1).cast("long").alias("batch_tag")))
     _write_state(fps, os.path.join(index_dir, WINDOWS_SUBDIR),
                  "overwrite", "fp_a", _WINDOWS_DDL_COLS, bucket_fps)
@@ -156,6 +172,11 @@ def incremental_substring_dedup(batch: DataFrame, n: int, index_dir: str,
         hist = _read_state(spark, path, _WINDOWS_DDL_COLS)
         if batch_tag is not None and "batch_tag" in hist.columns:
             hist = hist.filter(F.col("batch_tag") != batch_tag)
+        tombs = _dedup_tombstones(spark, index_dir)
+        if tombs is not None:
+            # takedown: a taken-down doc's spans stop being history; a
+            # window shared with a live doc keeps its other rows
+            hist = hist.join(F.broadcast(tombs), "doc", "left_anti")
         hist_hits = (fps.join(hist.select("fp_a",
                                           F.col("fp_b").alias("_h_fp_b")),
                               "fp_a")
@@ -186,8 +207,50 @@ def incremental_substring_dedup(batch: DataFrame, n: int, index_dir: str,
         # probe plan reads (the incremental_exact_dedup discipline)
         out = out.localCheckpoint(eager=True)
         _write_state(
-            fps.select("fp_a", "fp_b",
+            fps.select(F.col("id").alias("doc"), "fp_a", "fp_b",
                        F.lit(batch_tag if batch_tag is not None else -1)
                        .cast("long").alias("batch_tag")),
             path, "append", "fp_a", _WINDOWS_DDL_COLS, None)
     return out
+
+
+def tombstone_substring_docs(ids: DataFrame, id_col: str,
+                             index_dir: str) -> int:
+    """Mark docs taken down for the substring index (append-only;
+    duplicates collapse at read) — the substring sibling of
+    `tombstone_dedup_ids`, same tombstones/ layout inside this index's
+    own directory (no namespace sharing with other index kinds).
+    Returns the batch's id count."""
+    return tombstone_dedup_ids(ids, id_col, index_dir)
+
+
+def vacuum_substring_tombstones(spark: SparkSession,
+                                index_dir: str) -> None:
+    """Physically remove tombstoned docs' window rows from windows/
+    (preserving the plain/bucketed layout) and clear the tombstone set,
+    via the staged rename-aside swap — probe results are unchanged
+    before/after (the anti-join already excluded these rows)."""
+    import json
+    import shutil
+
+    from .incremental import TOMBS_SUBDIR, _bucket_spec_path
+
+    tombs = _dedup_tombstones(spark, index_dir)
+    if tombs is None:
+        return
+    tombs = tombs.localCheckpoint(eager=True)
+    path = os.path.join(index_dir, WINDOWS_SUBDIR)
+    if os.path.exists(path):
+        kept = (_read_state(spark, path, _WINDOWS_DDL_COLS)
+                .join(F.broadcast(tombs), "doc", "left_anti")
+                .localCheckpoint(eager=True))
+        spec_path = _bucket_spec_path(path)
+        nb = key = None
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                s = json.load(f)
+            nb, key = s["num_buckets"], s["key"]
+        _staged_state_rewrite(spark, kept, path, key or "fp_a",
+                              _WINDOWS_DDL_COLS, nb)
+    shutil.rmtree(os.path.join(index_dir, TOMBS_SUBDIR),
+                  ignore_errors=True)

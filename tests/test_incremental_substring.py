@@ -221,3 +221,74 @@ def test_bucketed_windows_decisions_equal_plain(spark, tmp_path):
     assert sorted(probe.collect()) == plain
     assert "Bucketed: true" in probe._jdf.queryExecution() \
         .executedPlan().toString()
+
+
+def test_takedown_unmarks_only_the_tombstoned_docs_spans(spark, tmp_path):
+    """Tombstoning a history doc: its spans stop marking future batches;
+    a span SHARED with a live history doc keeps marking (per-doc rows
+    in windows/ make this the free semantics). Vacuum then physically
+    reclaims the rows without changing any probe decision."""
+    import os
+
+    from light_etl_windows_container_poc_spark.operators.incremental_substring import (
+        tombstone_substring_docs,
+        vacuum_substring_tombstones,
+    )
+
+    gone = _toks("g", 22)    # only in the doc being taken down
+    shared = _toks("s", 22)  # in the taken-down doc AND a live doc
+    hist = _mk(spark, [
+        (1, " ".join(gone + shared)),
+        (2, " ".join(_toks("l", 4) + shared)),
+    ])
+    idx = str(tmp_path / "idx")
+    build_substring_index(hist, 20, idx)
+
+    batch = _mk(spark, [(10, " ".join(gone + _toks("x", 2) + shared))])
+    (before,) = incremental_substring_dedup(
+        batch, 20, idx, update_index=False).collect()
+    assert before.n_kept == 2  # both spans stripped pre-takedown
+
+    n = tombstone_substring_docs(
+        spark.createDataFrame([(1,)], "doc_id long"), "doc_id", idx)
+    assert n == 1
+    (after,) = incremental_substring_dedup(
+        batch, 20, idx, update_index=False).collect()
+    # `gone` is new content now; `shared` still marks via live doc 2
+    assert after.n_kept == 24
+    assert after.kept_text == " ".join(gone + _toks("x", 2))
+
+    vacuum_substring_tombstones(spark, idx)
+    assert not os.path.isdir(os.path.join(idx, "tombstones"))
+    (post,) = incremental_substring_dedup(
+        batch, 20, idx, update_index=False).collect()
+    assert (post.n_kept, post.kept_text) == (after.n_kept, after.kept_text)
+    # and no doc-1 rows survive in the state
+    state = spark.read.parquet(os.path.join(idx, "windows"))
+    assert state.filter("doc = 1").count() == 0
+
+
+def test_vacuum_preserves_bucketed_layout(spark, tmp_path):
+    import os
+
+    from light_etl_windows_container_poc_spark.operators.incremental_substring import (
+        tombstone_substring_docs,
+        vacuum_substring_tombstones,
+    )
+
+    hist = _mk(spark, [(1, " ".join(_toks("a", 25))),
+                       (2, " ".join(_toks("b", 25)))])
+    idx = str(tmp_path / "idx")
+    build_substring_index(hist, 20, idx, bucket_fps=4)
+    tombstone_substring_docs(
+        spark.createDataFrame([(2,)], "doc_id long"), "doc_id", idx)
+    vacuum_substring_tombstones(spark, idx)
+    spec = os.path.join(idx, "windows", "_bucket_spec.json")
+    assert os.path.exists(spec)
+    batch = _mk(spark, [(10, " ".join(_toks("a", 21)))])
+    probe = incremental_substring_dedup(batch, 20, idx,
+                                        update_index=False)
+    assert "Bucketed: true" in probe._jdf.queryExecution() \
+        .executedPlan().toString()
+    (row,) = probe.collect()
+    assert row.n_kept == 0  # doc 1's span still history post-vacuum
