@@ -96,3 +96,33 @@ def test_substring_incremental_cert_plan_hygiene(spark, sf_dir, tmp_path):
         if s.split(",")[0].strip().endswith(("ASC NULLS FIRST",
                                              "DESC NULLS LAST"))]
     assert not global_specs, global_specs
+
+
+def test_substring_takedown_cert_gate_green(spark, sf_dir, con):
+    from light_etl_windows_container_poc_spark.queries.breadth45 import (
+        SUBSTRING_TAKEDOWN_ORACLE,
+        substring_takedown_cert,
+    )
+
+    sdf = substring_takedown_cert(spark, sf_dir)
+    assert oracle_type_problems(con, SUBSTRING_TAKEDOWN_ORACLE) == []
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    odf = con.execute(SUBSTRING_TAKEDOWN_ORACLE).df()
+    ocols, orows = list(odf.columns), _pandas_rows(odf)
+    assert len(srows) == len(orows)
+    assert sorted(scols) == sorted(ocols)
+    assert frame_fingerprint(scols, srows) == frame_fingerprint(ocols, orows)
+    # the takedown must be LOAD-BEARING: some doc's hist_starts drops
+    # between phase 0 and phase 1 (else nothing was actually unmarked),
+    # and phase 2 must equal phase 1 row-for-row (vacuum invariance)
+    cols = dict(zip(scols, range(len(scols))))
+    p = {0: {}, 1: {}, 2: {}}
+    for r in srows:
+        p[r[cols["phase"]]][r[cols["doc_id"]]] = r
+    assert any(p[0][d][cols["hist_starts"]] > p[1][d][cols["hist_starts"]]
+               for d in p[0])
+    assert all(
+        tuple(p[1][d][i] for c, i in cols.items() if c != "phase")
+        == tuple(p[2][d][i] for c, i in cols.items() if c != "phase")
+        for d in p[1])
