@@ -24,14 +24,25 @@ def parquet_upsert_sink(target_path: str,
     keys already present and appends nothing."""
 
     def upsert(batch: DataFrame, _batch_id: int) -> None:
+        import os
+
+        from ..sinks import _path_lock
+
         spark = batch.sparkSession
-        new = batch.dropDuplicates(key_cols)
-        try:
-            existing = spark.read.parquet(target_path).select(*key_cols)
-            new = new.join(existing, key_cols, "left_anti")
-        except Exception:
-            pass  # first batch: target does not exist yet
-        new.write.mode("append").parquet(target_path)
+        # the lock spans the WHOLE check-then-append: two same-process
+        # streams sharing a target would otherwise (a) race the parquet
+        # committer (concurrent appends to one dir lose data — see
+        # sinks/__init__.py) and (b) both pass the anti-join before
+        # either append lands, duplicating keys
+        with _path_lock(os.path.abspath(target_path)):
+            new = batch.dropDuplicates(key_cols)
+            try:
+                existing = spark.read.parquet(target_path) \
+                    .select(*key_cols)
+                new = new.join(existing, key_cols, "left_anti")
+            except Exception:
+                pass  # first batch: target does not exist yet
+            new.write.mode("append").parquet(target_path)
 
     return upsert
 
