@@ -296,31 +296,19 @@ _R12_CERTIFIED = [
     "stream_stream_join", "wordpiece_tokenize",
 ]
 
-# Round-13 recertification allocation (head + this list == 50, the
-# driver's per-round budget; test-locked) — executing the allocation the
-# r12 verdict locked: head = the THREE pre-certified substring-dedup
-# queries promoted this round by adding @query in queries/breadth44.py
-# (dedup_substring_exact, dedup_substring_strip,
-# decontaminate_substring — each gate-compared at all 3 SFs in r12,
-# tests/test_breadth44.py holds the evidence). Recertify = the ELEVEN
-# named r6 carryovers the r11/r12 verdicts reserved for this round
-# (stream_window_agg, string_funcs, subquery_scalar, text_bigram_kn,
-# text_bpe_tokenize, time_functions, time_window_agg, top_movers,
-# user_rfm, window_ntile_firstlast, window_rolling_time) plus the
-# THIRTY-SIX oldest r7-latest rows in name order (alphabetical is the
-# deterministic tie-break within a staleness round). 3 + 11 + 36 == 50.
-# The remaining FOURTEEN r7-latest rows head the r14 recertify floor:
-# q21_waiting_supplier, q8_market_share, skyline_parts,
-# split_train_test, stream_stateful, text_clean_pii, text_fingerprint,
-# text_langid, text_quality, text_token_count, text_trigram_kn,
-# weighted_sample, window_percent_rank, zorder_zone_prune.
-_RECERTIFY = [
+# CORRECTNESS_r13.json keys (round-13 driver run): 47 hash-green + 3
+# clean rows-only records (agg_approx_distinct, ann_ivfpq,
+# dedup_simhash — all SURVEY-declared rows-only with green
+# hash-certified invariant twins in the cumulative record). Zero red
+# rows.
+_R13_CERTIFIED = [
     "agg_approx_distinct", "agg_filter", "agg_histogram",
     "agg_incremental_retract", "agg_median", "agg_misc",
     "agg_stats_moments", "ann_ivfpq", "ann_ivfpq_fullprobe_exact",
     "bloom_zone_prune", "boilerplate_shingles", "bpe_learn",
-    "corpus_report", "dedup_jaccard_prefix", "dedup_ngram_jaccard",
-    "dedup_paragraph", "dedup_simhash", "embed_centroid",
+    "corpus_report", "decontaminate_substring", "dedup_jaccard_prefix",
+    "dedup_ngram_jaccard", "dedup_paragraph", "dedup_simhash",
+    "dedup_substring_exact", "dedup_substring_strip", "embed_centroid",
     "etl_clean_columns", "etl_dedup_rows", "etl_drop_empty_rows",
     "etl_enrich_metadata", "etl_file_stats", "etl_json_extract",
     "etl_pattern_route", "etl_processing_stats", "etl_scd2_merge",
@@ -331,6 +319,46 @@ _RECERTIFY = [
     "text_bigram_kn", "text_bpe_tokenize", "time_functions",
     "time_window_agg", "top_movers", "user_rfm",
     "window_ntile_firstlast", "window_rolling_time",
+]
+
+# Round-14 recertification allocation (head + this list == 50, the
+# driver's per-round budget; test-locked) — executing the allocation
+# the r13 verdict locked: head = the TWO pre-certified incremental-
+# substring certs promoted this round by adding @query in
+# queries/breadth45.py (substring_incremental_cert,
+# substring_takedown_cert — each gate-compared at all 3 SFs in r13,
+# tests/test_breadth45.py holds the evidence). Recertify = the
+# FOURTEEN named r7 carryovers the r13 verdict reserved for this round
+# (q21_waiting_supplier, q8_market_share, skyline_parts,
+# split_train_test, stream_stateful, text_clean_pii, text_fingerprint,
+# text_langid, text_quality, text_token_count, text_trigram_kn,
+# weighted_sample, window_percent_rank, zorder_zone_prune) plus the
+# THIRTY-FOUR oldest r8-latest rows in name order (alphabetical is the
+# deterministic tie-break within a staleness round). 2 + 14 + 34 == 50.
+# The remaining FOURTEEN r8-latest rows head the r15 recertify floor:
+# null_funcs, quality_curriculum_tiers, regex_funcs,
+# sample_stratified, split_leakage_safe, stream_countmin_cert,
+# stream_heavy_hitters_cert, stream_histogram_quantiles, text_chunk,
+# text_tfidf, unigram_invariants, unigram_lm_learn,
+# zorder_optimize_roundtrip, zorder_write_roundtrip.
+_RECERTIFY = [
+    "q21_waiting_supplier", "q8_market_share", "skyline_parts",
+    "split_train_test", "stream_stateful", "text_clean_pii",
+    "text_fingerprint", "text_langid", "text_quality",
+    "text_token_count", "text_trigram_kn", "weighted_sample",
+    "window_percent_rank", "zorder_zone_prune",
+    "ann_ivfpq_recall_floor", "array_set_ops", "boilerplate_strip",
+    "bpe_apply_large", "bpe_symbol_census", "cc_star_components",
+    "cdc_apply", "cohort_retention", "contamination",
+    "countmin_sketch", "curate_corpus_v2", "dedup_containment_keep",
+    "dedup_containment_prefix", "dedup_exact", "doc_cooccur",
+    "domain_cap", "embed_quantize", "embed_standardize",
+    "entity_resolution", "etl_quality_profile", "event_streaks",
+    "fd_profile", "funnel", "gap_fill_daily",
+    "graph_kcore", "graph_label_propagation", "grouped_theil_sen",
+    "hilbert_zone_prune", "interval_concurrency", "inverted_index",
+    "join_incremental_delta", "median_polish_anomaly",
+    "mm_audiofp_dedup", "mm_phash_dedup",
 ]
 
 
@@ -1081,7 +1109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rounds = [_R01_CERTIFIED, _R02_CERTIFIED, _R03_CERTIFIED,
               _R04_CERTIFIED, _R05_CERTIFIED, _R06_CERTIFIED,
               _R07_CERTIFIED, _R08_CERTIFIED, _R09_CERTIFIED,
-              _R10_CERTIFIED, _R11_CERTIFIED, _R12_CERTIFIED]
+              _R10_CERTIFIED, _R11_CERTIFIED, _R12_CERTIFIED,
+              _R13_CERTIFIED]
     certified = set().union(*map(set, rounds))
     head = [n for n in QUERIES if n not in certified]
     redo = [n for n in _RECERTIFY if n in QUERIES and n in certified]

@@ -57,3 +57,4 @@ from . import breadth40  # noqa: F401,E402
 from . import breadth41  # noqa: F401,E402
 from . import breadth42  # noqa: F401,E402
 from . import breadth44  # noqa: F401,E402
+from . import breadth45  # noqa: F401,E402

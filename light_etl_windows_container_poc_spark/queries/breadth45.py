@@ -20,11 +20,10 @@ hit iff its own label holds the gram >= 2 times. Agreement certifies
 the Merkle fingerprint chain, the state probe, and the append
 discipline in one hash.
 
-Deliberately NOT decorated with @query: the r13 driver budget is spent
-(3 promoted heads + 47 mandatory recertifications == 50). The gate
-tests in tests/test_breadth45.py run the EXACT driver-replica compare
-at all three SFs, so r14 promotes it by adding the decorator — nothing
-else.
+Promoted to @query in round 14, exactly as the r13 close planned: the
+gate tests in tests/test_breadth45.py had already run the EXACT
+driver-replica compare at all three SFs in r13, so promotion is only
+the decorator + the queries/__init__ import.
 
 Reference scope: the reference has no substring dedup (its dedup is
 row-exact, dataframe_tasks.py drop_duplicates); this certifies the
@@ -44,7 +43,7 @@ from ..operators.incremental_substring import (
     build_substring_index,
     incremental_substring_dedup,
 )
-from .registry import cert_work_dir
+from .registry import cert_work_dir, query
 
 _N = 20
 
@@ -121,6 +120,7 @@ ORDER BY b.doc_id
 """
 
 
+@query("substring_incremental_cert", oracle=SUBSTRING_INCREMENTAL_ORACLE)
 def substring_incremental_cert(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Build windows/ from the history slice, probe two arrival batches
@@ -251,6 +251,7 @@ ORDER BY p.phase, b.doc_id
 """
 
 
+@query("substring_takedown_cert", oracle=SUBSTRING_TAKEDOWN_ORACLE)
 def substring_takedown_cert(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """Build windows/ from history, probe the batch pre-takedown, after
