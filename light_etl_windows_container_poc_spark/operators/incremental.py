@@ -505,20 +505,34 @@ def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
 TOMBS_SUBDIR = "tombstones"
 
 
-def tombstone_dedup_ids(ids: DataFrame, id_col: str,
-                        index_dir: str) -> int:
+def tombstone_dedup_ids(ids: DataFrame, id_col: str, index_dir: str,
+                        subdir: str = TOMBS_SUBDIR) -> int:
     """Mark doc ids taken down (append-only; duplicates collapse at
-    read). Returns the batch's id count."""
-    rows = ids.select(F.col(id_col).cast("long").alias("doc")).distinct()
+    read). Returns the batch's id count.
+
+    Tombstones are stored as BIGINT (the state tables' doc type); an id
+    that cannot cast to long RAISES a ValueError instead of
+    null-casting — a null tombstone matches nothing in the anti-join,
+    so the takedown would silently no-op while reporting success (r13
+    ADVICE). try_cast keeps the check uniform whether ANSI mode is on
+    (plain cast would throw mid-plan) or off (plain cast null-casts)."""
+    rows = (ids.select(F.col(id_col).try_cast("long").alias("doc"))
+            .distinct().localCheckpoint(eager=True))
     n = rows.count()
+    bad = rows.filter(F.col("doc").isNull()).count()
+    if bad:
+        raise ValueError(
+            f"tombstone ids must be castable to BIGINT: {bad} of {n} "
+            f"distinct '{id_col}' values null-cast (string/decimal ids "
+            "cannot be taken down against a BIGINT-doc index)")
     (rows.write.mode("append")
-     .parquet(os.path.join(index_dir, TOMBS_SUBDIR)))
+     .parquet(os.path.join(index_dir, subdir)))
     return n
 
 
-def _dedup_tombstones(spark: SparkSession,
-                      index_dir: str) -> DataFrame | None:
-    path = os.path.join(index_dir, TOMBS_SUBDIR)
+def _dedup_tombstones(spark: SparkSession, index_dir: str,
+                      subdir: str = TOMBS_SUBDIR) -> DataFrame | None:
+    path = os.path.join(index_dir, subdir)
     if not os.path.isdir(path):
         return None
     return spark.read.schema("doc long").parquet(path).distinct()

@@ -58,6 +58,7 @@ form of the SURVEY §2.3 Lee-et-al tier.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -73,11 +74,47 @@ from .incremental import (
 from .substring_dedup import _merge_islands, _strip_spans, token_positions
 
 WINDOWS_SUBDIR = "windows"
+# Substring tombstones live in their OWN subdir, not incremental.py's
+# shared TOMBS_SUBDIR name: a caller co-locating an exact/minhash index
+# at the same directory must never have a substring vacuum clear that
+# index's pending takedowns (r13 ADVICE).
+SUBSTRING_TOMBS_SUBDIR = "windows_tombstones"
+_SPEC_FILENAME = "_substring_spec.json"
+
+
+def _spec_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _SPEC_FILENAME)
+
+
+def _write_spec(index_dir: str, n: int) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    with open(_spec_path(index_dir), "w") as f:
+        json.dump({"n": n}, f)
+
+
+def _check_spec(index_dir: str, n: int) -> None:
+    """Fingerprints from different window lengths NEVER match (the
+    doubling recursion differs in shape), so probing an n=20 index at
+    n=24 silently reports 'nothing duplicated'. The build persists n and
+    every probe asserts it (r13 ADVICE); pre-spec indexes (no file) are
+    tolerated unchecked."""
+    p = _spec_path(index_dir)
+    if not os.path.exists(p):
+        return
+    with open(p) as f:
+        stored = json.load(f)["n"]
+    if stored != n:
+        raise ValueError(
+            f"substring index at {index_dir} was built with n={stored}; "
+            f"probing with n={n} would match nothing — pass n={stored} "
+            "or rebuild the index")
 # doc attribution makes takedowns possible: tombstoning a doc removes
 # ONLY its rows from the probe's history, so a window shared with a
 # live doc keeps marking (the correct takedown semantics for free).
 # BIGINT doc in the DDL = the bucketed catalog layout assumes long ids,
-# exactly like bands/; plain-parquet indexes take any id type.
+# exactly like bands/. Plain-parquet indexes preserve any id type for
+# PROBING, but takedown/vacuum compare against BIGINT tombstones on
+# both paths — ids that cannot cast to long raise at tombstone time.
 _WINDOWS_DDL_COLS = "doc BIGINT, fp_a BIGINT, fp_b BIGINT, batch_tag BIGINT"
 
 
@@ -142,6 +179,7 @@ def build_substring_index(docs: DataFrame, n: int, index_dir: str,
                    F.lit(-1).cast("long").alias("batch_tag")))
     _write_state(fps, os.path.join(index_dir, WINDOWS_SUBDIR),
                  "overwrite", "fp_a", _WINDOWS_DDL_COLS, bucket_fps)
+    _write_spec(index_dir, n)
 
 
 def incremental_substring_dedup(batch: DataFrame, n: int, index_dir: str,
@@ -164,6 +202,7 @@ def incremental_substring_dedup(batch: DataFrame, n: int, index_dir: str,
     one count over the near-unique fingerprint key. Per-batch cost
     follows batch size + collision volume, never history size."""
     spark = batch.sparkSession
+    _check_spec(index_dir, n)
     path = os.path.join(index_dir, WINDOWS_SUBDIR)
     fps = (window_fingerprints(batch, n, id_col, text_col)
            .localCheckpoint(eager=True))
@@ -172,7 +211,8 @@ def incremental_substring_dedup(batch: DataFrame, n: int, index_dir: str,
         hist = _read_state(spark, path, _WINDOWS_DDL_COLS)
         if batch_tag is not None and "batch_tag" in hist.columns:
             hist = hist.filter(F.col("batch_tag") != batch_tag)
-        tombs = _dedup_tombstones(spark, index_dir)
+        tombs = _dedup_tombstones(spark, index_dir,
+                                  SUBSTRING_TOMBS_SUBDIR)
         if tombs is not None:
             # takedown: a taken-down doc's spans stop being history; a
             # window shared with a live doc keeps its other rows
@@ -211,6 +251,8 @@ def incremental_substring_dedup(batch: DataFrame, n: int, index_dir: str,
                        F.lit(batch_tag if batch_tag is not None else -1)
                        .cast("long").alias("batch_tag")),
             path, "append", "fp_a", _WINDOWS_DDL_COLS, None)
+        if not os.path.exists(_spec_path(index_dir)):
+            _write_spec(index_dir, n)  # bootstrap-created index
     return out
 
 
@@ -218,10 +260,13 @@ def tombstone_substring_docs(ids: DataFrame, id_col: str,
                              index_dir: str) -> int:
     """Mark docs taken down for the substring index (append-only;
     duplicates collapse at read) — the substring sibling of
-    `tombstone_dedup_ids`, same tombstones/ layout inside this index's
-    own directory (no namespace sharing with other index kinds).
-    Returns the batch's id count."""
-    return tombstone_dedup_ids(ids, id_col, index_dir)
+    `tombstone_dedup_ids`, in this index family's OWN
+    ``windows_tombstones/`` subdir so a co-located exact/minhash index's
+    ``tombstones/`` is never touched. Ids must cast to BIGINT (the
+    windows/ doc type) — non-castable ids raise instead of silently
+    matching nothing. Returns the batch's id count."""
+    return tombstone_dedup_ids(ids, id_col, index_dir,
+                               SUBSTRING_TOMBS_SUBDIR)
 
 
 def vacuum_substring_tombstones(spark: SparkSession,
@@ -229,13 +274,22 @@ def vacuum_substring_tombstones(spark: SparkSession,
     """Physically remove tombstoned docs' window rows from windows/
     (preserving the plain/bucketed layout) and clear the tombstone set,
     via the staged rename-aside swap — probe results are unchanged
-    before/after (the anti-join already excluded these rows)."""
-    import json
+    before/after (the anti-join already excluded these rows).
+
+    Crash-window idempotence: the rewrite lands via
+    `_staged_state_rewrite` (stage → rename-old-aside → rename-in), so
+    a crash before the swap leaves the old windows/ + tombstones intact
+    and a re-run redoes the identical rewrite; a crash AFTER the swap
+    but before the tombstone clear leaves the rewritten windows/ plus
+    now-stale tombstones whose docs no longer exist in state — the
+    anti-joins then exclude nothing, and a re-run (or the next vacuum)
+    clears them. Every interleaving converges to the same probe
+    answers. Only this family's ``windows_tombstones/`` is cleared."""
     import shutil
 
-    from .incremental import TOMBS_SUBDIR, _bucket_spec_path
+    from .incremental import _bucket_spec_path
 
-    tombs = _dedup_tombstones(spark, index_dir)
+    tombs = _dedup_tombstones(spark, index_dir, SUBSTRING_TOMBS_SUBDIR)
     if tombs is None:
         return
     tombs = tombs.localCheckpoint(eager=True)
@@ -252,5 +306,5 @@ def vacuum_substring_tombstones(spark: SparkSession,
             nb, key = s["num_buckets"], s["key"]
         _staged_state_rewrite(spark, kept, path, key or "fp_a",
                               _WINDOWS_DDL_COLS, nb)
-    shutil.rmtree(os.path.join(index_dir, TOMBS_SUBDIR),
+    shutil.rmtree(os.path.join(index_dir, SUBSTRING_TOMBS_SUBDIR),
                   ignore_errors=True)

@@ -9,6 +9,7 @@ for literal Postgres parity but gated on a driver jar.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import threading
 import time
@@ -25,13 +26,32 @@ from pyspark.sql import DataFrame, Row, SparkSession
 # driver lock; distinct tables keep distinct locks, so cross-table
 # concurrency (the common case) is untouched. Cross-PROCESS appends are
 # out of scope — certs isolate per-process via cert_work_dir.
-_APPEND_LOCKS: dict[str, threading.Lock] = {}
+# key -> (lock, refcount): refcounted so entries reap deterministically
+# when the last holder releases — a long-lived driver's cert scratch
+# paths would otherwise grow the dict unboundedly (r13 ADVICE).
+_APPEND_LOCKS: dict[str, tuple[threading.Lock, int]] = {}
 _APPEND_LOCKS_GUARD = threading.Lock()
 
 
-def _path_lock(path: str) -> threading.Lock:
+@contextlib.contextmanager
+def _path_lock(path: str):
+    """Serialize on the PHYSICAL directory: realpath, not abspath, so a
+    symlinked warehouse alias and its target take the same lock (r13
+    ADVICE — abspath kept two aliases of one dir racing the committer)."""
+    key = os.path.realpath(path)
     with _APPEND_LOCKS_GUARD:
-        return _APPEND_LOCKS.setdefault(path, threading.Lock())
+        lock, refs = _APPEND_LOCKS.get(key, (threading.Lock(), 0))
+        _APPEND_LOCKS[key] = (lock, refs + 1)
+    try:
+        with lock:
+            yield
+    finally:
+        with _APPEND_LOCKS_GUARD:
+            lock2, refs2 = _APPEND_LOCKS[key]
+            if refs2 <= 1:
+                del _APPEND_LOCKS[key]
+            else:
+                _APPEND_LOCKS[key] = (lock2, refs2 - 1)
 
 
 def append_table(df: DataFrame, warehouse_dir: str, table: str,
@@ -44,7 +64,7 @@ def append_table(df: DataFrame, warehouse_dir: str, table: str,
     writer = df.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    with _path_lock(os.path.abspath(path)):
+    with _path_lock(path):
         writer.parquet(path)
     return path
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
@@ -40,8 +41,15 @@ def parquet_upsert_sink(target_path: str,
                 existing = spark.read.parquet(target_path) \
                     .select(*key_cols)
                 new = new.join(existing, key_cols, "left_anti")
-            except Exception:
-                pass  # first batch: target does not exist yet
+            except AnalysisException as e:
+                # bootstrap ONLY: target missing / not yet holding
+                # readable parquet. Anything else (corrupt footers,
+                # permission loss, schema drift) must SURFACE — the old
+                # blanket except silently degraded upsert to blind
+                # append, duplicating keys forever (r13 verdict).
+                if ("PATH_NOT_FOUND" not in str(e)
+                        and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+                    raise
             new.write.mode("append").parquet(target_path)
 
     return upsert

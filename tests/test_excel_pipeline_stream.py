@@ -144,3 +144,39 @@ def test_two_streams_shared_log_concurrent(spark, tmp_path):
     log = spark.read.parquet(f"{wh}/etl_processing_log")
     assert log.count() == 8  # one row per ingested workbook, none lost
     assert {r["rows_processed"] for r in log.collect()} == {1}
+
+
+def test_append_lock_keys_on_physical_path_and_reaps(spark, tmp_path):
+    """r13 ADVICE: (a) two symlink aliases of one directory must take the
+    SAME append lock (abspath kept them distinct, so aliased writers
+    could still race the committer); (b) lock entries reap when the last
+    holder releases, so a long-lived driver's cert scratch paths don't
+    grow the dict unboundedly."""
+    import os
+
+    from light_etl_windows_container_poc_spark import sinks
+    from light_etl_windows_container_poc_spark.sinks import append_table
+
+    real = tmp_path / "warehouse"
+    real.mkdir()
+    alias = tmp_path / "alias"
+    os.symlink(real, alias)
+
+    order: list[str] = []
+    with sinks._path_lock(str(real / "t")):
+        order.append("outer")
+        # same physical dir through the symlink: acquiring must block,
+        # which we can observe without deadlock via the nonblocking
+        # probe on the underlying lock object
+        key = os.path.realpath(str(alias / "t"))
+        lock, refs = sinks._APPEND_LOCKS[key]
+        assert refs == 1 and lock.locked(), \
+            "alias resolved to a different lock than its target"
+    assert key not in sinks._APPEND_LOCKS  # reaped at release
+
+    # end-to-end: appends through BOTH names land in one table
+    df = spark.range(5)
+    append_table(df, str(real), "t")
+    append_table(df, str(alias), "t")
+    assert spark.read.parquet(str(real / "t")).count() == 10
+    assert not sinks._APPEND_LOCKS  # nothing leaked

@@ -47,3 +47,30 @@ def test_upsert_stream_restart_appends_nothing(spark, sf_dir, tmp_path):
     final = spark.read.parquet(target)
     assert final.count() == n1
     assert final.distinct().count() == n1
+
+
+def test_upsert_sink_surfaces_corrupt_target(spark, tmp_path):
+    """r13 verdict: the upsert's bootstrap except used to swallow EVERY
+    read error, silently degrading insert-if-absent to blind append. A
+    target directory holding unreadable parquet must now raise; only
+    path-missing / not-yet-readable bootstraps are tolerated."""
+    import pytest
+
+    from light_etl_windows_container_poc_spark.streaming.sinks import \
+        parquet_upsert_sink
+
+    target = tmp_path / "t"
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"not a parquet file")
+    sink = parquet_upsert_sink(str(target), ["id"])
+    with pytest.raises(Exception) as ei:
+        sink(spark.range(3).selectExpr("id", "id * 2 as v"), 0)
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+    # missing target still bootstraps cleanly, and replay is idempotent
+    fresh = str(tmp_path / "fresh")
+    sink2 = parquet_upsert_sink(fresh, ["id"])
+    batch = spark.range(3).selectExpr("id", "id * 2 as v")
+    sink2(batch, 0)
+    sink2(batch, 0)
+    assert spark.read.parquet(fresh).count() == 3

@@ -259,7 +259,7 @@ def test_takedown_unmarks_only_the_tombstoned_docs_spans(spark, tmp_path):
     assert after.kept_text == " ".join(gone + _toks("x", 2))
 
     vacuum_substring_tombstones(spark, idx)
-    assert not os.path.isdir(os.path.join(idx, "tombstones"))
+    assert not os.path.isdir(os.path.join(idx, "windows_tombstones"))
     (post,) = incremental_substring_dedup(
         batch, 20, idx, update_index=False).collect()
     assert (post.n_kept, post.kept_text) == (after.n_kept, after.kept_text)
@@ -292,3 +292,67 @@ def test_vacuum_preserves_bucketed_layout(spark, tmp_path):
         .executedPlan().toString()
     (row,) = probe.collect()
     assert row.n_kept == 0  # doc 1's span still history post-vacuum
+
+
+def test_takedown_rejects_noncastable_ids(spark, tmp_path):
+    """r13 ADVICE (medium): a string id that null-casts to BIGINT used
+    to make the takedown a silent no-op (the anti-join matched nothing
+    while the call reported success). It must raise instead."""
+    import pytest
+
+    from light_etl_windows_container_poc_spark.operators.incremental_substring import (
+        tombstone_substring_docs,
+    )
+
+    hist = _mk(spark, [(1, " ".join(_toks("a", 22)))])
+    idx = str(tmp_path / "idx")
+    build_substring_index(hist, 20, idx)
+    bad = spark.createDataFrame([("doc-1",)], "doc_id string")
+    with pytest.raises(ValueError, match="castable to BIGINT"):
+        tombstone_substring_docs(bad, "doc_id", idx)
+    # numeric strings DO cast — the takedown goes through
+    ok = spark.createDataFrame([("1",)], "doc_id string")
+    assert tombstone_substring_docs(ok, "doc_id", idx) == 1
+
+
+def test_probe_rejects_mismatched_window_length(spark, tmp_path):
+    """r13 ADVICE: n is persisted at build and asserted at probe —
+    fingerprints from different n never match, so a mismatched probe
+    would silently report 'nothing duplicated' instead of erroring."""
+    import pytest
+
+    hist = _mk(spark, [(1, " ".join(_toks("a", 30)))])
+    idx = str(tmp_path / "idx")
+    build_substring_index(hist, 20, idx)
+    batch = _mk(spark, [(10, " ".join(_toks("a", 24)))])
+    with pytest.raises(ValueError, match="built with n=20"):
+        incremental_substring_dedup(batch, 24, idx, update_index=False)
+    (row,) = incremental_substring_dedup(
+        batch, 20, idx, update_index=False).collect()
+    assert row.n_kept == 0  # the matching-n probe still strips
+
+
+def test_substring_vacuum_spares_colocated_index_tombstones(spark, tmp_path):
+    """r13 ADVICE: a substring vacuum must only clear its OWN
+    windows_tombstones/ — a co-located exact/minhash index's pending
+    takedowns in tombstones/ survive untouched."""
+    import os
+
+    from light_etl_windows_container_poc_spark.operators.incremental import (
+        tombstone_dedup_ids,
+    )
+    from light_etl_windows_container_poc_spark.operators.incremental_substring import (
+        tombstone_substring_docs,
+        vacuum_substring_tombstones,
+    )
+
+    hist = _mk(spark, [(1, " ".join(_toks("a", 22))),
+                       (2, " ".join(_toks("b", 22)))])
+    idx = str(tmp_path / "idx")
+    build_substring_index(hist, 20, idx)
+    ids = spark.createDataFrame([(2,)], "doc_id long")
+    tombstone_substring_docs(ids, "doc_id", idx)
+    tombstone_dedup_ids(ids, "doc_id", idx)  # co-located OTHER family
+    vacuum_substring_tombstones(spark, idx)
+    assert not os.path.isdir(os.path.join(idx, "windows_tombstones"))
+    assert os.path.isdir(os.path.join(idx, "tombstones"))  # untouched
