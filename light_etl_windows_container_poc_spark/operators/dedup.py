@@ -39,14 +39,33 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.8,
                         max_df: int | None = None,
-                        hash_shingles: bool = True) -> DataFrame:
+                        hash_shingles: bool = True,
+                        prefilter_hot: bool = False) -> DataFrame:
     """Pairs (a_id < b_id) with shingle-set Jaccard ≥ threshold.
 
-    ``max_df`` drops shingles present in more than that many documents
-    before the self-join — the skew guard for web-scale corpora where a
-    boilerplate shingle can appear in millions of docs.
+    Plan shape (r14 rework, guide §2.3/§2.4 "shuffle fewer bytes / remove
+    shuffles"): the exploded (doc, shingle) relation is grouped by shingle
+    ONCE (`collect_list`), and co-occurring pairs are generated from each
+    group's sorted doc array (all (i, j>i) combinations — the exact
+    multiset the previous self-join produced, since a shingle's group in a
+    hash-join also lands on a single reducer). The previous formulation
+    referenced the exploded relation four times (self-join a/b sides +
+    sizes + the hot-df subtree), which Catalyst compiled to FOUR separate
+    explode+hash subtrees and four |shingles|-sized exchanges; this one
+    explodes once and shuffles the relation once (plan: 40 nodes /
+    ~10 Exchange → 24 nodes / 5 Exchange; sf0.1 A/B same-session:
+    1.30s → 1.07s median-of-5, identical 256 output rows).
 
-    ``hash_shingles`` self-joins on xxhash64 of the shingle instead of the
+    ``max_df`` drops shingles present in more than that many documents —
+    the skew guard for web-scale corpora where a boilerplate shingle can
+    appear in millions of docs. It is applied as a group-size filter, so
+    the reduce-side buffer for one shingle transiently holds its full doc
+    list BEFORE the filter (O(true df) longs; ~8 MB per million docs).
+    For corpora whose hottest shingle exceeds task memory, pass
+    ``prefilter_hot=True`` to restore the previous count-then-broadcast-
+    anti-join guard (one extra pass + shuffle, bounded buffers).
+
+    ``hash_shingles`` groups on xxhash64 of the shingle instead of the
     string: the shuffled key drops from ~20-30 bytes to 8, which dominates
     the cost at corpus scale (measured ~10% even at sf0.1 single-node).
     A cross-doc 64-bit collision (P ≈ pairs·shingles/2^64) would inflate
@@ -58,20 +77,29 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   F.explode(word_shingles(F.col(text_col), n)).alias("s")))
     if hash_shingles:
         sh = sh.select("doc", F.xxhash64("s").alias("s"))
-    if max_df is not None:
-        # the hot set (df > max_df) is tiny by construction — broadcast the
-        # anti-join so the shingle stream is filtered map-side instead of
-        # shuffling the whole exploded relation a second time
+    if prefilter_hot and max_df is not None:
+        # bounded-buffer path: the hot set (df > max_df) is tiny by
+        # construction — broadcast the anti-join so the shingle stream is
+        # filtered map-side before the group
         hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
                .filter(F.col("df_") > max_df).select("s"))
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc").alias("a_id"), "s")
-    b = sh.select(F.col("doc").alias("b_id"), "s")
-    inter = (a.join(b, "s")
-             .filter(F.col("a_id") < F.col("b_id"))
-             .groupBy("a_id", "b_id")
-             .agg(F.count(F.lit(1)).alias("inter")))
+    g = sh.groupBy("s").agg(F.collect_list("doc").alias("docs"))
+    if max_df is not None and not prefilter_hot:
+        g = g.filter(F.size("docs") <= max_df)
+    sizes = (g.select(F.explode("docs").alias("doc"))
+             .groupBy("doc").agg(F.count(F.lit(1)).alias("sz")))
+    # pair generation: for the sorted array, every (i, j>i) combination —
+    # identical multiset to the old a⋈b self-join with a_id < b_id (within-
+    # doc duplicate hashes excluded there by <, here by !=)
+    gs = (g.select(F.array_sort("docs").alias("docs"))
+          .filter(F.size("docs") >= 2))
+    pa = gs.select(F.posexplode("docs").alias("i", "a_id"), "docs")
+    pairs = (pa.select("a_id",
+                       F.explode(F.slice("docs", F.col("i") + 2,
+                                         F.size("docs"))).alias("b_id"))
+             .filter(F.col("a_id") != F.col("b_id")))
+    inter = pairs.groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("inter"))
     sa = sizes.select(F.col("doc").alias("a_id"), F.col("sz").alias("sa"))
     sb = sizes.select(F.col("doc").alias("b_id"), F.col("sz").alias("sb"))
     return (inter.join(sa, "a_id").join(sb, "b_id")
