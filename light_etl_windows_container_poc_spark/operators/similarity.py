@@ -224,6 +224,43 @@ def cosine_topk_pandas(corpus: DataFrame, queries: DataFrame, id_col: str,
             .select("q_id", "n_id", "sim", "rank"))
 
 
+# Minimum GEMM work per grid cell before the parallelism floor stops
+# splitting: ~128 MFLOP ≈ 20-40 ms of single-threaded numpy — the point
+# where the per-task fixed cost (Arrow decode of both blocks + Python
+# worker round-trip, ~10-20 ms) stops dominating. (n/nb)²·dim·2 ≥ this.
+_MIN_CELL_FLOPS = 128e6
+
+
+def _pack_blocks(b: DataFrame) -> DataFrame:
+    """(id, v, blk) → one row per block: aligned flat arrays
+    (ids: array<long>, flat: array<double> = row-major concat of vectors).
+
+    Two collect_lists in ONE aggregate see rows in the same order, so ids
+    and vectors stay aligned; `flatten` turns array<array<double>> into a
+    single contiguous list whose Arrow buffer numpy can reshape without
+    per-element conversion. The previous array<struct<id, vector>> packing
+    paid a per-element struct decode in the Python worker that dominated
+    each cell (sf0.1: ~12% of the whole blocked stage). NOTE: a null
+    vector would desync ids from flat — callers' vector columns are
+    non-null by contract (a null crashed the struct path too); the
+    reshape below raises on any desync rather than misaligning."""
+    return b.groupBy("blk").agg(F.collect_list("id").alias("ids"),
+                                F.flatten(F.collect_list("v")).alias("flat"))
+
+
+def _unpack_block(ids_cell, flat_cell):
+    """Aligned (ids, flat) arrow cells → (int64 ids, row-major matrix)."""
+    import numpy as np
+
+    ids = np.asarray(ids_cell, dtype=np.int64)
+    flat = np.asarray(flat_cell, dtype=np.float64)
+    if ids.size == 0 or flat.size % max(ids.size, 1):
+        raise ValueError(
+            f"block desync: {ids.size} ids vs {flat.size} vector elements "
+            "(null vector in corpus?)")
+    return ids, flat.reshape(ids.size, -1)
+
+
 def _auto_n_blocks(df: DataFrame, vec_col: str,
                    target_block_bytes: int = 8 << 20) -> int:
     """Derive the GEMM block count from the DATA, not a constant.
@@ -258,7 +295,20 @@ def _auto_n_blocks(df: DataFrame, vec_col: str,
     from_mem = -(-(n_rows * row_bytes) // target_block_bytes)  # ceil
     par = df.sparkSession.sparkContext.defaultParallelism
     from_par = math.isqrt(max(2 * par - 1, 0)) + 1  # ceil(sqrt(2·par))
-    return max(from_mem, from_par, 1)
+    # Work-density cap on the parallelism floor (r14, guide §2.3): each
+    # block is shipped to ~nb grid cells, so decode+shuffle bytes grow
+    # linearly with nb while per-cell GEMM work shrinks quadratically.
+    # Splitting a small corpus just to reach ~2×cores cells makes the
+    # stage overhead-bound: below ~128 MFLOP per cell the Arrow decode +
+    # task launch dominates the GEMM (sf0.1 A/B, same pair set: nb 8 → 2
+    # = 0.98s → 0.43s median-of-5). Cap the floor so a cell never drops
+    # under _MIN_CELL_FLOPS; from_mem still wins whenever memory says
+    # split more, so block bytes stay bounded at any scale.
+    if dim > 0:
+        from_work = max(1, int(n_rows * math.sqrt(2 * dim / _MIN_CELL_FLOPS)))
+    else:
+        from_work = from_par
+    return max(from_mem, min(from_par, from_work), 1)
 
 
 def cosine_pairs_scaled(df: DataFrame, id_col: str, vec_col: str,
@@ -550,14 +600,15 @@ def knn_graph_topk(corpus: DataFrame, id_col: str, vec_col: str,
     b = corpus.select(F.col(id_col).alias("id"),
                       to_double(F.col(vec_col)).alias("v"),
                       (F.col(id_col) % n_blocks).alias("blk"))
-    packed = (b.groupBy("blk")
-              .agg(F.collect_list(F.struct("id", "v")).alias("rows")))
+    packed = _pack_blocks(b)
     grid = (packed.select(F.col("blk").alias("ablk"),
-                          F.col("rows").alias("arows"),
+                          F.col("ids").alias("aids"),
+                          F.col("flat").alias("aflat"),
                           F.explode(F.sequence(F.lit(0),
                                                F.lit(n_blocks - 1))).alias("bblk"))
             .join(packed.select(F.col("blk").alias("bblk"),
-                                F.col("rows").alias("brows")), "bblk")
+                                F.col("ids").alias("bids"),
+                                F.col("flat").alias("bflat")), "bblk")
             .repartition(n_blocks * n_blocks))
     m = k + pad
 
@@ -570,11 +621,11 @@ def knn_graph_topk(corpus: DataFrame, id_col: str, vec_col: str,
 
         for pdf in batches:
             outs = []
-            for _, r in pdf.iterrows():
-                aid = np.array([x["id"] for x in r["arows"]], dtype=np.int64)
-                am = np.array([x["v"] for x in r["arows"]], dtype=np.float64)
-                bid = np.array([x["id"] for x in r["brows"]], dtype=np.int64)
-                bm = np.array([x["v"] for x in r["brows"]], dtype=np.float64)
+            for i in range(len(pdf)):
+                aid, am = _unpack_block(pdf["aids"].iloc[i],
+                                        pdf["aflat"].iloc[i])
+                bid, bm = _unpack_block(pdf["bids"].iloc[i],
+                                        pdf["bflat"].iloc[i])
                 am = _l2_normalize_rows(am)
                 bm = _l2_normalize_rows(bm)
                 s = am @ bm.T
@@ -625,17 +676,18 @@ def cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
     b = df.select(F.col(id_col).alias("id"),
                   to_double(F.col(vec_col)).alias("v"),
                   (F.col(id_col) % n_blocks).alias("blk"))
-    packed = (b.groupBy("blk")
-              .agg(F.collect_list(F.struct("id", "v")).alias("rows")))
+    packed = _pack_blocks(b)
     # upper-triangle block grid as explode + EQUI-join (a cross join here
     # would plan as BroadcastNestedLoopJoin — harmless on n_blocks rows but
     # indistinguishable in the plan from an O(n²) row join, so keep the
     # plan clean of BNLJ entirely)
-    grid = (packed.select(F.col("blk").alias("ablk"), F.col("rows").alias("arows"),
+    grid = (packed.select(F.col("blk").alias("ablk"), F.col("ids").alias("aids"),
+                          F.col("flat").alias("aflat"),
                           F.explode(F.sequence(F.col("blk"),
                                                F.lit(n_blocks - 1))).alias("bblk"))
             .join(packed.select(F.col("blk").alias("bblk"),
-                                F.col("rows").alias("brows")), "bblk")
+                                F.col("ids").alias("bids"),
+                                F.col("flat").alias("bflat")), "bblk")
             # one GEMM per task: spread grid cells across the cluster
             .repartition(n_blocks * (n_blocks + 1) // 2))
 
@@ -644,18 +696,18 @@ def cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
 
         for pdf in batches:
             out_a, out_b, out_s = [], [], []
-            for _, r in pdf.iterrows():
-                aid = np.array([x["id"] for x in r["arows"]], dtype=np.int64)
-                am = np.array([x["v"] for x in r["arows"]], dtype=np.float64)
-                bid = np.array([x["id"] for x in r["brows"]], dtype=np.int64)
-                bm = np.array([x["v"] for x in r["brows"]], dtype=np.float64)
+            for i in range(len(pdf)):
+                aid, am = _unpack_block(pdf["aids"].iloc[i],
+                                        pdf["aflat"].iloc[i])
+                bid, bm = _unpack_block(pdf["bids"].iloc[i],
+                                        pdf["bflat"].iloc[i])
                 am = _l2_normalize_rows(am)
                 bm = _l2_normalize_rows(bm)
                 s = am @ bm.T
                 # diagonal cell: keep one orientation; off-diagonal: each
                 # unordered pair appears in exactly one grid cell, but the
                 # larger id may sit on either side → emit (min, max)
-                if r["ablk"] == r["bblk"]:
+                if pdf["ablk"].iloc[i] == pdf["bblk"].iloc[i]:
                     mask = (s >= threshold) & (aid[:, None] < bid[None, :])
                 else:
                     mask = s >= threshold
