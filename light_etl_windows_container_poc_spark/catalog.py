@@ -117,6 +117,36 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return out
 
 
+def spread_scan(df: DataFrame, key: str, parts: int | None = None) -> DataFrame:
+    """Repartition after a scan whose FILE LAYOUT cannot feed the cluster.
+
+    A parquet file is splittable only at row-group boundaries; the test
+    warehouse ships one row group per table, so however many byte-range
+    splits the scheduler makes, exactly one task decodes all rows and
+    everything up to the first exchange runs single-threaded (guide §2.5
+    "input skew: one huge unsplittable file → repartition immediately
+    after the read"). This helper is the scale-adaptive form of that
+    advice: it fires only when the scan exposes fewer input files than
+    cores — at warehouse scale (file count ≫ cores) it is a provable
+    no-op, so no production plan grows an extra exchange. The repartition
+    is KEYED (hash, no round-robin): round-robin pays a per-task sort of
+    its input (spark.sql.execution.sortBeforeRepartition) and its output
+    is placement- not content-determined; a high-cardinality key spreads
+    evenly and stays deterministic under task retry (guide §2.5).
+    """
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        return df
+    if nfiles >= cores:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(parts or cores, F.col(key))
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Load and register each table as a temp view for the SQL API."""

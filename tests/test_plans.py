@@ -112,9 +112,13 @@ def test_neardup_defaults_have_no_nested_loop_join(spark, sf_dir):
 
 
 def test_q1_single_shuffle(spark, sf_dir):
-    # scan → partial agg → single exchange → final agg (+ order)
+    # scan → [adaptive spread] → partial agg → exchange → final agg (+ order).
+    # The third exchange is catalog.spread_scan firing on the test
+    # warehouse's single-row-group layout (scan otherwise decodes on ONE
+    # task); on a many-files warehouse it is a no-op and the plan returns
+    # to agg + orderBy only.
     df = QUERIES["q1_pricing_summary"](spark, sf_dir)
-    assert_single_shuffle(df, max_exchanges=2)  # agg + orderBy
+    assert_single_shuffle(df, max_exchanges=3)  # spread + agg + orderBy
 
 
 def test_bruteforce_ann_window_sees_candidates_only(spark, sf_dir):
@@ -373,3 +377,26 @@ def test_adamic_adar_pair_join_is_degree_capped(spark, sf_dir):
     plan = formatted_plan(QUERIES["graph_adamic_adar"](spark, sf_dir))
     assert plan.count("SortMergeJoin") >= 1
     assert _pair_join_inputs_contain(plan, "BroadcastHashJoin")
+
+
+def test_spread_scan_adaptive(spark, tmp_path):
+    """spread_scan fires only on degenerate layouts: fewer input files
+    than cores → one keyed exchange; >= cores files → provable no-op."""
+    from light_etl_windows_container_poc_spark.catalog import spread_scan
+    from light_etl_windows_container_poc_spark.plans import formatted_plan
+
+    cores = spark.sparkContext.defaultParallelism
+    src = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+    one = str(tmp_path / "one")
+    src.coalesce(1).write.parquet(one)
+    df1 = spark.read.parquet(one)
+    assert len(df1.inputFiles()) < cores
+    plan1 = formatted_plan(spread_scan(df1, "id"))
+    assert "hashpartitioning(id" in plan1 and "Exchange" in plan1
+
+    many = str(tmp_path / "many")
+    src.repartition(cores).write.parquet(many)
+    dfm = spark.read.parquet(many)
+    assert len(dfm.inputFiles()) >= cores
+    assert spread_scan(dfm, "id") is dfm  # literal no-op
