@@ -15,25 +15,32 @@ N-window IS a duplicated span. So variable-length semantics reduce to
 finding exact-length-N window equality classes with >= 2 members.
 
 Window equality is computed EXACTLY (no hashing, no collision caveat)
-by prefix doubling over token positions — the suffix-array construction
-step, stopped at level ceil(log2 N) instead of log(corpus):
+by prefix QUADRUPLING over token positions — the suffix-array prefix-
+doubling construction with branching factor 4, stopped once ≤ 5 legs
+cover N instead of running to log(corpus):
 
   - level 0: a window of 1 token; its equality class id is the minimum
     (id, pos) struct among equal tokens — deterministic, no
     monotonically_increasing_id (whose values can differ between two
     evaluations of the same plan).
-  - level k: class of [p, p+2^k) = canonical id of the PAIR
-    (class_{k-1}(p), class_{k-1}(p + 2^{k-1})) — one inner equi-join on
-    (id, pos) plus one groupBy-min plus one join back, all JVM-side.
-  - length-N windows (2^k <= N < 2^{k+1}): the pair
-    (class_k(p), class_k(p + N - 2^k)) — the two spans overlap and
-    cover [p, p+N), the standard O(1) range-equality trick.
+  - level k: class of [p, p+4^k) = canonical id of the 4-TUPLE of
+    level-(k-1) classes at shifts (0, s, 2s, 3s), s = 4^{k-1} — three
+    inner equi-joins on (id, pos) (all one co-partitioned key) plus one
+    groupBy-min plus one join back, all JVM-side.
+  - length-N windows: the struct of ≤ 5 level-k classes at shifts
+    (0, s, …, N-s) — overlapping legs covering exactly [p, p+N), the
+    standard range-equality trick (equality of the tuple ⟺ window
+    equality).
 
 Each level is localCheckpoint'ed: level k's plan joins level k-1 with
-itself, so an unmaterialized lineage would double per level (2^k copies
-of the scan by level k).
+itself, so an unmaterialized lineage would branch per level (4^k copies
+of the scan by level k). Levels are the dominant cost (each checkpoint
+is a full job over the token stream), which is why branching 4 beats 2:
+N=20 takes 2 materialized levels (tokens, span-4) + one 5-leg key join
+vs 5 levels + a 2-leg join (sf0.1 A/B incl. plan build: 6.8-7.5s →
+4.5-5.5s for the starts pass, identical output).
 
-Scale shape at 100 TB: ~log2(N) rounds (N=20 -> 4 doublings + 1 shift
+Scale shape at 100 TB: ~log4(N) rounds (N=20 -> 1 quadrupling + 1 shift
 join) of constant-row-width shuffles over the token stream — each
 shuffle row is (id, pos, two 16-byte struct ids), vs the O(T*N)-byte
 blowup of shuffling materialized N-gram strings (the dup_span_census
@@ -71,41 +78,73 @@ def _level0(tok: DataFrame) -> DataFrame:
     return tok.join(tab, "tok").select("id", "pos", "cls")
 
 
-def _double(cur: DataFrame, span: int) -> DataFrame:
-    """Classes of [p, p+2*span) from classes of [p, p+span): inner join
-    with the span-shifted copy (truncates positions whose doubled
-    window would cross the document end), canonicalize the pair."""
-    right = cur.select("id", (F.col("pos") - F.lit(span)).alias("pos"),
-                       F.col("cls").alias("cls2"))
-    pair = cur.join(right, ["id", "pos"])
-    tab = (pair.groupBy("cls", "cls2")
-           .agg(F.min(F.struct("id", "pos")).alias("ncls")))
-    return (pair.join(tab, ["cls", "cls2"])
+# Max legs in the final window key: bounds key width at _MAX_LEGS 16-byte
+# structs while letting each class level QUADRUPLE the span (2 fewer
+# materialized levels than doubling for N=20). Each eager level
+# checkpoint is a full job over the token stream, so levels dominate the
+# pass (sf0.1 A/B incl. plan build: 5-level doubling 6.8-7.5s → 2-level
+# quad 4.5-5.5s, identical starts). At 100 TB the same trade reads:
+# ~log4(N) constant-width shuffle rounds, final count shuffles ≤ 80 B of
+# key per position instead of 32 B — rounds beat bytes for shuffle-bound
+# iterative passes (guide §2.2: fewer synchronization rounds, larger
+# blocks).
+_MAX_LEGS = 5
+
+
+def _shift_join(cur: DataFrame, span_shifts: list[int],
+                prefix: str = "c") -> DataFrame:
+    """Join (id, pos, cls) with its shifted copies: one output row per
+    pos where EVERY shifted leg exists, columns c0..c{k-1} being the
+    class of the span starting at pos + shift_i. The inner equi-join on
+    (id, pos) truncates positions whose composite window would cross
+    the document end."""
+    out = None
+    for i, s in enumerate(span_shifts):
+        leg = cur.select("id",
+                         (F.col("pos") - F.lit(s)).alias("pos") if s
+                         else F.col("pos"),
+                         F.col("cls").alias(f"{prefix}{i}"))
+        out = leg if out is None else out.join(leg, ["id", "pos"])
+    return out
+
+
+def _canonicalize(pair: DataFrame, keys: list[str]) -> DataFrame:
+    """cls := min (id, pos) of the equality class keyed by ``keys`` —
+    deterministic, no monotonically_increasing_id."""
+    tab = pair.groupBy(*keys).agg(F.min(F.struct("id", "pos")).alias("ncls"))
+    return (pair.join(tab, keys)
             .select("id", "pos", F.col("ncls").alias("cls")))
 
 
 def window_classes(docs: DataFrame, n: int, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
-    """(id, pos, cls, cls2): the exact-equality key of the N-token
-    window starting at pos — two rows share (cls, cls2) iff their
-    windows are token-identical. Only positions whose window fits the
-    document (pos + n <= doc tokens) appear."""
+    """(id, pos, cls): the exact-equality key of the N-token window
+    starting at pos — two rows share ``cls`` iff their windows are
+    token-identical. Only positions whose window fits the document
+    (pos + n <= doc tokens) appear.
+
+    Levels QUADRUPLE the span (class of [p, p+4s) = canonical id of the
+    4-tuple of span-s classes) while more than _MAX_LEGS legs would be
+    needed, then the final key is the struct of ≤ _MAX_LEGS span-s
+    classes at shifts (0, s, 2s, …, n-s) — overlapping legs covering
+    exactly [p, p+n), the standard range-equality trick. Equality of
+    the leg tuple ⟺ window equality: equal windows make every leg
+    class equal; equal leg classes make every covered token equal."""
     if n < 1:
         raise ValueError(f"window length must be >= 1, got {n}")
     cur = _level0(token_positions(docs, id_col, text_col))
     cur = cur.localCheckpoint(eager=True)
     span = 1
-    while span * 2 <= n:
-        cur = _double(cur, span).localCheckpoint(eager=True)
-        span *= 2
-    d = n - span  # 0 <= d < span: the overlapping second leg
-    if d == 0:
-        return cur.select("id", "pos", "cls",
-                          F.struct(F.lit(0).alias("id"),
-                                   F.lit(0).alias("pos")).alias("cls2"))
-    right = cur.select("id", (F.col("pos") - F.lit(d)).alias("pos"),
-                       F.col("cls").alias("cls2"))
-    return cur.join(right, ["id", "pos"])
+    while n > span * _MAX_LEGS:
+        quad = _shift_join(cur, [0, span, 2 * span, 3 * span])
+        cur = (_canonicalize(quad, ["c0", "c1", "c2", "c3"])
+               .localCheckpoint(eager=True))
+        span *= 4
+    k = -(-n // span)  # ceil: legs needed to cover n with span-s classes
+    shifts = sorted({i * span for i in range(max(k - 1, 0))} | {n - span})
+    key = _shift_join(cur, shifts)
+    legs = [f"c{i}" for i in range(len(shifts))]
+    return key.select("id", "pos", F.struct(*legs).alias("cls"))
 
 
 def duplicated_window_starts(docs: DataFrame, n: int,
@@ -116,7 +155,7 @@ def duplicated_window_starts(docs: DataFrame, n: int,
     window count over the class key — a single shuffle on near-unique
     keys, no self-join."""
     wins = window_classes(docs, n, id_col, text_col)
-    c = F.count(F.lit(1)).over(Window.partitionBy("cls", "cls2"))
+    c = F.count(F.lit(1)).over(Window.partitionBy("cls"))
     return (wins.withColumn("c", c).filter(F.col("c") >= 2)
             .select("id", "pos"))
 
@@ -215,9 +254,9 @@ def contaminated_window_starts(corpus: DataFrame, ref: DataFrame, n: int,
                    F.col(text_col).alias("_sd_text"))
     wins = window_classes(c.unionByName(r), n, "_sd_id", "_sd_text")
     ref_classes = (wins.filter(F.col("id.src") == 1)
-                   .select("cls", "cls2").distinct())
+                   .select("cls").distinct())
     return (wins.filter(F.col("id.src") == 0)
-            .join(ref_classes, ["cls", "cls2"], "left_semi")
+            .join(ref_classes, ["cls"], "left_semi")
             .select(F.col("id.orig").alias("id"), "pos"))
 
 
