@@ -214,6 +214,7 @@ def connected_components_star(pairs: DataFrame, max_phases: int = 40,
     cur = _canon(pairs.select(F.col("a_id").alias("u"),
                               F.col("b_id").alias("v"))
                  ).localCheckpoint(eager=True)
+    prev_n = cur.count()  # cheap: counts the materialized checkpoint
     phases = 0
     for _ in range(max_phases):
         sym = (cur.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
@@ -235,8 +236,17 @@ def connected_components_star(pairs: DataFrame, max_phases: int = 40,
               .unionAll(m2.select(F.col("u"), F.col("m").alias("v"))))
         nxt = _canon(ss).localCheckpoint(eager=True)
         phases += 1
-        same = (nxt.exceptAll(cur).limit(1).count() == 0
-                and cur.exceptAll(nxt).limit(1).count() == 0)
+        # fixpoint test, count-guarded (r14): both relations are DISTINCT
+        # canonical edge sets, so |nxt| != |cur| proves inequality for the
+        # price of one count over the already-materialized checkpoint, and
+        # |nxt| == |cur| with nxt \ cur empty proves equality — the second
+        # exceptAll shuffle the old two-sided test paid every phase only
+        # runs on the (rare) equal-count phases, typically just the final
+        # one. Same convergence decision, ~2 fewer jobs per phase.
+        n = nxt.count()
+        same = (n == prev_n
+                and nxt.exceptAll(cur).limit(1).count() == 0)
+        prev_n = n
         cur = nxt
         if same:
             break
