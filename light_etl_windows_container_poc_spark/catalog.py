@@ -140,7 +140,9 @@ def spread_scan(df: DataFrame, key: str, parts: int | None = None) -> DataFrame:
         nfiles = len(df.inputFiles())
     except Exception:
         return df
-    if nfiles >= cores:
+    if nfiles == 0 or nfiles >= cores:
+        # 0 = not file-backed (local relation, post-shuffle stage):
+        # unknown layout, assume the upstream already parallelized
         return df
     from pyspark.sql import functions as F
 

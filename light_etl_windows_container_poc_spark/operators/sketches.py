@@ -141,8 +141,15 @@ def cm_build(df: DataFrame, col: str, depth: int, width: int) -> DataFrame:
     cells on the map side — the shuffle carries tasks*depth*width rows,
     independent of input size or key cardinality.
     """
+    from ..catalog import spread_scan
+
     seeds = F.array(*[F.lit(s) for s in range(depth)])
-    return (df.select(F.explode(seeds).alias("seed"), F.col(col).alias("k"))
+    # per-row work below is `depth` md5s: on a sub-cores-files scan the
+    # single decode task would also run EVERY hash (map-side aggregation
+    # keeps it all in the scan stage) — spread first; provable no-op on
+    # many-file inputs (catalog.spread_scan)
+    return (spread_scan(df, col)
+            .select(F.explode(seeds).alias("seed"), F.col(col).alias("k"))
             .select("seed", cm_bucket(F.col("seed"), F.col("k"), width)
                     .alias("bucket"))
             .groupBy("seed", "bucket")
@@ -208,8 +215,13 @@ def ams_build(df: DataFrame, col: str, counters: int) -> DataFrame:
     cells — the shuffle carries tasks*counters rows, independent of
     input size or key cardinality (the cm_build shape).
     """
+    from ..catalog import spread_scan
+
     seeds = F.array(*[F.lit(s) for s in range(counters)])
-    return (df.select(F.explode(seeds).alias("j"), F.col(col).alias("k"))
+    # same spread rationale as cm_build: `counters` md5s per input row
+    # all land in the scan task on a sub-cores-files layout
+    return (spread_scan(df, col)
+            .select(F.explode(seeds).alias("j"), F.col(col).alias("k"))
             .select("j", ams_sign(F.col("j"), F.col("k")).alias("s"))
             .groupBy("j")
             .agg(F.sum("s").cast("long").alias("x")))
