@@ -71,8 +71,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     A cross-doc 64-bit collision (P ≈ pairs·shingles/2^64) would inflate
     one intersection count by 1; pass False where exactness is contractual.
     """
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    sh = (df.repartition(nparts, F.col(id_col))
+    from ..catalog import spread_scan
+
+    sh = (spread_scan(df, id_col)
           .select(F.col(id_col).alias("doc"),
                   F.explode(word_shingles(F.col(text_col), n)).alias("s")))
     if hash_shingles:
@@ -156,13 +157,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     collides with probability 1-(1-j^r)^bands — the standard S-curve; the
     defaults (r=4, b=32) catch j≥0.8 with >0.999 recall.
     """
+    from ..catalog import spread_scan
+
     rows = num_hashes // bands
     # signature computation is CPU-bound per row: spread it across all
-    # cores even when the source is one small parquet file (at 100 TB the
-    # scan itself provides the parallelism and this is a cheap no-op-ish
-    # extra exchange of the raw text)
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    sigs = (df.repartition(nparts, F.col(id_col))
+    # cores when the source layout cannot (spread_scan fires only below
+    # cores input files; at 100 TB the scan itself provides the
+    # parallelism and the old unconditional repartition was a full
+    # shuffle of the raw text for nothing)
+    sigs = (spread_scan(df, id_col)
             .select(F.col(id_col).alias("doc"),
                     minhash_signature(F.col(text_col), num_hashes, n, seed)
                     .alias("sig")))
@@ -180,8 +183,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: majority vote per bit over the xxhash64
     of each distinct shingle. Explode → 64 literal-shift aggregates →
     pack; one shuffle on the doc id, everything codegen'd."""
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    tok = (df.repartition(nparts, F.col(id_col))
+    from ..catalog import spread_scan
+
+    tok = (spread_scan(df, id_col)
            .select(F.col(id_col).alias("doc"),
                    F.explode(shingle_hashes(F.col(text_col), n=1)).alias("h")))
     votes = [F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)))
@@ -346,10 +350,14 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
 
     from ..functions.texts import word_shingles
 
+    from ..catalog import spread_scan
+
     # word_shingles returns per-doc DISTINCT shingles — no extra
-    # distinct shuffle needed
-    sh = df.select(F.col(id_col).alias("doc"),
-                   F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+    # distinct shuffle needed; spread_scan parallelizes the shingle
+    # explode when the scan layout cannot (no-op at warehouse scale)
+    sh = spread_scan(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"))
     if max_df is not None:
         hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
                .filter(F.col("df_") > max_df).select("s"))
@@ -417,10 +425,12 @@ def containment_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
     Returns ordered (a_id, b_id, inter, sa) pairs, a_id != b_id."""
     from pyspark.sql import Window as W
 
+    from ..catalog import spread_scan
     from ..functions.texts import word_shingles
 
-    sh = df.select(F.col(id_col).alias("doc"),
-                   F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+    sh = spread_scan(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"))
     if max_df is not None:
         hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
                .filter(F.col("df_") > max_df).select("s"))
