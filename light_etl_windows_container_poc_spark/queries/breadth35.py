@@ -737,7 +737,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("o_orderkey") == F.col("l_orderkey"))
          .select(F.col("o_custkey").alias("c"),
                  F.col("l_partkey").alias("s"))
-         .distinct())
+         .distinct()
+         # materialize once: the hub census and both capped self-join
+         # sides otherwise each recompute the join + distinct (3 subtree
+         # copies; same fix as graph_jaccard_similarity)
+         .localCheckpoint(eager=True))
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     ds = (deg.filter((F.col("deg") >= 2) & (F.col("deg") <= 64))
           .select("s", F.floor(F.lit(1_000_000.0) / F.log("deg")

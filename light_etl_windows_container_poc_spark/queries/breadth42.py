@@ -230,7 +230,13 @@ def graph_jaccard_similarity(spark: SparkSession,
                            F.col("o_orderkey") == F.col("l_orderkey"))
           .select(F.col("o_custkey").alias("c"),
                   F.col("l_partkey").alias("s"))
-          .distinct())
+          .distinct()
+          # materialize once: e0 feeds the hub census AND the capped edge
+          # relation, whose three downstream readers (degrees + both
+          # self-join sides) otherwise each recompute the orders-lineitem
+          # join + distinct from scratch (4 subtree copies in the plan;
+          # sf0.1 warm 4.8s -> 2.6s)
+          .localCheckpoint(eager=True))
     keep = (e0.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
             .filter((F.col("deg") >= 2) & (F.col("deg") <= 64))
             .select("s"))
