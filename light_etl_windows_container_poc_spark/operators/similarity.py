@@ -750,8 +750,17 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str,
                                sample_fraction=train_sample_fraction)
     centroids = [(int(r["cluster"]), [float(x) for x in r["cv"]])
                  for r in centroids_df.collect()]
+    from ..catalog import spread_scan
+
+    # spread the POST-TRAINING assignment input only: assignment is a
+    # deterministic map per row, so parallelizing it cannot change the
+    # result. Deliberately NOT applied to kmeans_lite's training input —
+    # the per-(cluster, dim) float mean merges partial sums in task-
+    # completion order, so re-partitioning the training relation would
+    # make centroids nondeterministic across runs (a driver-hash breaker).
     c = assign_nearest_cluster(
-        _prep(df, id_col, vec_col, "vid", "v", "nv"), "v", centroids)
+        _prep(spread_scan(df, id_col), id_col, vec_col, "vid", "v", "nv"),
+        "v", centroids)
     # persisted for the pair join's two sides + the final keep join;
     # released below once the result is checkpointed
     c = c.persist()
