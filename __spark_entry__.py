@@ -321,27 +321,12 @@ _R13_CERTIFIED = [
     "window_ntile_firstlast", "window_rolling_time",
 ]
 
-# Round-14 recertification allocation (head + this list == 50, the
-# driver's per-round budget; test-locked) — executing the allocation
-# the r13 verdict locked: head = the TWO pre-certified incremental-
-# substring certs promoted this round by adding @query in
-# queries/breadth45.py (substring_incremental_cert,
-# substring_takedown_cert — each gate-compared at all 3 SFs in r13,
-# tests/test_breadth45.py holds the evidence). Recertify = the
-# FOURTEEN named r7 carryovers the r13 verdict reserved for this round
-# (q21_waiting_supplier, q8_market_share, skyline_parts,
-# split_train_test, stream_stateful, text_clean_pii, text_fingerprint,
-# text_langid, text_quality, text_token_count, text_trigram_kn,
-# weighted_sample, window_percent_rank, zorder_zone_prune) plus the
-# THIRTY-FOUR oldest r8-latest rows in name order (alphabetical is the
-# deterministic tie-break within a staleness round). 2 + 14 + 34 == 50.
-# The remaining FOURTEEN r8-latest rows head the r15 recertify floor:
-# null_funcs, quality_curriculum_tiers, regex_funcs,
-# sample_stratified, split_leakage_safe, stream_countmin_cert,
-# stream_heavy_hitters_cert, stream_histogram_quantiles, text_chunk,
-# text_tfidf, unigram_invariants, unigram_lm_learn,
-# zorder_optimize_roundtrip, zorder_write_roundtrip.
-_RECERTIFY = [
+# CORRECTNESS_r14.json keys (round-14 driver run): 49 hash-green + 1
+# clean rows-only record (stream_stateful — SURVEY-declared rows-only
+# with its hash-certified twin stream_stateful_final green in the
+# cumulative record). Zero red rows.
+_R14_CERTIFIED = [
+    "substring_incremental_cert", "substring_takedown_cert",
     "q21_waiting_supplier", "q8_market_share", "skyline_parts",
     "split_train_test", "stream_stateful", "text_clean_pii",
     "text_fingerprint", "text_langid", "text_quality",
@@ -359,6 +344,45 @@ _RECERTIFY = [
     "hilbert_zone_prune", "interval_concurrency", "inverted_index",
     "join_incremental_delta", "median_polish_anomaly",
     "mm_audiofp_dedup", "mm_phash_dedup",
+]
+
+# Round-15 recertification allocation (head + this list == 50, the
+# driver's per-round budget; test-locked) — executing the allocation
+# the r14 verdict locked. Head of the list = the FOUR queries whose
+# operator internals were reworked in r14 (ngram_jaccard_pairs in
+# b0c1e99; the window_classes prefix-quadrupling in 62e3245) but
+# rotated OUT of the r14 driver sample, so their green driver hashes
+# predate the new code — they jump the staleness queue for a driver
+# hash on the code that actually runs now. Then the FOURTEEN r8-latest
+# rows the r14 allocation comment reserved for this round, then the
+# THIRTY-TWO alphabetically-first r9-latest rows (alphabetical is the
+# deterministic tie-break within a staleness round). 4 + 14 + 32 == 50.
+# The remaining SEVENTEEN r9-latest rows head the r16 recertify floor:
+# seasonality_dft, session_window_agg, sketch_approx_percentile,
+# sketch_hll_mergeable, skew_profile, stream_dq_gate_cert,
+# stream_hll_cert, text_bigram_lm, text_rarity, text_repetition,
+# theil_u_dow_type, time_rollup, window_moving_avg,
+# window_range_value, window_share, zipf_slope, zscore_outliers.
+_RECERTIFY = [
+    "dedup_ngram_jaccard", "dedup_substring_exact",
+    "dedup_substring_strip", "decontaminate_substring",
+    "null_funcs", "quality_curriculum_tiers", "regex_funcs",
+    "sample_stratified", "split_leakage_safe", "stream_countmin_cert",
+    "stream_heavy_hitters_cert", "stream_histogram_quantiles",
+    "text_chunk", "text_tfidf", "unigram_invariants",
+    "unigram_lm_learn", "zorder_optimize_roundtrip",
+    "zorder_write_roundtrip",
+    "agg_cube", "agg_rollup", "ann_lifecycle_refresh", "ann_lsh",
+    "approx_distinct_bounds", "bpe_fertility_by_lang", "cusum_drift",
+    "dedup_blocked_invariance", "dedup_clusters", "dedup_embedding",
+    "grouped_ols", "hash_funcs", "hll_grid_estimate",
+    "hll_grid_sketch", "impute_forward_fill", "impute_group_mean",
+    "impute_linear_interp", "join_semi", "js_divergence_types",
+    "kendall_tau_daily", "kmv_set_cardinality", "kmv_source_overlap",
+    "ks_two_sample", "langid_confusion", "mann_whitney_u",
+    "mm_decode_real", "mm_media_meta", "pack_sequences",
+    "psi_drift", "quality_gopher_rules", "rolling_uniques",
+    "safe_casts",
 ]
 
 
@@ -1110,7 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               _R04_CERTIFIED, _R05_CERTIFIED, _R06_CERTIFIED,
               _R07_CERTIFIED, _R08_CERTIFIED, _R09_CERTIFIED,
               _R10_CERTIFIED, _R11_CERTIFIED, _R12_CERTIFIED,
-              _R13_CERTIFIED]
+              _R13_CERTIFIED, _R14_CERTIFIED]
     certified = set().union(*map(set, rounds))
     head = [n for n in QUERIES if n not in certified]
     redo = [n for n in _RECERTIFY if n in QUERIES and n in certified]

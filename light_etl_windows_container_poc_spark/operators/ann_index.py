@@ -193,10 +193,14 @@ def append_to_ivf_index(batch: DataFrame, id_col: str, vec_col: str,
     ANY drift."""
     centroids = load_centroids(batch.sparkSession, index_path)
     c = _prep(batch, id_col, vec_col, "n_id", "nv", "nn")
-    assigned = assign_nearest_cluster(c, "nv", centroids)
-    n = assigned.count()
-    (assigned.write.partitionBy("cluster").mode("append")
-     .parquet(os.path.join(index_path, "vectors")))
+    # one compute for the count + the write (guide §5), not two
+    assigned = assign_nearest_cluster(c, "nv", centroids).persist()
+    try:
+        n = assigned.count()
+        (assigned.write.partitionBy("cluster").mode("append")
+         .parquet(os.path.join(index_path, "vectors")))
+    finally:
+        assigned.unpersist()
     return n
 
 
@@ -410,9 +414,14 @@ def append_to_pq_index(batch: DataFrame, id_col: str, vec_col: str,
 
     spark = batch.sparkSession
     books = load_pq_books(spark, index_path)
-    codes = pq_encode(batch, id_col, vec_col, books)
-    n = codes.count()
-    codes.write.mode("append").parquet(os.path.join(index_path, "codes"))
+    # one compute for the count + the write (guide §5), not two
+    codes = pq_encode(batch, id_col, vec_col, books).persist()
+    try:
+        n = codes.count()
+        codes.write.mode("append").parquet(os.path.join(index_path,
+                                                        "codes"))
+    finally:
+        codes.unpersist()
     return n
 
 
@@ -436,33 +445,60 @@ def _ivfpq_meta(index_path: str) -> dict:
         return json.load(f)
 
 
+def load_ivfpq_quantizers(spark: SparkSession, index_path: str) -> dict:
+    """One round trip for EVERYTHING frozen about an IVF-PQ index:
+    {"centroids", "books", "residual", "anchors"}. The append/query
+    paths each need all of it, and a streaming maintainer applies one
+    micro-batch after another against the SAME artifacts — loading them
+    per batch re-paid two parquet reads + collects for bytes that by
+    contract cannot change between refreshes (guide §4.5: heavyweight
+    init once, amortized over the batches)."""
+    residual = bool(_ivfpq_meta(index_path).get("residual"))
+    return {"centroids": load_centroids(spark, index_path),
+            "books": load_pq_books(spark, index_path),
+            "residual": residual,
+            "anchors": (load_anchors(spark, index_path)
+                        if residual else None)}
+
+
 def append_to_ivfpq_index(batch: DataFrame, id_col: str, vec_col: str,
-                          index_path: str) -> int:
+                          index_path: str,
+                          quantizers: dict | None = None) -> int:
     """Append a batch to an existing IVF-PQ index: assign + encode with
     the PERSISTED quantizers (one map-only pass), append into the
     cluster directories. Query-after-append provably equals a rebuild
     at the same fixed centroids/books (tested), because neither
     quantizer changes — only the code set grows. Same non-atomic-append
     and recall-drift caveats as `append_to_ivf_index`; probe-all +
-    rerank ≥ corpus stays exact at any drift."""
+    rerank ≥ corpus stays exact at any drift.
+
+    ``quantizers`` accepts a `load_ivfpq_quantizers` dict so repeated
+    appends (the streaming maintainer) skip re-reading the frozen
+    artifacts per batch."""
     from .similarity import pq_encode
 
     spark = batch.sparkSession
-    centroids = load_centroids(spark, index_path)
-    books = load_pq_books(spark, index_path)
+    q = quantizers or load_ivfpq_quantizers(spark, index_path)
     c = _prep(batch, id_col, vec_col, "n_id", "nv", "nn")
-    assigned = assign_nearest_cluster(c, "nv", centroids)
-    if _ivfpq_meta(index_path).get("residual"):
+    assigned = assign_nearest_cluster(c, "nv", q["centroids"])
+    if q["residual"]:
         from .similarity import pq_encode_residual
 
-        codes = pq_encode_residual(assigned, "n_id", "nv", books,
-                                   load_anchors(spark, index_path))
+        codes = pq_encode_residual(assigned, "n_id", "nv", q["books"],
+                                   q["anchors"])
     else:
-        codes = pq_encode(assigned, "n_id", "nv", books,
+        codes = pq_encode(assigned, "n_id", "nv", q["books"],
                           passthrough=("cluster",))
-    n = codes.count()
-    (codes.write.partitionBy("cluster").mode("append")
-     .parquet(os.path.join(index_path, "codes")))
+    # the count and the write both need the assigned+encoded batch; an
+    # unpersisted plan ran the whole Python assign/encode pipeline TWICE
+    # (once per action — guide §5: cache a reused, expensive subtree)
+    codes = codes.persist()
+    try:
+        n = codes.count()
+        (codes.write.partitionBy("cluster").mode("append")
+         .parquet(os.path.join(index_path, "codes")))
+    finally:
+        codes.unpersist()
     return n
 
 
@@ -522,7 +558,8 @@ def refresh_ivfpq_index(corpus: DataFrame, id_col: str, vec_col: str,
 def query_ivfpq_index(spark: SparkSession, index_path: str,
                       corpus: DataFrame, queries: DataFrame, id_col: str,
                       vec_col: str, k: int = 5, nprobe: int = 3,
-                      rerank: int = 128) -> DataFrame:
+                      rerank: int = 128,
+                      quantizers: dict | None = None) -> DataFrame:
     """Top-k against the persisted IVF-PQ index: the probed cluster set
     becomes an `isin` filter on the PARTITION column (the codes scan
     prunes to nprobe/k of the directories — PartitionFilters, plan-
@@ -531,7 +568,9 @@ def query_ivfpq_index(spark: SparkSession, index_path: str,
     cluster), and the exact re-rank runs on candidate ids against the
     corpus vectors. Identical results to `ann_ivfpq_topk` at the same
     quantizers — proven in tests — without re-training or re-encoding.
-    Returns (q_id, n_id, sim, rank)."""
+    Returns (q_id, n_id, sim, rank). ``quantizers`` accepts a
+    `load_ivfpq_quantizers` dict so a caller issuing several query
+    batches against the same frozen index loads the artifacts once."""
     import numpy as np
 
     from ..session import ensure_package_on_executors
@@ -539,20 +578,20 @@ def query_ivfpq_index(spark: SparkSession, index_path: str,
                              nprobe_sets)
 
     ensure_package_on_executors(spark)
-    centroids = load_centroids(spark, index_path)
-    books = load_pq_books(spark, index_path)
+    qz = quantizers or load_ivfpq_quantizers(spark, index_path)
+    centroids, books = qz["centroids"], qz["books"]
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([[float(x) for x in r[1]] for r in q_rows],
                   dtype=np.float64)
     mask, probe_ids = nprobe_sets(qm, centroids, nprobe)
     cluster_scalar = None
-    if _ivfpq_meta(index_path).get("residual"):
+    if qz["residual"]:
         # ADC over residual codes needs the q̂·a_cluster correction:
         # a tiny (nq × k) matrix indexed by cluster id
         from .similarity import _l2_normalize_rows, anchor_matrix
 
-        a_ids, am = anchor_matrix(load_anchors(spark, index_path))
+        a_ids, am = anchor_matrix(qz["anchors"])
         qmn = _l2_normalize_rows(np.asarray(qm, dtype=np.float64))
         cluster_scalar = np.zeros((qmn.shape[0], int(a_ids.max()) + 1))
         cluster_scalar[:, a_ids] = qmn @ am.T
@@ -665,7 +704,8 @@ def record_drift_baseline(corpus: DataFrame, id_col: str, vec_col: str,
 
 def drift_check(corpus: DataFrame, id_col: str, vec_col: str,
                 index_path: str,
-                max_mean_drop_pct: int = 10) -> dict:
+                max_mean_drop_pct: int = 10,
+                current: dict | None = None) -> dict:
     """Compare the CURRENT corpus's coverage to the recorded baseline.
     ``needs_refresh`` when the mean best-centroid cosine dropped more
     than ``max_mean_drop_pct`` percent of the baseline mean — RELATIVE,
@@ -675,7 +715,14 @@ def drift_check(corpus: DataFrame, id_col: str, vec_col: str,
     everywhere: the frozen quantizers no longer represent what the
     appends brought in. The streaming maintainer's operational loop:
     drift_check (cheap, any cadence) → `refresh_ivfpq_index` →
-    `record_drift_baseline`."""
+    `record_drift_baseline`.
+
+    ``current`` short-circuits the assign-stats pass with a stats dict
+    the caller ALREADY computed for this exact (corpus, index) pair —
+    the `record_drift_baseline(...)` return value is the canonical
+    source (a check right after a re-baseline would otherwise rescan
+    the corpus to recompute the very numbers just persisted; same
+    deterministic computation, one fewer corpus pass — guide §2.4)."""
     import json
 
     base_path = os.path.join(index_path, _DRIFT_BASELINE)
@@ -685,7 +732,8 @@ def drift_check(corpus: DataFrame, id_col: str, vec_col: str,
             "after build/refresh")
     with open(base_path) as f:
         baseline = json.load(f)
-    current = ivfpq_assign_stats(corpus, id_col, vec_col, index_path)
+    if current is None:
+        current = ivfpq_assign_stats(corpus, id_col, vec_col, index_path)
     drop = baseline["mean_sim_micro"] - current["mean_sim_micro"]
     # integer cross-multiplication; guard the degenerate zero baseline
     flag = drop * 100 > abs(baseline["mean_sim_micro"]) * max_mean_drop_pct

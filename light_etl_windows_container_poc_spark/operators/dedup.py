@@ -40,7 +40,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.8,
                         max_df: int | None = None,
                         hash_shingles: bool = True,
-                        prefilter_hot: bool = False) -> DataFrame:
+                        prefilter_hot: bool | None = None) -> DataFrame:
     """Pairs (a_id < b_id) with shingle-set Jaccard ≥ threshold.
 
     Plan shape (r14 rework, guide §2.3/§2.4 "shuffle fewer bytes / remove
@@ -58,12 +58,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     ``max_df`` drops shingles present in more than that many documents —
     the skew guard for web-scale corpora where a boilerplate shingle can
-    appear in millions of docs. It is applied as a group-size filter, so
-    the reduce-side buffer for one shingle transiently holds its full doc
-    list BEFORE the filter (O(true df) longs; ~8 MB per million docs).
-    For corpora whose hottest shingle exceeds task memory, pass
-    ``prefilter_hot=True`` to restore the previous count-then-broadcast-
-    anti-join guard (one extra pass + shuffle, bounded buffers).
+    appear in millions of docs. ``prefilter_hot=None`` (default) applies
+    the guard BOUNDED whenever ``max_df`` is set: a count-then-broadcast-
+    anti-join drops hot shingles map-side before the group, so no reduce
+    task ever buffers a hot shingle's full doc list (the r14 default was
+    a post-group size filter whose `collect_list` transiently held the
+    full O(true df) list — ~800 MB in ONE task for a boilerplate shingle
+    over 100M docs; guide §5). The bounded guard costs one extra
+    aggregate pass over the shingle stream — the price the pre-r14 code
+    always paid, and the identical shingle set survives either way (both
+    filter on the same per-shingle document frequency, so results are
+    unchanged). Pass ``prefilter_hot=False`` explicitly to opt into the
+    unbounded single-pass variant where the hottest df provably fits.
 
     ``hash_shingles`` groups on xxhash64 of the shingle instead of the
     string: the shuffled key drops from ~20-30 bytes to 8, which dominates
@@ -73,6 +79,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     from ..catalog import spread_scan
 
+    if prefilter_hot is None:
+        prefilter_hot = max_df is not None
     sh = (spread_scan(df, id_col)
           .select(F.col(id_col).alias("doc"),
                   F.explode(word_shingles(F.col(text_col), n)).alias("s")))
@@ -81,7 +89,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     if prefilter_hot and max_df is not None:
         # bounded-buffer path: the hot set (df > max_df) is tiny by
         # construction — broadcast the anti-join so the shingle stream is
-        # filtered map-side before the group
+        # filtered map-side before the group. The stream feeds TWO passes
+        # (df count + the group) — persist the compact (doc, s-hash)
+        # relation so the text scan + shingle explode + hash run once,
+        # not once per pass (guide §5; 16 bytes/row, disk-spillable)
+        sh = sh.persist()
         hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
                .filter(F.col("df_") > max_df).select("s"))
         sh = sh.join(F.broadcast(hot), "s", "left_anti")

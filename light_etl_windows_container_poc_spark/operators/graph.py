@@ -210,11 +210,11 @@ def connected_components_star(pairs: DataFrame, max_phases: int = 40,
     """
     nodes = (pairs.select(F.col("a_id").alias("n"))
              .union(pairs.select(F.col("b_id").alias("n"))).distinct()
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))  # materializes in final join
     cur = _canon(pairs.select(F.col("a_id").alias("u"),
                               F.col("b_id").alias("v"))
-                 ).localCheckpoint(eager=True)
-    prev_n = cur.count()  # cheap: counts the materialized checkpoint
+                 ).localCheckpoint(eager=False)
+    prev_n = cur.count()  # materializes the lazy checkpoint
     phases = 0
     for _ in range(max_phases):
         sym = (cur.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
@@ -223,18 +223,32 @@ def connected_components_star(pairs: DataFrame, max_phases: int = 40,
         # large-star: group the SYMMETRIC view by u
         m = (sym.groupBy("u").agg(F.min("v").alias("mn"))
              .select("u", F.least("mn", "u").alias("m")))
-        ls = (sym.filter(F.col("v") > F.col("u")).join(m, "u")
-              .select(F.col("v").alias("u"), F.col("m").alias("v")))
-        cur_ls = _canon(ls).localCheckpoint(eager=True)
+        # large-star output is ALREADY (hi, lo)-oriented: every emitted
+        # edge is (v, m) with m = min(Γ(u) ∪ {u}) ≤ u < v, so the old
+        # `_canon(ls)` reduced to a pure DISTINCT — and small-star is
+        # duplicate-insensitive (m2 is a min; ss's duplicates collapse
+        # in the final _canon), so the intermediate distinct + its
+        # localCheckpoint bought nothing semantically. Feeding ls
+        # straight through drops one full |edges| shuffle and one
+        # materialization per phase (r15, guide §2.4); `nxt` is
+        # set-identical, so the fixpoint decision and the final
+        # component map are unchanged.
+        low = (sym.filter(F.col("v") > F.col("u")).join(m, "u")
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
 
         # small-star: group edges by their LARGER endpoint; every
         # smaller neighbor AND u itself re-attach to the smallest
-        low = cur_ls.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         m2 = low.groupBy("u").agg(F.min("v").alias("m"))
         ss = (low.join(m2, "u")
               .select(F.col("v").alias("u"), F.col("m").alias("v"))
               .unionAll(m2.select(F.col("u"), F.col("m").alias("v"))))
-        nxt = _canon(ss).localCheckpoint(eager=True)
+        # LAZY checkpoint (r15): eager=True ran a dedicated
+        # materialization job before the phase's count — eager=False
+        # still persists+truncates lineage, but materialization happens
+        # inside the nxt.count() job below, and next phase's sym reads
+        # nxt from the same cache (the dedup.connected_components
+        # discipline). Same phase results, fewer jobs per phase.
+        nxt = _canon(ss).localCheckpoint(eager=False)
         phases += 1
         # fixpoint test, count-guarded (r14): both relations are DISTINCT
         # canonical edge sets, so |nxt| != |cur| proves inequality for the

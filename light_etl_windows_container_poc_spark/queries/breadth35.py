@@ -82,17 +82,22 @@ def ann_lifecycle_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(idx, ignore_errors=True)  # rerunnable: fresh lifecycle
 
     build_ivfpq_index(base, "vec_id", "embedding", idx, n_clusters=6)
-    record_drift_baseline(base, "vec_id", "embedding", idx)
+    # each record_drift_baseline returns the assign stats it just
+    # persisted; the drift_check that immediately follows compares the
+    # SAME (corpus, index) pair, so passing them skips a full recompute
+    # of identical numbers (2 of the lifecycle's 4 assign-stats corpus
+    # passes — guide §2.4; flags unchanged: drop is exactly 0)
+    s0 = record_drift_baseline(base, "vec_id", "embedding", idx)
     c0 = drift_check(base, "vec_id", "embedding", idx,
-                     max_mean_drop_pct=4)
+                     max_mean_drop_pct=4, current=s0)
     ann_append_batch_handler(idx)(drifted, 0)
     full = base.unionByName(drifted)
     c1 = drift_check(full, "vec_id", "embedding", idx,
                      max_mean_drop_pct=4)
     refresh_ivfpq_index(full, "vec_id", "embedding", idx, n_clusters=6)
-    record_drift_baseline(full, "vec_id", "embedding", idx)
+    s2 = record_drift_baseline(full, "vec_id", "embedding", idx)
     c2 = drift_check(full, "vec_id", "embedding", idx,
-                     max_mean_drop_pct=4)
+                     max_mean_drop_pct=4, current=s2)
 
     queries = drifted.filter((F.col("vec_id") - 100_000) % 50 == 0)
     truth = (ann_bruteforce_topk(full, queries, "vec_id", "embedding",

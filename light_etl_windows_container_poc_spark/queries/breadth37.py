@@ -259,7 +259,9 @@ SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
 FROM embeddings
 """)
 def ann_append_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ann_index import build_ivfpq_index, query_ivfpq_index
+    from ..operators.ann_index import (build_ivfpq_index,
+                                       load_ivfpq_quantizers,
+                                       query_ivfpq_index)
     from ..operators.similarity import ann_bruteforce_topk
     from ..streaming.ann_maintenance import (ann_append_batch_handler,
                                              start_ann_index_maintenance)
@@ -296,14 +298,18 @@ def ann_append_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (ann_bruteforce_topk(emb, queries, "vec_id", "embedding",
                                  k=5).select(F.col("q_id").alias("a_id"),
                                              F.col("n_id").alias("b_id")))
+    # the exact and partial probes serve the SAME frozen quantizers —
+    # one load instead of two (guide §4.5)
+    qz = load_ivfpq_quantizers(spark, idx)
     exact = (query_ivfpq_index(spark, idx, emb, queries, "vec_id",
                                "embedding", k=5, nprobe=6,
-                               rerank=1 << 30)
+                               rerank=1 << 30, quantizers=qz)
              .select(F.col("q_id").alias("a_id"),
                      F.col("n_id").alias("b_id")))
     mismatched = _sym_diff_count(exact, truth).count()
     partial = (query_ivfpq_index(spark, idx, emb, queries, "vec_id",
-                                 "embedding", k=5, nprobe=2, rerank=32)
+                                 "embedding", k=5, nprobe=2, rerank=32,
+                                 quantizers=qz)
                .select(F.col("q_id").alias("a_id"),
                        F.col("n_id").alias("b_id")))
     hits = partial.join(truth, ["a_id", "b_id"]).count()

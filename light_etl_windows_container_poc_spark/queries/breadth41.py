@@ -437,6 +437,7 @@ def ann_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizers like every ANN certificate here."""
     from ..operators.ann_index import (build_ivfpq_index,
                                        compact_ivfpq_codes,
+                                       load_ivfpq_quantizers,
                                        query_ivfpq_index,
                                        tombstone_ann_ids)
     from ..operators.similarity import ann_bruteforce_topk
@@ -449,6 +450,10 @@ def ann_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         idx = os.path.join(work, "idx")
         build_ivfpq_index(emb, "vec_id", "embedding", idx, n_clusters=6)
+        # both exact_now() probes (pre/post compaction) serve against
+        # the SAME frozen quantizers — load them once (guide §4.5);
+        # compaction rewrites codes only, never centroids/books
+        qz = load_ivfpq_quantizers(spark, idx)
 
         dels = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
         n_deleted = tombstone_ann_ids(dels, "vec_id", idx)
@@ -465,7 +470,7 @@ def ann_takedown_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         def exact_now():
             return (query_ivfpq_index(spark, idx, emb, queries, "vec_id",
                                       "embedding", k=5, nprobe=6,
-                                      rerank=1 << 30)
+                                      rerank=1 << 30, quantizers=qz)
                     .select(F.col("q_id").alias("a_id"),
                             F.col("n_id").alias("b_id")))
 

@@ -42,14 +42,40 @@ def ann_append_batch_handler(index_path: str, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function: append the micro-batch's vectors to the
-    persisted IVF-PQ index unless this batch id already applied."""
-    from ..operators.ann_index import append_to_ivfpq_index
+    persisted IVF-PQ index unless this batch id already applied.
+
+    The frozen quantizers (centroids/books/anchors) are loaded ONCE and
+    reused across micro-batches (guide §4.5 — heavyweight init per task,
+    not per batch; they are by contract immutable between refreshes).
+    Cache key = the index DIRECTORY's (st_ino, st_mtime_ns): every
+    refresh/rebuild swaps a freshly-created staging dir into
+    ``index_path`` via rename (`_swap_in`), which changes both, so a
+    maintainer running across a refresh reloads the NEW quantizers on
+    its next batch instead of encoding against stale ones."""
+    from ..operators.ann_index import (append_to_ivfpq_index,
+                                       load_ivfpq_quantizers)
+
+    cache: dict = {}
+    # creating _applied_batches/ lazily on the first marker would bump
+    # index_path's mtime and force one spurious quantizer reload on the
+    # next batch — create it up front (the index itself must already
+    # exist; a missing index still fails fast in the first append)
+    if os.path.isdir(index_path):
+        os.makedirs(os.path.join(index_path, APPLIED_SUBDIR),
+                    exist_ok=True)
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         marker = _marker_path(index_path, batch_id)
         if os.path.exists(marker):
             return  # clean replay of an applied batch — skip
-        append_to_ivfpq_index(batch, id_col, vec_col, index_path)
+        st = os.stat(index_path)
+        gen = (st.st_ino, st.st_mtime_ns)
+        if cache.get("gen") != gen:
+            cache["q"] = load_ivfpq_quantizers(batch.sparkSession,
+                                               index_path)
+            cache["gen"] = gen
+        append_to_ivfpq_index(batch, id_col, vec_col, index_path,
+                              quantizers=cache["q"])
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w") as fh:
             fh.write("applied\n")

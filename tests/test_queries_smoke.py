@@ -80,7 +80,7 @@ def test_certification_budget_is_exactly_allocated():
                             ent._R07_CERTIFIED, ent._R08_CERTIFIED,
                             ent._R09_CERTIFIED, ent._R10_CERTIFIED,
                             ent._R11_CERTIFIED, ent._R12_CERTIFIED,
-                            ent._R13_CERTIFIED)
+                            ent._R13_CERTIFIED, ent._R14_CERTIFIED)
     head = [n for n in QUERIES if n not in certified]
     assert len(head) + len(ent._RECERTIFY) == 50, (
         f"head={len(head)} + recertify={len(ent._RECERTIFY)} != 50 — "
