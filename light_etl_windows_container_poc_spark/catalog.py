@@ -117,7 +117,7 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return out
 
 
-def spread_scan(df: DataFrame, key: str, parts: int | None = None) -> DataFrame:
+def spread_scan(df: DataFrame, key, parts: int | None = None) -> DataFrame:
     """Repartition after a scan whose FILE LAYOUT cannot feed the cluster.
 
     A parquet file is splittable only at row-group boundaries; the test
@@ -133,6 +133,13 @@ def spread_scan(df: DataFrame, key: str, parts: int | None = None) -> DataFrame:
     its input (spark.sql.execution.sortBeforeRepartition) and its output
     is placement- not content-determined; a high-cardinality key spreads
     evenly and stays deterministic under task retry (guide §2.5).
+
+    ``key`` is a column name or a Column EXPRESSION. Pass an expression
+    when the natural column is itself the skew risk — e.g. the sketch
+    builders count a column whose heavy hitters are exactly what the
+    sketch exists to measure, so hashing on that column would send most
+    rows to one partition; they spread on a row-unique composite
+    instead.
     """
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
@@ -144,9 +151,11 @@ def spread_scan(df: DataFrame, key: str, parts: int | None = None) -> DataFrame:
         # 0 = not file-backed (local relation, post-shuffle stage):
         # unknown layout, assume the upstream already parallelized
         return df
+    from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    return df.repartition(parts or cores, F.col(key))
+    expr = key if isinstance(key, Column) else F.col(key)
+    return df.repartition(parts or cores, expr)
 
 
 def register_views(spark: SparkSession, sf_dir: str,

@@ -233,7 +233,8 @@ _MIN_CELL_FLOPS = 128e6
 
 def _pack_blocks(b: DataFrame) -> DataFrame:
     """(id, v, blk) → one row per block: aligned flat arrays
-    (ids: array<long>, flat: array<double> = row-major concat of vectors).
+    (ids: array<long>, flat: array<double> = row-major concat of vectors)
+    plus the block's max vector length as ``dim``.
 
     Two collect_lists in ONE aggregate see rows in the same order, so ids
     and vectors stay aligned; `flatten` turns array<array<double>> into a
@@ -242,23 +243,32 @@ def _pack_blocks(b: DataFrame) -> DataFrame:
     paid a per-element struct decode in the Python worker that dominated
     each cell (sf0.1: ~12% of the whole blocked stage). NOTE: a null
     vector would desync ids from flat — callers' vector columns are
-    non-null by contract (a null crashed the struct path too); the
-    reshape below raises on any desync rather than misaligning."""
+    non-null by contract (a null crashed the struct path too). ``dim``
+    (one int per block) makes the unpack check COMPLETE: collect_list
+    silently skips nulls and `flatten` hides ragged lengths, and the old
+    modulo test passed whenever ids.size happened to divide the element
+    count; `flat.size == ids.size * max(len(v))` fails iff any vector is
+    missing or shorter than the longest (sum of n lengths ≤ max equals
+    n·max only when all equal max), so a desync can never silently
+    reshape into wrong-dim rows (r15 advisory)."""
     return b.groupBy("blk").agg(F.collect_list("id").alias("ids"),
-                                F.flatten(F.collect_list("v")).alias("flat"))
+                                F.flatten(F.collect_list("v")).alias("flat"),
+                                F.max(F.size("v")).alias("dim"))
 
 
-def _unpack_block(ids_cell, flat_cell):
-    """Aligned (ids, flat) arrow cells → (int64 ids, row-major matrix)."""
+def _unpack_block(ids_cell, flat_cell, dim_cell):
+    """Aligned (ids, flat, dim) arrow cells → (int64 ids, row-major
+    matrix). Raises on any id/element-count desync (see _pack_blocks)."""
     import numpy as np
 
     ids = np.asarray(ids_cell, dtype=np.int64)
     flat = np.asarray(flat_cell, dtype=np.float64)
-    if ids.size == 0 or flat.size % max(ids.size, 1):
+    dim = int(dim_cell)
+    if ids.size == 0 or flat.size != ids.size * dim:
         raise ValueError(
-            f"block desync: {ids.size} ids vs {flat.size} vector elements "
-            "(null vector in corpus?)")
-    return ids, flat.reshape(ids.size, -1)
+            f"block desync: {ids.size} ids x dim {dim} vs {flat.size} "
+            "vector elements (null or ragged vector in corpus?)")
+    return ids, flat.reshape(ids.size, dim)
 
 
 def _auto_n_blocks(df: DataFrame, vec_col: str,
@@ -604,11 +614,13 @@ def knn_graph_topk(corpus: DataFrame, id_col: str, vec_col: str,
     grid = (packed.select(F.col("blk").alias("ablk"),
                           F.col("ids").alias("aids"),
                           F.col("flat").alias("aflat"),
+                          F.col("dim").alias("adim"),
                           F.explode(F.sequence(F.lit(0),
                                                F.lit(n_blocks - 1))).alias("bblk"))
             .join(packed.select(F.col("blk").alias("bblk"),
                                 F.col("ids").alias("bids"),
-                                F.col("flat").alias("bflat")), "bblk")
+                                F.col("flat").alias("bflat"),
+                                F.col("dim").alias("bdim")), "bblk")
             .repartition(n_blocks * n_blocks))
     m = k + pad
 
@@ -623,9 +635,11 @@ def knn_graph_topk(corpus: DataFrame, id_col: str, vec_col: str,
             outs = []
             for i in range(len(pdf)):
                 aid, am = _unpack_block(pdf["aids"].iloc[i],
-                                        pdf["aflat"].iloc[i])
+                                        pdf["aflat"].iloc[i],
+                                        pdf["adim"].iloc[i])
                 bid, bm = _unpack_block(pdf["bids"].iloc[i],
-                                        pdf["bflat"].iloc[i])
+                                        pdf["bflat"].iloc[i],
+                                        pdf["bdim"].iloc[i])
                 am = _l2_normalize_rows(am)
                 bm = _l2_normalize_rows(bm)
                 s = am @ bm.T
@@ -683,11 +697,13 @@ def cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
     # plan clean of BNLJ entirely)
     grid = (packed.select(F.col("blk").alias("ablk"), F.col("ids").alias("aids"),
                           F.col("flat").alias("aflat"),
+                          F.col("dim").alias("adim"),
                           F.explode(F.sequence(F.col("blk"),
                                                F.lit(n_blocks - 1))).alias("bblk"))
             .join(packed.select(F.col("blk").alias("bblk"),
                                 F.col("ids").alias("bids"),
-                                F.col("flat").alias("bflat")), "bblk")
+                                F.col("flat").alias("bflat"),
+                                F.col("dim").alias("bdim")), "bblk")
             # one GEMM per task: spread grid cells across the cluster
             .repartition(n_blocks * (n_blocks + 1) // 2))
 
@@ -698,9 +714,11 @@ def cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
             out_a, out_b, out_s = [], [], []
             for i in range(len(pdf)):
                 aid, am = _unpack_block(pdf["aids"].iloc[i],
-                                        pdf["aflat"].iloc[i])
+                                        pdf["aflat"].iloc[i],
+                                        pdf["adim"].iloc[i])
                 bid, bm = _unpack_block(pdf["bids"].iloc[i],
-                                        pdf["bflat"].iloc[i])
+                                        pdf["bflat"].iloc[i],
+                                        pdf["bdim"].iloc[i])
                 am = _l2_normalize_rows(am)
                 bm = _l2_normalize_rows(bm)
                 s = am @ bm.T

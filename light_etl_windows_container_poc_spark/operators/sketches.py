@@ -147,8 +147,14 @@ def cm_build(df: DataFrame, col: str, depth: int, width: int) -> DataFrame:
     # per-row work below is `depth` md5s: on a sub-cores-files scan the
     # single decode task would also run EVERY hash (map-side aggregation
     # keeps it all in the scan stage) — spread first; provable no-op on
-    # many-file inputs (catalog.spread_scan)
-    return (spread_scan(df, col)
+    # many-file inputs (catalog.spread_scan). Spread on a ROW-unique
+    # composite, NOT the counted column: its heavy hitters are exactly
+    # what the sketch measures, so hashing on it would send most rows of
+    # a skewed input to one partition (r15 advisory). The row position
+    # is deterministic per scan layout (sequential within each input
+    # split), so the assignment is stable under task retry.
+    return (spread_scan(df, F.xxhash64(F.col(col),
+                                       F.monotonically_increasing_id()))
             .select(F.explode(seeds).alias("seed"), F.col(col).alias("k"))
             .select("seed", cm_bucket(F.col("seed"), F.col("k"), width)
                     .alias("bucket"))
@@ -219,8 +225,11 @@ def ams_build(df: DataFrame, col: str, counters: int) -> DataFrame:
 
     seeds = F.array(*[F.lit(s) for s in range(counters)])
     # same spread rationale as cm_build: `counters` md5s per input row
-    # all land in the scan task on a sub-cores-files layout
-    return (spread_scan(df, col)
+    # all land in the scan task on a sub-cores-files layout — and the
+    # same row-unique spread key (the counted column's heavy hitters
+    # are the skew the sketch exists to measure)
+    return (spread_scan(df, F.xxhash64(F.col(col),
+                                       F.monotonically_increasing_id()))
             .select(F.explode(seeds).alias("j"), F.col(col).alias("k"))
             .select("j", ams_sign(F.col("j"), F.col("k")).alias("s"))
             .groupBy("j")

@@ -220,8 +220,13 @@ def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     ch = w.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
     key = (F.col("doc_id") * 1_000_000 + F.col("chunk_idx")).cast("long")
-    first_k = ch.groupBy("chunk").agg(F.min(key).alias("first_key"))
-    cleaned = (ch.join(first_k, "chunk")
+    # first-occurrence filter as ONE window over the chunk key instead of
+    # groupBy(chunk)+join-back (r15, guide §2.4: two operations keyed the
+    # same way share one exchange): the agg+join shape computed the chunk
+    # explode TWICE and shuffled it twice; min-over-partition(chunk) is
+    # the identical first_key per chunk with one explode and one shuffle
+    first_key = F.min(key).over(W.partitionBy("chunk"))
+    cleaned = (ch.withColumn("first_key", first_key)
                .filter(key == F.col("first_key"))
                .groupBy("doc_id")
                .agg(F.concat_ws(" ", F.transform(
@@ -236,7 +241,14 @@ def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  tau_num=4, tau_den=5)
     deduped = dedup_keep_representatives(cd, pairs, "doc_id")
 
-    # 4. split + anti-contamination
+    # 4. split + anti-contamination. sp/surv each feed multiple plan
+    # subtrees, but checkpointing them was MEASURED a net loss (r15 A/B:
+    # 14.6 → 17.4s with localCheckpoints on both): their recompute is
+    # one cheap map-side join per consumer because the expensive parents
+    # (cd, the CC labels inside dedup_keep_representatives) are already
+    # materialized — the checkpoint re-wrote all the clean_text bytes
+    # for nothing (guide §5: cache only when recompute beats the memory
+    # pressure; here it does not).
     sp = train_test_split(deduped, "doc_id", test_permille=200)
     sh = sp.select("doc_id", "split",
                    F.explode(word_shingles(F.col("clean_text"), 3))
