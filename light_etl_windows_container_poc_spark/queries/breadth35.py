@@ -100,8 +100,11 @@ def ann_lifecycle_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                      max_mean_drop_pct=4, current=s2)
 
     queries = drifted.filter((F.col("vec_id") - 100_000) % 50 == 0)
+    # truth feeds the hits join AND the total count — one brute-force
+    # GEMM pass, not two (r15, guide §5)
     truth = (ann_bruteforce_topk(full, queries, "vec_id", "embedding",
-                                 k=5).select("q_id", "n_id"))
+                                 k=5).select("q_id", "n_id")
+             .localCheckpoint(eager=False))
     got = (query_ivfpq_index(spark, idx, full, queries, "vec_id",
                              "embedding", k=5, nprobe=2, rerank=32)
            .select("q_id", "n_id"))

@@ -295,9 +295,13 @@ def ann_append_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(os.path.join(idx, "codes")).count()
 
     queries = emb.filter(F.col("vec_id") % 100 == 1)
+    # truth feeds the exact sym-diff, the partial-recall join AND the
+    # total count — one brute-force GEMM pass instead of three (r15,
+    # guide §5; the takedown cert already checkpoints its truth)
     truth = (ann_bruteforce_topk(emb, queries, "vec_id", "embedding",
                                  k=5).select(F.col("q_id").alias("a_id"),
-                                             F.col("n_id").alias("b_id")))
+                                             F.col("n_id").alias("b_id"))
+             .localCheckpoint(eager=False))
     # the exact and partial probes serve the SAME frozen quantizers —
     # one load instead of two (guide §4.5)
     qz = load_ivfpq_quantizers(spark, idx)

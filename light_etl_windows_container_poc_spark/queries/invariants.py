@@ -25,7 +25,15 @@ from .registry import query
 
 def _sym_diff_count(a: DataFrame, b: DataFrame) -> DataFrame:
     """Rows in exactly one of two (a_id, b_id) pair sets — count it to
-    get the symmetric-difference cardinality."""
+    get the symmetric-difference cardinality.
+
+    Each side appears in both anti-joins, so each input pipeline runs
+    twice — MEASURED fine as-is: checkpointing both sides here was a
+    ~20% regression on ann_takedown_cert/ann_ivf_fullprobe_exact (r15
+    A/B 9.9→12.2s / 4.1→4.9s), because the persist+checkpoint-fill jobs
+    cost more than the cheap top-k recompute they avoid. Callers whose
+    input lineage IS expensive (the brute-force truth in the append
+    cert) checkpoint that input themselves."""
     return (a.join(b, ["a_id", "b_id"], "left_anti")
             .unionAll(b.join(a, ["a_id", "b_id"], "left_anti")))
 
